@@ -1,0 +1,138 @@
+"""App-layer analytics operators (SURVEY.md §2.2 P3-P6, §2.4 A5/A7-A10,
+§2.5 W3, §2.6 O2-O5).
+
+These re-express the reference's pandas/Streamlit analytics as distributed
+DataFrame transforms. Float aggregates are rounded to 2 decimals at the
+operator boundary — deterministic under partial-aggregation order and
+matching the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from market_flow_spark.functions.aggregates import det_avg, det_avg_over
+
+
+# ---- filters (P3-P6) -------------------------------------------------------
+
+
+def filter_eq(df: DataFrame, **eq: object) -> DataFrame:
+    """P3: equality slice, e.g. filter_eq(df, country='Kenya', product=p)."""
+    out = df
+    for c, v in eq.items():
+        out = out.filter(F.col(c) == F.lit(v))
+    return out
+
+
+def filter_isin(df: DataFrame, col: str, values: list) -> DataFrame:
+    """P4: IN-list membership (single_product_forecasting.py:143-146)."""
+    return df.filter(F.col(col).isin(values))
+
+
+def filter_contains(df: DataFrame, col: str, needle: str) -> DataFrame:
+    """P5: generic dataset-viewer filter (dataset_viewer.py:18-29) —
+    case-insensitive substring on any column; numeric equality fallback."""
+    try:
+        num = float(needle)
+        is_numeric = dict(df.dtypes)[col] in ("int", "bigint", "double", "float")
+    except ValueError:
+        is_numeric = False
+    if is_numeric:
+        return df.filter(F.col(col) == F.lit(num))
+    return df.filter(
+        F.lower(F.col(col).cast("string")).contains(needle.lower())
+    )
+
+
+def filter_positive(df: DataFrame, col: str) -> DataFrame:
+    """P6: drop nonpositive values (visualization.py:13-17)."""
+    return df.filter(F.col(col) > 0)
+
+
+# ---- aggregations (A5, A7-A10) ---------------------------------------------
+
+
+def conditional_count(df: DataFrame, group: str, cond: Column, name: str) -> DataFrame:
+    """A5: SUM(CASE WHEN cond THEN 1 ELSE 0 END) per group
+    (impute_missing_coords.py:67-74)."""
+    return df.groupBy(group).agg(
+        F.sum(F.when(cond, 1).otherwise(0)).alias(name),
+        F.count(F.lit(1)).alias("total"),
+    )
+
+
+def multi_stat_summary(df: DataFrame, group: str, value: str) -> DataFrame:
+    """A7: mean/std/min/max of a measure per group, rounded to 2
+    (single_product_forecasting.py:263-274)."""
+    v = F.col(value)
+    return df.groupBy(group).agg(
+        det_avg(v).alias("mean_price"),
+        F.round(F.stddev(v), 2).alias("std_price"),
+        F.round(F.min(v), 2).alias("min_price"),
+        F.round(F.max(v), 2).alias("max_price"),
+    )
+
+
+def two_level_mean(df: DataFrame, g1: str, g2: str, value: str) -> DataFrame:
+    """A8: avg of a measure by (group, date) (single_product_forecasting.py:241-245)."""
+    return df.groupBy(g1, g2).agg(det_avg(value).alias("avg_price"))
+
+
+def distinct_counts_per_group(df: DataFrame, group: str, cols: list[str]) -> DataFrame:
+    """A9: exact countDistinct per group (dataset_viewer.py:63-71). Exact,
+    not approx — the reference uses pandas nunique; approx_count_distinct is
+    offered separately for the 100 TB path."""
+    aggs = [F.countDistinct(c).alias(f"n_{c}") for c in cols]
+    return df.groupBy(group).agg(*aggs)
+
+
+def null_counts(df: DataFrame, cols: list[str]) -> DataFrame:
+    """A10: per-column null/non-null counts (dataset_viewer.py:43-52)."""
+    aggs = [
+        F.sum(F.col(c).isNull().cast("bigint")).alias(f"nulls_{c}") for c in cols
+    ] + [F.count(F.lit(1)).alias("total_rows")]
+    return df.agg(*aggs)
+
+
+# ---- windows (W3) -----------------------------------------------------------
+
+
+def rolling_mean(
+    df: DataFrame, partition: str, order: str, value: str, periods: int = 30
+) -> DataFrame:
+    """W3: per-group trailing rolling mean, min_periods=1
+    (single_product_forecasting.py:41-43 'MA30').
+
+    rowsBetween(-(periods-1), 0) reproduces pandas rolling(min_periods=1)
+    exactly: short prefixes average whatever rows exist.
+    """
+    w = (
+        Window.partitionBy(partition)
+        .orderBy(order)
+        .rowsBetween(-(periods - 1), Window.currentRow)
+    )
+    return df.withColumn(f"ma{periods}", det_avg_over(value, w))
+
+
+# ---- sorts / limits / top-k (O2-O5) -----------------------------------------
+
+
+def top_k(df: DataFrame, order_cols: list[str], k: int = 10) -> DataFrame:
+    """O2: deterministic top-k — order columns must form a total order
+    (callers append a unique tiebreaker). Spark plans this as TakeOrdered:
+    per-partition heap + driver merge, no global sort."""
+    return df.orderBy(*order_cols).limit(k)
+
+
+def paginate(df: DataFrame, order_cols: list[str], page: int, size: int) -> DataFrame:
+    """O3: dataset-viewer pagination (dataset_viewer.py:144-178) over a
+    deterministic total order."""
+    return df.orderBy(*order_cols).offset(page * size).limit(size)
+
+
+def last_n(df: DataFrame, order_col: str, n: int, tiebreak: list[str]) -> DataFrame:
+    """O5: pandas tail(n) analog — last n rows by a sort column
+    (single_product_forecasting.py:177-180)."""
+    return df.orderBy(F.col(order_col).desc(), *[F.col(c).desc() for c in tiebreak]).limit(n)

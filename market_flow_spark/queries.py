@@ -1,0 +1,831 @@
+"""Query registry: every implemented operator as a (spark_fn, oracle_sql)
+pair over the driver's TPC-H-ish tables (TESTDATA.md, role map FIXTURES.md §8).
+
+Conventions that make the driver's order-insensitive value-hash match:
+- every order-sensitive float aggregate (avg/sum/stddev, window means) is
+  ROUND(x, 2) on BOTH sides; per-row arithmetic is bit-exact IEEE and left
+  unrounded;
+- DuckDB type quirks are cast away in the oracle: year()/month() → INT,
+  SUM(int) → BIGINT (DuckDB returns HUGEINT), row_number() → INT;
+- DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all;
+- every top-k/LIMIT query orders by a total order (unique tiebreaker).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from market_flow_spark.functions.aggregates import det_avg, det_avg_over
+from market_flow_spark.functions.cleaning import normalize_key
+from market_flow_spark.functions.units import parse_unit_name, price_per_kg
+from market_flow_spark.operators import analytics as an
+from market_flow_spark.operators import dims, imputation, incremental, star
+from market_flow_spark.tables import load_tables
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Flagship: ml_data-analog 8-way star join (SURVEY §2.3 J2, §2.8 F6-F7)
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_ORACLE = """
+WITH ev_m AS (
+  SELECT CAST(month(ts) AS INT) AS month,
+         FLOOR((CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+              / COUNT(value)) * 100.0 + 0.5) / 100.0 AS avg_event_value,
+         COUNT(*) AS event_count
+  FROM events GROUP BY 1
+)
+SELECT l.l_orderkey, l.l_linenumber,
+       l.l_extendedprice AS price,
+       l.l_extendedprice / l.l_quantity AS price_per_unit,
+       l.l_extendedprice * (1.0 - l.l_discount) AS price_discounted,
+       CAST(year(o.o_orderdate) AS INT) AS year,
+       CAST(month(o.o_orderdate) AS INT) AS month,
+       make_date(CAST(year(o.o_orderdate) AS INT),
+                 CAST(month(o.o_orderdate) AS INT), 1) AS constructed_date,
+       c.c_mktsegment AS market_segment,
+       c.c_name AS customer_name,
+       n.n_name AS country,
+       r.r_name AS region,
+       p.p_name AS product_name,
+       p.p_brand AS brand,
+       s.s_name AS supplier_name,
+       e.avg_event_value,
+       e.event_count
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+LEFT JOIN ev_m e ON CAST(month(o.o_orderdate) AS INT) = e.month
+"""
+
+
+@register("flagship_wide", FLAGSHIP_ORACLE)
+def q_flagship_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return star.flagship_wide(load_tables(spark, sf_dir))
+
+
+@register(
+    "fact_transactions",
+    """
+WITH ev_m AS (
+  SELECT CAST(month(ts) AS INT) AS month,
+         FLOOR((CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+              / COUNT(value)) * 100.0 + 0.5) / 100.0 AS avg_event_value
+  FROM events GROUP BY 1
+),
+base AS (
+  SELECT l.*, o.o_custkey,
+         CAST(year(o.o_orderdate) AS INT) AS year,
+         CAST(month(o.o_orderdate) AS INT) AS month
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+filt AS (
+  SELECT b.* FROM base b
+  WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = b.o_custkey)
+)
+SELECT b.l_orderkey * 10 + b.l_linenumber AS transaction_id,
+       b.l_orderkey AS order_id,
+       b.l_partkey AS product_id,
+       b.l_suppkey AS supplier_id,
+       b.o_custkey AS customer_id,
+       b.year * 100 + b.month AS date_sk,
+       b.l_extendedprice AS price,
+       b.l_extendedprice / b.l_quantity AS price_per_unit,
+       e.avg_event_value
+FROM filt b
+JOIN ev_m e ON b.month = e.month AND e.avg_event_value IS NOT NULL
+""",
+)
+def q_fact_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return star.fact_transactions(load_tables(spark, sf_dir))
+
+
+@register(
+    "monthly_event_stats",
+    """
+SELECT CAST(month(ts) AS INT) AS month,
+       FLOOR((CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+              / COUNT(value)) * 100.0 + 0.5) / 100.0 AS avg_event_value,
+       COUNT(*) AS event_count
+FROM events GROUP BY 1
+""",
+)
+def q_monthly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return star.monthly_event_stats(load_tables(spark, sf_dir)["events"])
+
+
+# ---------------------------------------------------------------------------
+# Staging layer: typed projection, cleaning, unit conversion (P1-P2, F1-F5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stg_transactions_typed",
+    """
+SELECT l_orderkey AS order_id,
+       l_linenumber AS line_number,
+       l_partkey AS product_id,
+       l_suppkey AS supplier_id,
+       CAST(l_quantity AS DOUBLE) AS quantity,
+       l_extendedprice AS price,
+       l_extendedprice / l_quantity AS price_per_unit,
+       l_returnflag AS return_flag
+FROM lineitem
+WHERE l_quantity IS NOT NULL AND l_extendedprice > 0
+""",
+)
+def q_stg_transactions_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 projection+rename, P2 not-null filters, F5/F7 typing+arithmetic
+    (stg_transactions.sql:5-24,52-56)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.filter(
+        F.col("l_quantity").isNotNull() & (F.col("l_extendedprice") > 0)
+    ).select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_number"),
+        F.col("l_partkey").alias("product_id"),
+        F.col("l_suppkey").alias("supplier_id"),
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").alias("price"),
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("price_per_unit"),
+        F.col("l_returnflag").alias("return_flag"),
+    )
+
+
+_UNIT_CASE_SQL = """
+  CASE WHEN p_partkey % 7 = 0 THEN 'KG'
+       WHEN p_partkey % 7 = 1 THEN CAST(p_size AS VARCHAR) || ' KG'
+       WHEN p_partkey % 7 = 2 THEN CAST(p_size AS VARCHAR) || ' G'
+       WHEN p_partkey % 7 = 3 THEN 'MT'
+       WHEN p_partkey % 7 = 4 THEN CAST(p_size AS VARCHAR) || ' lbs'
+       WHEN p_partkey % 7 = 5 THEN CAST(p_size AS VARCHAR) || ' ML'
+       ELSE 'Unit' END
+"""
+
+
+@register(
+    "unit_conversion",
+    f"""
+WITH u AS (
+  SELECT p_partkey, p_retailprice, {_UNIT_CASE_SQL} AS unit_name FROM part
+),
+p AS (
+  SELECT p_partkey, p_retailprice, unit_name,
+         COALESCE(regexp_extract(trim(unit_name), '^([0-9\\.]+)', 1), '') AS unit_value,
+         lower(trim(regexp_replace(trim(unit_name), '^[0-9\\.]+', '', 'g'))) AS unit_type
+  FROM u
+),
+k AS (
+  SELECT *,
+    CASE unit_type
+      WHEN 'kg' THEN qty * 1.0
+      WHEN 'mt' THEN qty * 1000.0
+      WHEN 'pound' THEN qty * 0.453592
+      WHEN 'lb' THEN qty * 0.453592
+      WHEN 'lbs' THEN qty * 0.453592
+      WHEN 'g' THEN qty * 0.001
+      WHEN 'l' THEN qty * 0.001
+      WHEN 'ml' THEN qty * 0.000001
+      ELSE NULL END AS value_in_kg
+  FROM (SELECT *, CASE WHEN unit_value <> '' THEN CAST(unit_value AS DOUBLE)
+                       ELSE 1.0 END AS qty FROM p)
+)
+SELECT p_partkey, unit_name, unit_value, unit_type, value_in_kg,
+       CASE WHEN value_in_kg IS NOT NULL AND value_in_kg <> 0
+            THEN p_retailprice / value_in_kg
+            ELSE p_retailprice END AS price_per_kg
+FROM k
+""",
+)
+def q_unit_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F4: regex unit parse + unit→kg CASE table + per-kg price guard
+    (stg_cleaned_units.sql:5-51, stg_transactions.sql:52-56), exercised over
+    unit strings synthesized deterministically from `part`."""
+    pa = load_tables(spark, sf_dir)["part"]
+    pk = F.col("p_partkey")
+    size_s = F.col("p_size").cast("string")
+    unit_name = (
+        F.when(pk % 7 == 0, F.lit("KG"))
+        .when(pk % 7 == 1, F.concat(size_s, F.lit(" KG")))
+        .when(pk % 7 == 2, F.concat(size_s, F.lit(" G")))
+        .when(pk % 7 == 3, F.lit("MT"))
+        .when(pk % 7 == 4, F.concat(size_s, F.lit(" lbs")))
+        .when(pk % 7 == 5, F.concat(size_s, F.lit(" ML")))
+        .otherwise(F.lit("Unit"))
+    )
+    df = pa.select("p_partkey", "p_retailprice", unit_name.alias("unit_name"))
+    uv, ut, kg = parse_unit_name(F.col("unit_name"))
+    return df.select(
+        "p_partkey",
+        "unit_name",
+        uv.alias("unit_value"),
+        ut.alias("unit_type"),
+        kg.alias("value_in_kg"),
+        price_per_kg(F.col("p_retailprice"), kg).alias("price_per_kg"),
+    )
+
+
+@register(
+    "events_typed",
+    """
+SELECT event_id, event_type,
+       CAST(regexp_extract(props, '"k":\\s*(-?[0-9]+)', 1) AS INT) AS prop_k,
+       value
+FROM events
+""",
+)
+def q_events_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: string→typed extraction from a semi-structured column (the
+    all-varchar raw layer's deferred typing, stg_transactions.sql:19-21)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.regexp_extract("props", r'"k":\s*(-?[0-9]+)', 1).cast("int").alias("prop_k"),
+        "value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dimensions (A1-A3, W1-W2, J6, U1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dim_product",
+    """
+SELECT p_partkey, p_name, p_brand, p_type,
+       CAST(row_number() OVER (ORDER BY p_name, p_partkey) AS INT) AS product_sk
+FROM (SELECT DISTINCT p_partkey, p_name, p_brand, p_type FROM part)
+""",
+)
+def q_dim_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dims.dim_product(load_tables(spark, sf_dir)["part"])
+
+
+@register(
+    "dim_date",
+    """
+WITH y AS (SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS year FROM orders),
+     m AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),
+                                 (7),(8),(9),(10),(11),(12)) AS t(month))
+SELECT y.year, m.month,
+       y.year * 100 + m.month AS date_sk,
+       make_date(y.year, m.month, 1) AS first_of_month
+FROM y CROSS JOIN m
+""",
+)
+def q_dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dims.dim_date_scaffold(load_tables(spark, sf_dir)["orders"])
+
+
+@register(
+    "dim_country_merged",
+    """
+WITH cust AS (
+  SELECT DISTINCT
+    trim(regexp_replace(regexp_replace(n_name, '[^a-zA-Z0-9 ]', '', 'g'),
+                        '\\s+', ' ', 'g')) AS country,
+    1 AS has_customer, 0 AS has_supplier
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+supp AS (
+  SELECT DISTINCT
+    trim(regexp_replace(regexp_replace(n_name, '[^a-zA-Z0-9 ]', '', 'g'),
+                        '\\s+', ' ', 'g')) AS country,
+    0 AS has_customer, 1 AS has_supplier
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+u AS (SELECT * FROM cust UNION SELECT * FROM supp),
+g AS (
+  SELECT country, MAX(has_customer) AS has_customer,
+         MAX(has_supplier) AS has_supplier
+  FROM u GROUP BY country
+)
+SELECT country, has_customer, has_supplier,
+       CAST(row_number() OVER (ORDER BY country) AS INT) AS country_sk
+FROM g
+""",
+)
+def q_dim_country_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return dims.dim_country_merged(t["customer"], t["supplier"], t["nation"])
+
+
+# ---------------------------------------------------------------------------
+# Analytics (A5, A7-A10, W3, O2-O5, P4-P6)
+# ---------------------------------------------------------------------------
+
+_SALES_JOIN_SQL = """
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+"""
+
+
+def _sales_join(t: dict[str, DataFrame]) -> DataFrame:
+    li, od, cu, na = t["lineitem"], t["orders"], t["customer"], t["nation"]
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+    )
+
+
+@register(
+    "price_summary_stats",
+    f"""
+SELECT n_name AS country,
+       FLOOR((CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+               / COUNT(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS mean_price,
+       ROUND(STDDEV(l_extendedprice), 2) AS std_price,
+       ROUND(MIN(l_extendedprice), 2) AS min_price,
+       ROUND(MAX(l_extendedprice), 2) AS max_price
+{_SALES_JOIN_SQL}
+GROUP BY 1
+""",
+)
+def q_price_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _sales_join(load_tables(spark, sf_dir)).withColumnRenamed("n_name", "country")
+    return an.multi_stat_summary(df, "country", "l_extendedprice")
+
+
+@register(
+    "country_month_avg",
+    f"""
+SELECT n_name AS country,
+       make_date(CAST(year(o_orderdate) AS INT),
+                 CAST(month(o_orderdate) AS INT), 1) AS constructed_date,
+       FLOOR((CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+               / COUNT(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS avg_price
+{_SALES_JOIN_SQL}
+GROUP BY 1, 2
+""",
+)
+def q_country_month_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = (
+        _sales_join(load_tables(spark, sf_dir))
+        .withColumnRenamed("n_name", "country")
+        .withColumn(
+            "constructed_date",
+            F.make_date(F.year("o_orderdate"), F.month("o_orderdate"), F.lit(1)),
+        )
+    )
+    out = an.two_level_mean(df, "country", "constructed_date", "l_extendedprice")
+    return out
+
+
+@register(
+    "distinct_counts",
+    f"""
+SELECT n_name AS country,
+       COUNT(DISTINCT l_partkey) AS n_p_products,
+       COUNT(DISTINCT c_mktsegment) AS n_segments
+{_SALES_JOIN_SQL}
+GROUP BY 1
+""",
+)
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _sales_join(load_tables(spark, sf_dir)).withColumnRenamed("n_name", "country")
+    return df.groupBy("country").agg(
+        F.countDistinct("l_partkey").alias("n_p_products"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+    )
+
+
+@register(
+    "conditional_agg",
+    f"""
+SELECT n_name AS country,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned,
+       COUNT(*) AS total
+{_SALES_JOIN_SQL}
+GROUP BY 1
+""",
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _sales_join(load_tables(spark, sf_dir)).withColumnRenamed("n_name", "country")
+    return an.conditional_count(df, "country", F.col("l_returnflag") == "R", "n_returned")
+
+
+@register(
+    "null_counts",
+    """
+WITH ev_m AS (
+  SELECT CAST(month(ts) AS INT) AS month, FLOOR((CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+              / COUNT(value)) * 100.0 + 0.5) / 100.0 AS avg_event_value
+  FROM events GROUP BY 1
+),
+o AS (
+  SELECT o_orderkey, CAST(month(o_orderdate) AS INT) AS month FROM orders
+)
+SELECT CAST(SUM(CASE WHEN e.avg_event_value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS nulls_avg_event_value,
+       COUNT(*) AS total_rows
+FROM o LEFT JOIN ev_m e USING (month)
+""",
+)
+def q_null_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ev_m = star.monthly_event_stats(t["events"]).select("month", "avg_event_value")
+    o = t["orders"].select(
+        "o_orderkey", F.month("o_orderdate").alias("month")
+    )
+    joined = o.join(F.broadcast(ev_m), on="month", how="left")
+    return an.null_counts(joined, ["avg_event_value"])
+
+
+@register(
+    "top10_products",
+    """
+WITH s AS (
+  SELECT p_name AS product_name,
+         FLOOR((CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                              AS DECIMAL(27,6))) AS DOUBLE)
+               / COUNT(*)) * 100.0 + 0.5) / 100.0 AS avg_price
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT product_name, avg_price FROM s
+ORDER BY avg_price ASC, product_name ASC
+LIMIT 10
+""",
+)
+def q_top10_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: best-products top-k (forecast_utils.py:123-139) — cheapest-first
+    ranking with a name tiebreaker so the limit boundary is deterministic."""
+    t = load_tables(spark, sf_dir)
+    s = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_name").alias("product_name"))
+        .agg(
+            det_avg(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("avg_price")
+        )
+    )
+    return an.top_k(s, ["avg_price", "product_name"], 10)
+
+
+@register(
+    "rolling_ma30",
+    """
+WITH m AS (
+  SELECT p_brand AS brand,
+         CAST(year(o_orderdate) AS INT) AS year,
+         CAST(month(o_orderdate) AS INT) AS month,
+         FLOOR((CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+               / COUNT(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS avg_price
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2, 3
+)
+SELECT brand, year, month, avg_price,
+       FLOOR((CAST(SUM(CAST(avg_price AS DECIMAL(27,6))) OVER w AS DOUBLE)
+             / COUNT(avg_price) OVER w) * 100.0 + 0.5) / 100.0 AS ma30
+FROM m
+WINDOW w AS (PARTITION BY brand ORDER BY year, month
+             ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_rolling_ma30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: per-group 30-row trailing mean over a monthly price series
+    (single_product_forecasting.py:41-43)."""
+    t = load_tables(spark, sf_dir)
+    m = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+        )
+        .agg(det_avg("l_extendedprice").alias("avg_price"))
+    )
+    w = (
+        Window.partitionBy("brand")
+        .orderBy("year", "month")
+        .rowsBetween(-29, Window.currentRow)
+    )
+    return m.withColumn("ma30", det_avg_over("avg_price", w))
+
+
+@register(
+    "pagination",
+    """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+LIMIT 20 OFFSET 100
+""",
+)
+def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: dataset-viewer pagination over a deterministic total order."""
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    return an.paginate(li, ["l_orderkey", "l_linenumber"], page=5, size=20)
+
+
+@register(
+    "last_n_events",
+    """
+SELECT event_id, ts, event_type, value
+FROM events
+ORDER BY ts DESC, event_id DESC
+LIMIT 50
+""",
+)
+def q_last_n_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: pandas tail(n) analog."""
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "ts", "event_type", "value"
+    )
+    return an.last_n(ev, "ts", 50, tiebreak=["event_id"])
+
+
+@register(
+    "in_filter",
+    """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_mktsegment IN ('MACHINERY', 'BUILDING')
+""",
+)
+def q_in_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_tables(spark, sf_dir)["customer"].select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return an.filter_isin(cu, "c_mktsegment", ["MACHINERY", "BUILDING"])
+
+
+@register(
+    "contains_filter",
+    """
+SELECT p_partkey, p_name FROM part
+WHERE position('wid' IN lower(p_name)) > 0
+""",
+)
+def q_contains_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pa = load_tables(spark, sf_dir)["part"].select("p_partkey", "p_name")
+    return an.filter_contains(pa, "p_name", "wid")
+
+
+@register(
+    "positive_filter",
+    """
+SELECT event_id, value FROM events WHERE value > 0
+""",
+)
+def q_positive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"].select("event_id", "value")
+    return an.filter_positive(ev, "value")
+
+
+# ---------------------------------------------------------------------------
+# Imputation (A11-A13) — testdata has no NULLs, so each query injects them
+# deterministically first, then imputes.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mean_impute",
+    """
+WITH m AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value_masked
+  FROM events
+),
+s AS (SELECT FLOOR((CAST(SUM(CAST(value_masked AS DECIMAL(27,6))) AS DOUBLE)
+             / COUNT(value_masked)) * 100.0 + 0.5) / 100.0 AS mv FROM m)
+SELECT event_id, event_type, COALESCE(value_masked, mv) AS value_masked
+FROM m, s
+""",
+)
+def q_mean_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: column-mean fill (the reference's Spark ML Imputer job,
+    impute_missing_currencies.py:75-89)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    masked = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("value"))
+        .alias("value_masked"),
+    )
+    return imputation.mean_impute(masked, ["value_masked"])
+
+
+@register(
+    "ffill_bfill_impute",
+    """
+WITH m AS (
+  SELECT p_brand AS brand,
+         CAST(year(o_orderdate) AS INT) * 100 + CAST(month(o_orderdate) AS INT)
+           AS mkey,
+         CAST(month(o_orderdate) AS INT) AS month,
+         FLOOR((CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+               / COUNT(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS avg_price
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2, 3
+),
+k AS (
+  SELECT brand, mkey,
+         CASE WHEN month % 4 = 1 THEN NULL ELSE avg_price END AS avg_price
+  FROM m
+)
+SELECT brand, mkey,
+       COALESCE(avg_price,
+         last_value(avg_price IGNORE NULLS) OVER (
+           PARTITION BY brand ORDER BY mkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         first_value(avg_price IGNORE NULLS) OVER (
+           PARTITION BY brand ORDER BY mkey
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS avg_price
+FROM k
+""",
+)
+def q_ffill_bfill_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: time-series ffill→bfill per series — the reference's
+    pivot+ffill+bfill+melt pandas job as two ignorenulls windows."""
+    t = load_tables(spark, sf_dir)
+    m = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("mkey"),
+            F.month("o_orderdate").alias("month"),
+        )
+        .agg(det_avg("l_extendedprice").alias("avg_price"))
+    )
+    masked = m.select(
+        "brand",
+        "mkey",
+        F.when(F.col("month") % 4 == 1, None)
+        .otherwise(F.col("avg_price"))
+        .alias("avg_price"),
+    )
+    return imputation.ffill_bfill(masked, "brand", "mkey", "avg_price")
+
+
+@register(
+    "group_mean_impute",
+    """
+WITH m AS (
+  SELECT c_custkey, c_nationkey,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal
+  FROM customer
+),
+g AS (
+  SELECT c_nationkey,
+         FLOOR((CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE)
+               / COUNT(c_acctbal)) * 100.0 + 0.5) / 100.0 AS gm
+  FROM m GROUP BY 1
+)
+SELECT m.c_custkey, m.c_nationkey, COALESCE(m.c_acctbal, g.gm) AS c_acctbal
+FROM m LEFT JOIN g USING (c_nationkey)
+""",
+)
+def q_group_mean_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: per-country mean substituted into null rows
+    (impute_missing_coords.py:31-65)."""
+    cu = load_tables(spark, sf_dir)["customer"]
+    masked = cu.select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 7 == 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    return imputation.group_mean_impute(masked, "c_nationkey", ["c_acctbal"])
+
+
+# ---------------------------------------------------------------------------
+# Incremental patterns (J7, J9-J10, S10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "anti_join_missing_months",
+    """
+WITH ship AS (
+  SELECT DISTINCT CAST(year(l_shipdate) AS INT) AS year,
+                  CAST(month(l_shipdate) AS INT) AS month
+  FROM lineitem
+),
+ord AS (
+  SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS year,
+                  CAST(month(o_orderdate) AS INT) AS month
+  FROM orders
+)
+SELECT s.year, s.month FROM ship s
+WHERE NOT EXISTS (
+  SELECT 1 FROM ord o WHERE o.year = s.year AND o.month = s.month
+)
+""",
+)
+def q_anti_join_missing_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9/J10: 'fetch only missing keys' anti-join."""
+    t = load_tables(spark, sf_dir)
+    ship = (
+        t["lineitem"]
+        .select(
+            F.year("l_shipdate").alias("year"), F.month("l_shipdate").alias("month")
+        )
+        .distinct()
+    )
+    ordm = (
+        t["orders"]
+        .select(
+            F.year("o_orderdate").alias("year"), F.month("o_orderdate").alias("month")
+        )
+        .distinct()
+    )
+    return incremental.missing_keys(ship, ordm, ["year", "month"])
+
+
+@register(
+    "normalized_join",
+    """
+WITH messy AS (
+  SELECT n_nationkey, '  ' || upper(n_name) || ' ' AS messy_name FROM nation
+)
+SELECT m.n_nationkey, lower(trim(m.messy_name)) AS join_key, c.n_regionkey
+FROM messy m
+JOIN nation c ON lower(trim(m.messy_name)) = lower(trim(c.n_name))
+""",
+)
+def q_normalized_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: LOWER(TRIM(a)) = LOWER(TRIM(b)) fuzzy-key join
+    (stg_localities.sql:31-33)."""
+    na = load_tables(spark, sf_dir)["nation"]
+    messy = na.select(
+        "n_nationkey",
+        F.concat(F.lit("  "), F.upper("n_name"), F.lit(" ")).alias("messy_name"),
+    )
+    clean = na.select(F.col("n_name"), F.col("n_regionkey"))
+    joined = messy.join(
+        F.broadcast(clean),
+        normalize_key(messy.messy_name) == normalize_key(clean.n_name),
+    )
+    return joined.select(
+        "n_nationkey", normalize_key(F.col("messy_name")).alias("join_key"), "n_regionkey"
+    )
+
+
+@register(
+    "upsert_plan",
+    """
+WITH existing AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 0
+),
+incoming AS (
+  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal FROM customer
+  WHERE c_custkey % 3 = 0
+)
+SELECT * FROM existing e
+WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.c_custkey = e.c_custkey)
+UNION ALL
+SELECT * FROM incoming
+""",
+)
+def q_upsert_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: keyed upsert as a pure transform (anti-join + union)."""
+    cu = load_tables(spark, sf_dir)["customer"].select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    existing = cu.filter(F.col("c_custkey") % 2 == 0)
+    incoming = cu.filter(F.col("c_custkey") % 3 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100.0
+    )
+    return incremental.upsert(existing, incoming, ["c_custkey"])

@@ -1,0 +1,50 @@
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO_ROOT))
+
+TESTDATA_SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from market_flow_spark.session import get_spark
+
+    s = get_spark(app_name="mfs-tests", cpus=os.environ.get("SPARK_GRAFT_CPUS", "4"))
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return TESTDATA_SF
+
+
+@pytest.fixture(scope="session")
+def tables(spark, sf_dir):
+    from market_flow_spark.tables import load_tables
+
+    return load_tables(spark, sf_dir)
+
+
+@pytest.fixture(scope="session")
+def duck(sf_dir):
+    """DuckDB connection with the same parquet tables registered as views,
+    mirroring the driver's oracle setup."""
+    import duckdb
+
+    from market_flow_spark.tables import TABLE_NAMES
+
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    yield con
+    con.close()

@@ -1,0 +1,69 @@
+"""Local replica of the driver's correctness compare: row-count + schema +
+order-insensitive value comparison between a Spark DataFrame and its DuckDB
+oracle result."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            # date objects / strings: stringify uniformly
+            df[c] = df[c].map(lambda v: None if v is None else str(v))
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("float64")  # unify int widths for compare
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(by=list(df.columns), na_position="last").reset_index(
+        drop=True
+    )
+
+
+def assert_matches_oracle(spark_df, duck_con, sql: str, float_tol: float = 1e-9):
+    """Raise AssertionError (with diagnostics) unless the Spark result and
+    the oracle result match on row count, column names, and values
+    (order-insensitive; floats compared exactly after canonicalization,
+    falling back to tolerance)."""
+    sp = spark_df.toPandas()
+    du = duck_con.execute(sql).fetchdf()
+    assert sorted(sp.columns) == sorted(du.columns), (
+        f"column mismatch: spark={sorted(sp.columns)} oracle={sorted(du.columns)}"
+    )
+    assert len(sp) == len(du), f"row count mismatch: spark={len(sp)} oracle={len(du)}"
+    a, b = _canon(sp), _canon(du)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av):
+            ok = [
+                (x == y)
+                or (isinstance(x, float) and isinstance(y, float)
+                    and math.isnan(x) and math.isnan(y))
+                or (pd.isna(x) and pd.isna(y))
+                or (
+                    pd.notna(x)
+                    and pd.notna(y)
+                    and abs(x - y) <= float_tol * max(1.0, abs(x), abs(y))
+                )
+                for x, y in zip(av.tolist(), bv.tolist())
+            ]
+            bad = [i for i, o in enumerate(ok) if not o]
+            assert not bad, (
+                f"value mismatch in '{c}' at canon rows {bad[:5]}: "
+                f"spark={av.iloc[bad[:5]].tolist()} oracle={bv.iloc[bad[:5]].tolist()}"
+            )
+        else:
+            eq = av.fillna("\0NULL").eq(bv.fillna("\0NULL"))
+            bad = list(eq[~eq].index[:5])
+            assert not bad, (
+                f"value mismatch in '{c}' at canon rows {bad}: "
+                f"spark={av.iloc[bad].tolist()} oracle={bv.iloc[bad].tolist()}"
+            )

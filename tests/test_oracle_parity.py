@@ -1,0 +1,41 @@
+"""The core correctness gate, run locally: every registered query whose
+oracle exists must match DuckDB on row count + schema + values
+(order-insensitive) — the same comparison the driver performs at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from market_flow_spark.queries import ORACLES, QUERIES
+from tests.oracle_utils import assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES.keys()))
+def test_query_matches_oracle(name, spark, duck, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    assert_matches_oracle(df, duck, ORACLES[name])
+
+
+def test_every_query_returns_rows(spark, sf_dir):
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        # anti-join style queries may legitimately return few rows, but the
+        # plan must execute; count() forces it.
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert len(df.columns) >= 15
+
+
+def test_contract_alignment():
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(o.keys()) <= set(q.keys())
+    assert len(q) >= 20
