@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from market_flow_spark.queries import ORACLES, QUERIES  # noqa: E402
+from market_flow_spark.queries_all import ORACLES, QUERIES  # noqa: E402
 from market_flow_spark.session import tune_session  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"

@@ -19,7 +19,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from market_flow_spark.queries import QUERIES  # noqa: E402
+from market_flow_spark.queries_all import QUERIES  # noqa: E402
 from market_flow_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
@@ -33,6 +33,13 @@ HEADLINE = [
     "ffill_bfill_impute",
     "unit_conversion",
     "upsert_plan",
+    "text_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "simhash_signatures",
+    "cosine_topk",
+    "tumbling_hour_stats",
+    "linear_forecast",
 ]
 
 

@@ -20,3 +20,25 @@ from market_flow_spark.session import get_spark
 from market_flow_spark.tables import TABLE_NAMES, load_tables
 
 __all__ = ["get_spark", "load_tables", "TABLE_NAMES", "__version__"]
+
+
+def _register_udf_modules_by_value() -> None:
+    """Pandas-UDF closures reference helpers in this package; Spark's
+    Python workers don't have the package on their path when the driver
+    process runs from elsewhere. Registering the UDF-bearing modules for
+    by-value pickling makes the shipped closures self-contained — no
+    --py-files deployment needed for the contract entry points."""
+    try:
+        from pyspark import cloudpickle
+
+        import market_flow_spark.extensions.multimodal as _mm
+        import market_flow_spark.operators.forecast as _fc
+        import market_flow_spark.sources.api_source as _api
+
+        for mod in (_fc, _mm, _api):
+            cloudpickle.register_pickle_by_value(mod)
+    except Exception:
+        pass  # older pickler without the API; --py-files still works
+
+
+_register_udf_modules_by_value()

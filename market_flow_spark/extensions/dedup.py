@@ -1,0 +1,241 @@
+"""Deduplication operators for large-scale corpora (north-star extensions).
+
+Four tiers, cheapest first — the standard LLM-training-data dedup ladder:
+
+1. **Exact** — hash-groupBy on a normalized fingerprint. One shuffle on the
+   hash; at 100 TB this is a plain aggregate, no driver state.
+2. **Word-level Jaccard** — inverted-index self-join on tokens. Exact
+   pairwise similarity, quadratic in bucket size: correct at test scale,
+   and the oracle for verifying the approximate tiers.
+3. **MinHash + LSH** — md5-based minhash signatures, banded so candidate
+   pairs come from equi-joins on band hashes (shuffle on band key, never a
+   cross join). The 100 TB path. md5 is used (not xxhash) so the DuckDB
+   oracle can reproduce signatures bit-for-bit.
+4. **SimHash** — per-doc 16-bit signature from marker-bit majorities;
+   near-dup pairs are low-Hamming-distance signatures.
+
+All tiers are pure DataFrame ops — explode/groupBy/join — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from market_flow_spark.functions.aggregates import det_round
+
+NUM_MINHASHES = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+SIMHASH_BITS = 16
+
+
+def _norm_text(text_col: str) -> Column:
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5(normalized text) → keep lowest doc_id per group."""
+    f = docs.select("doc_id", F.md5(_norm_text(text_col)).alias("fingerprint"))
+    return f.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("dup_count")
+    )
+
+
+def doc_words(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, word) distinct token pairs — the inverted-index base."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return docs.select("doc_id", F.explode(toks).alias("word")).distinct()
+
+
+def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, word) distinct n-gram shingles (word = the joined n-gram).
+
+    Shingling is what makes MinHash selective: unigram sets from a shared
+    vocabulary overlap heavily between unrelated documents, but n-gram
+    overlap decays geometrically — unrelated docs share ≈ no shingles, so
+    LSH candidates are only genuine near-dups. Built with JVM higher-order
+    functions (transform/sequence), no UDF."""
+    toked = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("toks")
+    )
+    parts = ", ".join(f"toks[i+{j}]" for j in range(n))
+    sh = F.expr(
+        f"CASE WHEN size(toks) >= {n} "
+        f"THEN transform(sequence(0, size(toks)-{n}), "
+        f"i -> concat_ws(' ', {parts})) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+    return toked.select("doc_id", F.explode(sh).alias("word")).distinct()
+
+
+def _jaccard_for_pairs(pairs: DataFrame, words: DataFrame) -> DataFrame:
+    """Attach exact word-set Jaccard to (doc1, doc2) candidate pairs."""
+    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    w1 = words.select(F.col("doc_id").alias("doc1"), "word")
+    w2 = words.select(F.col("doc_id").alias("doc2"), "word")
+    common = (
+        pairs.join(w1, "doc1")
+        .join(w2, ["doc2", "word"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    j = (
+        common.join(sizes.withColumnsRenamed({"doc_id": "doc1", "n": "n1"}), "doc1")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc2", "n": "n2"}), "doc2")
+        .withColumn(
+            "jaccard",
+            det_round(
+                F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")), 4
+            ),
+        )
+    )
+    return j.select("doc1", "doc2", "jaccard")
+
+
+def word_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.7, text_col: str = "text"
+) -> DataFrame:
+    """Exact near-dup pairs by word-set Jaccard ≥ threshold, found via an
+    inverted-index self-join (never a cross join). Quadratic in posting-list
+    length — the exact-but-small-scale tier; MinHash+LSH below is the
+    100 TB tier."""
+    words = doc_words(docs, text_col)
+    w1 = words.select(F.col("doc_id").alias("doc1"), "word")
+    w2 = words.select(F.col("doc_id").alias("doc2"), "word")
+    pairs = (
+        w1.join(w2, "word")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    return _jaccard_for_pairs(pairs, words).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    features: DataFrame, num_hashes: int = NUM_MINHASHES
+) -> DataFrame:
+    """MinHash signatures over a (doc_id, word) feature set (shingles in
+    practice): mh_i = min over features of md5(word || '#i').
+
+    md5-of-salted-token stands in for the usual family of random hash
+    functions: deterministic, order-independent (MIN is associative), and
+    reproducible in any engine — which is what makes the LSH tier
+    oracle-checkable.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.col("word"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return features.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(signatures: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
+    """Band the signature: band_hash = md5(concat of the band's rows).
+    Docs sharing any (band_idx, band_hash) become candidate pairs via a
+    plain equi-join — the step that keeps LSH linear-ish at scale."""
+    n = len([c for c in signatures.columns if c.startswith("mh")])
+    rows_per_band = n // bands
+    pieces = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        pieces.append(
+            signatures.select(
+                "doc_id",
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat(*cols)).alias("band_hash"),
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    min_sig_matches: int = NUM_MINHASHES // 2,
+) -> DataFrame:
+    """Near-dup pairs in three narrowing stages — the shape that survives
+    100 TB:
+
+    1. LSH candidates: equi-join on band hash over 3-gram shingles (no
+       cross join ever; shingling keeps unrelated docs out of the
+       candidate set);
+    2. signature-estimate filter: candidates must agree on ≥
+       min_sig_matches of the minhashes — a pure projection over the
+       (small) signature table, this is where MinHash earns its keep: the
+       expensive exact verification only runs on pairs the signature
+       already says are close;
+    3. exact shingle-Jaccard verification of the survivors.
+    """
+    words = doc_shingles(docs, text_col=text_col)
+    sigs = minhash_signatures(words)
+    bands = lsh_bands(sigs)
+    b1 = bands.withColumnsRenamed({"doc_id": "doc1"})
+    b2 = bands.withColumnsRenamed({"doc_id": "doc2"})
+    cand = (
+        b1.join(b2, ["band_idx", "band_hash"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    n = len([c for c in sigs.columns if c.startswith("mh")])
+    s1 = sigs.select(
+        F.col("doc_id").alias("doc1"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n)]
+    )
+    s2 = sigs.select(
+        F.col("doc_id").alias("doc2"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n)]
+    )
+    matches = None
+    for i in range(n):
+        m = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        matches = m if matches is None else matches + m
+    screened = (
+        cand.join(F.broadcast(s1), "doc1")
+        .join(F.broadcast(s2), "doc2")
+        .filter(matches >= F.lit(min_sig_matches))
+        .select("doc1", "doc2")
+    )
+    return _jaccard_for_pairs(screened, words).filter(F.col("jaccard") >= threshold)
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash per doc: bit i set iff the majority of the doc's words
+    have md5 hex digit i ≥ '8'. Near-dups share low Hamming distance;
+    bucketing on the signature prefix makes the pair search an equi-join."""
+    words = doc_words(docs, text_col).withColumn("h", F.md5("word"))
+    aggs = [
+        F.sum(
+            F.when(F.substring("h", i + 1, 1) >= "8", 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    s = words.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return s.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Joins on the high byte of the signature first (a cheap LSH-style
+    blocking key), then filters by bit_count(xor). At 16 bits and test
+    scale the blocking is coarse; at 64 bits/100 TB the same shape holds
+    with multiple rotated prefix tables."""
+    sig = simhash_signatures(docs)
+    a = sig.withColumnsRenamed({"doc_id": "doc1", "simhash": "sim1"})
+    b = sig.withColumnsRenamed({"doc_id": "doc2", "simhash": "sim2"})
+    a = a.withColumn("block", F.floor(F.col("sim1") / 256))
+    b = b.withColumn("block", F.floor(F.col("sim2") / 256))
+    pairs = a.join(b, "block").filter(F.col("doc1") < F.col("doc2"))
+    ham = F.bit_count(F.col("sim1").bitwiseXOR(F.col("sim2")))
+    return (
+        pairs.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc1", "doc2", "hamming")
+    )

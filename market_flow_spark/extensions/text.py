@@ -1,0 +1,113 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Not present in the reference (which is numeric price analytics); added per
+the north-star extension contract (BASELINE.json): language-ID, quality
+scoring, token counting, document fingerprinting — each as pure Column
+expressions (JVM-side, codegen-friendly; zero Python UDFs), so they scan at
+full parquet speed on a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from market_flow_spark.functions.aggregates import det_round
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Deliberately small and hard-coded: the point is deterministic, cheap,
+# JVM-side scoring, not linguistic accuracy.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def count_in_expr(toks_sql: str, words: list[str]) -> str:
+    """SQL text for counting tokens that belong to a fixed word list —
+    shared verbatim between the Spark plan and the DuckDB oracle."""
+    quoted = ", ".join(f"'{w}'" for w in words)
+    return f"size(filter({toks_sql}, x -> x IN ({quoted})))"
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring feature set per document: char/token counts, average
+    token length, stopword ratio, an approximate BPE token estimate
+    (chars/4, the common fast heuristic), and a 0..1 quality score."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    n_stop = F.expr(
+        count_in_expr(f"split(trim({text_col}), '\\\\s+')", STOPWORDS)
+    )
+    avg_token_len = det_round(
+        F.length(F.regexp_replace(t, r"\s+", "")) / n_tokens, 4
+    )
+    stopword_ratio = det_round(n_stop / n_tokens, 4)
+    approx_bpe = F.ceil(n_chars / F.lit(4.0)).cast("bigint")
+    # quality: in-range token count and a sane avg token length
+    quality = det_round(
+        F.when((n_tokens >= 5) & (n_tokens <= 10000), F.lit(0.5)).otherwise(0.0)
+        + F.when((avg_token_len >= 2) & (avg_token_len <= 12), F.lit(0.5)).otherwise(
+            0.0
+        ),
+        2,
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        avg_token_len.alias("avg_token_len"),
+        stopword_ratio.alias("stopword_ratio"),
+        approx_bpe.alias("approx_bpe_tokens"),
+        quality.alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: score each language's lexicon against the
+    token list; highest score wins, ties broken by fixed language order.
+    Pure CASE/filter expressions — no UDF."""
+    toks_sql = f"split(trim({text_col}), '\\\\s+')"
+    scores = {
+        lang: F.expr(count_in_expr(toks_sql, words))
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    pred = None
+    for lang in langs:  # fixed priority order resolves ties deterministically
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            ge = scores[lang] >= scores[other]
+            cond = ge if cond is None else (cond & ge)
+        pred = (
+            F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+        )
+    pred = pred.otherwise(F.lit(langs[0]))
+    sel = [F.col("doc_id")]
+    sel += [scores[lang].alias(f"score_{lang}") for lang in langs]
+    sel.append(pred.alias("predicted_lang"))
+    return docs.select(*sel)
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized, lowercased text
+    plus a coarse length band — the cheap pre-filter for exact/near dedup."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        (F.floor(F.length(norm) / 64) * 64).alias("length_band"),
+    )

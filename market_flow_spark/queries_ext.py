@@ -1,0 +1,542 @@
+"""Extension query registry: text analysis, dedup, similarity search,
+multimodal, forecast, and time-window queries — each registered with a
+DuckDB oracle (generated programmatically where the SQL is repetitive, e.g.
+16 minhash columns), except where noted rows-only.
+
+Shares the determinism conventions of queries.py (decimal sums +
+floor-rounding, explicit casts, total-order tiebreakers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from market_flow_spark.extensions import dedup, multimodal, similarity, text
+from market_flow_spark.operators.forecast import linear_forecast
+from market_flow_spark.queries import register
+from market_flow_spark.streaming import windows as W
+from market_flow_spark.tables import load_tables
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments
+# ---------------------------------------------------------------------------
+
+WORDS_SQL = (
+    "SELECT DISTINCT doc_id, "
+    "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word "
+    "FROM documents"
+)
+
+# 3-gram shingles (1-based list indexing in DuckDB; mirrors
+# dedup.doc_shingles which uses 0-based Spark indexing)
+SHINGLES_SQL = """
+SELECT DISTINCT doc_id,
+  unnest(CASE WHEN len(toks) >= 3 THEN
+    list_transform(range(1, len(toks) - 1),
+      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+    ELSE [] END) AS word
+FROM (SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents)
+"""
+
+
+def _floor_round_sql(expr: str, ndigits: int) -> str:
+    scale = float(10**ndigits)
+    return f"FLOOR(({expr}) * {scale} + 0.5) / {scale}"
+
+
+def _in_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_TEXT_STATS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+    CAST(length(text) AS INT) AS n_chars,
+    CAST(len(toks) AS INT) AS n_tokens,
+    CAST(len(list_filter(toks, x -> x IN ({_in_list(text.STOPWORDS)}))) AS INT)
+      AS n_stop,
+    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS INT) AS n_nonspace
+  FROM t
+),
+c AS (
+  SELECT doc_id, n_chars, n_tokens,
+    {_floor_round_sql("n_nonspace / n_tokens", 4)} AS avg_token_len,
+    {_floor_round_sql("n_stop / n_tokens", 4)} AS stopword_ratio,
+    CAST(CEIL(n_chars / 4.0) AS BIGINT) AS approx_bpe_tokens
+  FROM b
+)
+SELECT doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio,
+       approx_bpe_tokens,
+       {_floor_round_sql(
+           "(CASE WHEN n_tokens BETWEEN 5 AND 10000 THEN 0.5 ELSE 0.0 END)"
+           " + (CASE WHEN avg_token_len BETWEEN 2 AND 12 THEN 0.5 ELSE 0.0 END)",
+           2,
+       )} AS quality_score
+FROM c
+"""
+
+
+@register("text_stats", _TEXT_STATS_ORACLE)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats(load_tables(spark, sf_dir)["documents"])
+
+
+def _lang_id_oracle() -> str:
+    langs = list(text.LANG_MARKERS)
+    score_cols = ",\n    ".join(
+        f"CAST(len(list_filter(toks, x -> x IN ({_in_list(ws)}))) AS INT)"
+        f" AS score_{lang}"
+        for lang, ws in text.LANG_MARKERS.items()
+    )
+    cases = []
+    for lang in langs:
+        conds = " AND ".join(
+            f"score_{lang} >= score_{o}" for o in langs if o != lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{langs[0]}' END"
+    score_list = ", ".join(f"score_{lang}" for lang in langs)
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    {score_cols}
+  FROM t
+)
+SELECT doc_id, {score_list}, {case_sql} AS predicted_lang FROM s
+"""
+
+
+@register("lang_id", _lang_id_oracle())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(load_tables(spark, sf_dir)["documents"])
+
+
+@register(
+    "doc_fingerprint",
+    """
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+)
+SELECT doc_id, md5(norm) AS fingerprint,
+       CAST(FLOOR(length(norm) / 64) AS BIGINT) * 64 AS length_band
+FROM n
+""",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(load_tables(spark, sf_dir)["documents"])
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+WITH f AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, min(doc_id) AS keep_doc_id, COUNT(*) AS dup_count
+FROM f GROUP BY 1
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_tables(spark, sf_dir)["documents"])
+
+
+_JACCARD_TAIL_SQL = f"""
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY 1),
+common AS (
+  SELECT p.doc1, p.doc2, COUNT(*) AS common
+  FROM pairs p
+  JOIN words w1 ON w1.doc_id = p.doc1
+  JOIN words w2 ON w2.doc_id = p.doc2 AND w2.word = w1.word
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT c.doc1, c.doc2,
+         {_floor_round_sql("c.common / (s1.n + s2.n - c.common)", 4)} AS jaccard
+  FROM common c
+  JOIN sizes s1 ON s1.doc_id = c.doc1
+  JOIN sizes s2 ON s2.doc_id = c.doc2
+)
+"""
+
+
+@register(
+    "dedup_word_jaccard",
+    f"""
+WITH words AS ({WORDS_SQL}),
+pairs AS (
+  SELECT DISTINCT w1.doc_id AS doc1, w2.doc_id AS doc2
+  FROM words w1 JOIN words w2 ON w1.word = w2.word AND w1.doc_id < w2.doc_id
+),
+{_JACCARD_TAIL_SQL}
+SELECT doc1, doc2, jaccard FROM j WHERE jaccard >= 0.7
+""",
+)
+def q_dedup_word_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.word_jaccard_pairs(
+        load_tables(spark, sf_dir)["documents"], threshold=0.7
+    )
+
+
+def _minhash_oracle() -> str:
+    n, bands = dedup.NUM_MINHASHES, dedup.LSH_BANDS
+    rows = n // bands
+    min_matches = n // 2
+    mh_cols = ",\n    ".join(
+        f"min(md5(word || '#{i}')) AS mh{i}" for i in range(n)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_hash FROM mh".format(
+            b=b,
+            concat=" || ".join(f"mh{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    sig_matches = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(n)
+    )
+    return f"""
+WITH words AS ({SHINGLES_SQL}),
+mh AS (
+  SELECT doc_id,
+    {mh_cols}
+  FROM words GROUP BY doc_id
+),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.doc1, c.doc2
+  FROM cand c
+  JOIN mh sa ON sa.doc_id = c.doc1
+  JOIN mh sb ON sb.doc_id = c.doc2
+  WHERE {sig_matches} >= {min_matches}
+),
+{_JACCARD_TAIL_SQL}
+SELECT doc1, doc2, jaccard FROM j WHERE jaccard >= 0.8
+"""
+
+
+@register("dedup_minhash_lsh", _minhash_oracle())
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        load_tables(spark, sf_dir)["documents"], threshold=0.8
+    )
+
+
+def _simhash_sig_sql() -> str:
+    bits = dedup.SIMHASH_BITS
+    s_cols = ",\n    ".join(
+        f"CAST(SUM(CASE WHEN substring(h, {i + 1}, 1) >= '8' THEN 1 ELSE -1 END)"
+        f" AS BIGINT) AS s{i}"
+        for i in range(bits)
+    )
+    bit_sum = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(bits)
+    )
+    return f"""
+WITH words AS ({WORDS_SQL}),
+h AS (SELECT doc_id, md5(word) AS h FROM words),
+s AS (
+  SELECT doc_id,
+    {s_cols}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({bit_sum} AS BIGINT) AS simhash FROM s
+"""
+
+
+@register("simhash_signatures", _simhash_sig_sql())
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_signatures(load_tables(spark, sf_dir)["documents"])
+
+
+@register(
+    "simhash_pairs",
+    f"""
+WITH sig AS ({_simhash_sig_sql()}),
+a AS (SELECT doc_id AS doc1, simhash AS sim1,
+             CAST(FLOOR(simhash / 256) AS BIGINT) AS block FROM sig),
+b AS (SELECT doc_id AS doc2, simhash AS sim2,
+             CAST(FLOOR(simhash / 256) AS BIGINT) AS block FROM sig)
+SELECT a.doc1, b.doc2, CAST(bit_count(xor(a.sim1, b.sim2)) AS INT) AS hamming
+FROM a JOIN b USING (block)
+WHERE a.doc1 < b.doc2 AND bit_count(xor(a.sim1, b.sim2)) <= 3
+""",
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(load_tables(spark, sf_dir)["documents"])
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COSINE_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+
+
+def _cosine_topk_oracle(n_queries: int = 5, k: int = 5) -> str:
+    dot = _COSINE_SQL.format(a="e.embedding", b="q.qe")
+    n1 = _COSINE_SQL.format(a="e.embedding", b="e.embedding")
+    n2 = _COSINE_SQL.format(a="q.qe", b="q.qe")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id < {n_queries}
+),
+p AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {dot} AS dot, {n1} AS nsq1, {n2} AS nsq2
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+c AS (
+  SELECT query_id, neighbor_id,
+         {_floor_round_sql("dot / (sqrt(nsq1) * sqrt(nsq2))", 6)} AS cosine
+  FROM p
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM c
+)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {k}
+"""
+
+
+@register("cosine_topk", _cosine_topk_oracle())
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(
+        load_tables(spark, sf_dir)["embeddings"], n_queries=5, k=5
+    )
+
+
+def _ann_lsh_oracle(n_queries: int = 5, k: int = 3, n_bits: int = 8) -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] > 0 THEN {2**i} ELSE 0 END)"
+        for i in range(n_bits)
+    )
+    dot = _COSINE_SQL.format(a="e.embedding", b="q.qe")
+    n1 = _COSINE_SQL.format(a="e.embedding", b="e.embedding")
+    n2 = _COSINE_SQL.format(a="q.qe", b="q.qe")
+    return f"""
+WITH wb AS (
+  SELECT vec_id, embedding, CAST({bucket} AS INT) AS bucket FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe, bucket FROM wb
+  WHERE vec_id < {n_queries}
+),
+p AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.bucket,
+         {dot} AS dot, {n1} AS nsq1, {n2} AS nsq2
+  FROM wb e JOIN q USING (bucket)
+  WHERE e.vec_id <> q.query_id
+),
+c AS (
+  SELECT query_id, neighbor_id, bucket,
+         {_floor_round_sql("dot / (sqrt(nsq1) * sqrt(nsq2))", 6)} AS cosine
+  FROM p
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM c
+)
+SELECT query_id, neighbor_id, bucket, cosine, rank FROM r WHERE rank <= {k}
+"""
+
+
+@register("ann_lsh_topk", _ann_lsh_oracle())
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_lsh_topk(
+        load_tables(spark, sf_dir)["embeddings"], n_queries=5, k=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (JVM-side slice; mapInPandas featurizer is pytest-only)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_bytes",
+    """
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS INT) AS byte_len,
+       md5(text) AS content_md5,
+       'text/plain' AS media_type
+FROM documents
+""",
+)
+def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = multimodal.to_binary_assets(load_tables(spark, sf_dir)["documents"])
+    return assets.select(
+        "doc_id", "byte_len", F.md5("content").alias("content_md5"), "media_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forecast (UD1: applyInPandas per-group model fit, integer-exact OLS)
+# ---------------------------------------------------------------------------
+
+_MONTHLY_SERIES_SQL = """
+  SELECT p_brand AS brand,
+         CAST(year(o_orderdate) AS INT) * 100 + CAST(month(o_orderdate) AS INT)
+           AS mkey,
+         FLOOR((CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+               / COUNT(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS avg_price
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+"""
+
+
+def _monthly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from market_flow_spark.functions.aggregates import det_avg
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("mkey"),
+        )
+        .agg(det_avg("l_extendedprice").alias("avg_price"))
+    )
+
+
+@register(
+    "linear_forecast",
+    f"""
+WITH m AS ({_MONTHLY_SERIES_SQL}),
+i AS (
+  SELECT brand, CAST(ROUND(avg_price * 100) AS BIGINT) AS yc,
+         row_number() OVER (PARTITION BY brand ORDER BY mkey) - 1 AS t
+  FROM m
+),
+s AS (
+  SELECT brand, COUNT(*) AS n,
+         CAST(SUM(t) AS BIGINT) AS sx, CAST(SUM(t * t) AS BIGINT) AS sx2,
+         CAST(SUM(yc) AS BIGINT) AS sy, CAST(SUM(t * yc) AS BIGINT) AS sxy
+  FROM i GROUP BY 1
+),
+f AS (
+  SELECT brand, n,
+    CASE WHEN n * sx2 - sx * sx = 0 THEN 0.0
+         ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sx2 - sx * sx AS DOUBLE) END AS slope_c
+  FROM s
+),
+g AS (
+  SELECT f.brand, f.n, f.slope_c,
+         (CAST(s.sy AS DOUBLE) - f.slope_c * CAST(s.sx AS DOUBLE))
+           / CAST(f.n AS DOUBLE) AS intercept_c
+  FROM f JOIN s ON s.brand = f.brand
+),
+h AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5)) t(dt))
+SELECT g.brand, CAST(g.n + h.dt AS INT) AS t,
+       {_floor_round_sql(
+           "(g.intercept_c + g.slope_c * CAST(g.n + h.dt AS DOUBLE)) / 100.0", 2
+       )} AS yhat
+FROM g CROSS JOIN h
+""",
+)
+def q_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    series = _monthly_series(spark, sf_dir)
+    return linear_forecast(series, "brand", "mkey", "avg_price", horizon=6)
+
+
+# ---------------------------------------------------------------------------
+# Time windows (streaming-compatible shapes run in batch for the oracle)
+# ---------------------------------------------------------------------------
+
+_DET_AVG_VALUE_SQL = (
+    "FLOOR((CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)"
+    " / COUNT(value)) * 100.0 + 0.5) / 100.0"
+)
+
+
+@register(
+    "tumbling_hour_stats",
+    f"""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events, {_DET_AVG_VALUE_SQL} AS avg_value
+FROM events GROUP BY 1, 2
+""",
+)
+def q_tumbling_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.tumbling_stats(load_tables(spark, sf_dir)["events"], "1 hour")
+
+
+@register(
+    "sliding_window_stats",
+    f"""
+WITH x AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type, value FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events
+)
+SELECT window_start, event_type, COUNT(*) AS n_events,
+       {_DET_AVG_VALUE_SQL} AS avg_value
+FROM x GROUP BY 1, 2
+""",
+)
+def q_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.sliding_stats(load_tables(spark, sf_dir)["events"], "2 hours", "1 hour")
+
+
+@register(
+    "session_windows",
+    """
+WITH l AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              < INTERVAL 5 MINUTE THEN 0 ELSE 1 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM l
+)
+SELECT MIN(ts) AS session_start, user_id,
+       COUNT(*) AS n_events, MAX(ts) AS last_event
+FROM s GROUP BY user_id, sess_id
+""",
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.session_stats(load_tables(spark, sf_dir)["events"], "5 minutes")

@@ -13,10 +13,15 @@ TESTDATA_SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from market_flow_spark.session import get_spark
 
-    s = get_spark(app_name="mfs-tests", cpus=os.environ.get("SPARK_GRAFT_CPUS", "4"))
+    wh = tmp_path_factory.mktemp("spark-warehouse")
+    s = get_spark(
+        app_name="mfs-tests",
+        cpus=os.environ.get("SPARK_GRAFT_CPUS", "4"),
+        extra_conf={"spark.sql.warehouse.dir": str(wh)},
+    )
     yield s
     s.stop()
 

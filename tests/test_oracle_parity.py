@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import pytest
 
-from market_flow_spark.queries import ORACLES, QUERIES
+from market_flow_spark.queries_all import ORACLES, QUERIES
 from tests.oracle_utils import assert_matches_oracle
 
 

@@ -1,0 +1,46 @@
+"""Structured Streaming parity: the same window shape must produce the same
+result in streaming (file source → memory sink) and batch mode."""
+
+from __future__ import annotations
+
+import shutil
+
+from market_flow_spark.streaming.windows import stream_events, tumbling_stats
+from market_flow_spark.tables import load_table
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    # stage the event data as files appearing in a landing dir
+    landing = str(tmp_path / "landing")
+    events.write.parquet(landing)
+    schema = events.schema.simpleString().replace("struct<", "").rstrip(">").replace(
+        ":", " "
+    )
+
+    stream = stream_events(spark, landing, schema=schema, watermark="2 hours")
+    agg = tumbling_stats(stream, "1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        (r.window_start, r.event_type): (r.n_events, r.avg_value)
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    from pyspark.sql import functions as F
+
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.avg_value)
+        for r in tumbling_stats(
+            events.withColumn("ts", F.col("ts").cast("timestamp")), "1 hour"
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0
+    shutil.rmtree(landing, ignore_errors=True)
