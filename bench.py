@@ -46,7 +46,14 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    spark = get_spark(app_name="mfs-bench")
+    # At bench scale (≤ a few hundred MB) 8 shuffle partitions beat the
+    # 32-partition cluster default: AQE coalesces either way, but fewer
+    # initial partitions cut task-launch overhead. A real cluster run
+    # overrides via SPARK_SHUFFLE_PARTITIONS (sized ~2-3x total cores).
+    spark = get_spark(
+        app_name="mfs-bench",
+        shuffle_partitions=os.environ.get("SPARK_SHUFFLE_PARTITIONS", "8"),
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE if n in QUERIES]

@@ -519,6 +519,154 @@ def q_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audit_stats",
+    """
+SELECT COUNT(*) AS n_rows,
+       MIN(o_orderdate) AS first_order,
+       MAX(o_orderdate) AS last_order,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders
+""",
+)
+def q_audit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: load-verification table stats (ingest_kaggle_data.py:182-187
+    logs COUNT(*) + MAX(audit col) after every load)."""
+    od = load_tables(spark, sf_dir)["orders"]
+    return od.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@register(
+    "dataset_stats",
+    """
+SELECT COUNT(*) AS total_rows,
+       COUNT(DISTINCT c_custkey) AS n_c_custkey,
+       COUNT(DISTINCT c_name) AS n_c_name,
+       COUNT(DISTINCT c_nationkey) AS n_c_nationkey,
+       COUNT(DISTINCT c_mktsegment) AS n_c_mktsegment,
+       CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS nulls_c_acctbal
+FROM customer
+""",
+)
+def q_dataset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9+A10: the dataset-viewer's per-column nunique/null panel
+    (dataset_viewer.py:37-52) as one aggregate pass."""
+    cu = load_tables(spark, sf_dir)["customer"]
+    return cu.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.countDistinct("c_custkey").alias("n_c_custkey"),
+        F.countDistinct("c_name").alias("n_c_name"),
+        F.countDistinct("c_nationkey").alias("n_c_nationkey"),
+        F.countDistinct("c_mktsegment").alias("n_c_mktsegment"),
+        F.sum(F.col("c_acctbal").isNull().cast("bigint")).alias("nulls_c_acctbal"),
+    )
+
+
+def _near_dup_oracle(n_bits: int = 8, threshold: float = 0.9) -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] > 0 THEN {2**i} ELSE 0 END)"
+        for i in range(n_bits)
+    )
+    dot = _COSINE_SQL.format(a="a.embedding", b="b.embedding")
+    n1 = _COSINE_SQL.format(a="a.embedding", b="a.embedding")
+    n2 = _COSINE_SQL.format(a="b.embedding", b="b.embedding")
+    return f"""
+WITH wb AS (
+  SELECT vec_id, embedding, CAST({bucket} AS INT) AS bucket FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+         {dot} AS dot, {n1} AS nsq1, {n2} AS nsq2
+  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec1, vec2,
+       {_floor_round_sql("dot / (sqrt(nsq1) * sqrt(nsq2))", 6)} AS cosine
+FROM p
+WHERE {_floor_round_sql("dot / (sqrt(nsq1) * sqrt(nsq2))", 6)} >= {threshold}
+"""
+
+
+@register("embedding_near_dup", _near_dup_oracle())
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup tier of the dedup ladder: sign-bucket
+    blocking (equi-join, never a cross join) then cosine ≥ threshold within
+    buckets."""
+    from market_flow_spark.extensions.similarity import _dot, sign_bucket
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    wb = emb.withColumn("bucket", sign_bucket(F.col("embedding"), 8))
+    a = wb.select(
+        F.col("vec_id").alias("vec1"), F.col("embedding").alias("e1"), "bucket"
+    )
+    b = wb.select(
+        F.col("vec_id").alias("vec2"), F.col("embedding").alias("e2"), "bucket"
+    )
+    pairs = a.join(b, "bucket").filter(F.col("vec1") < F.col("vec2"))
+    from market_flow_spark.functions.aggregates import det_round
+
+    cos = det_round(
+        _dot(F.col("e1"), F.col("e2"))
+        / (
+            F.sqrt(_dot(F.col("e1"), F.col("e1")))
+            * F.sqrt(_dot(F.col("e2"), F.col("e2")))
+        ),
+        6,
+    )
+    return (
+        pairs.select("vec1", "vec2", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.9)
+    )
+
+
+@register(
+    "forecast_horizon",
+    """
+WITH last_obs AS (
+  SELECT p_brand AS brand,
+         MAX(make_date(CAST(year(o_orderdate) AS INT),
+                       CAST(month(o_orderdate) AS INT), 1)) AS last_month
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT brand, last_month,
+       CAST(GREATEST(365, date_diff('day', last_month, DATE '2002-01-01')
+                          + 365) AS INT) AS periods
+FROM last_obs
+""",
+)
+def q_forecast_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD2: forecast-horizon calc (forecast_utils.py:37-42) —
+    `(today - max(ds)).days + 365`, floored at 365. `today` is pinned to a
+    fixed reference date so the result is reproducible."""
+    t = load_tables(spark, sf_dir)
+    last_obs = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.max(
+                F.make_date(F.year("o_orderdate"), F.month("o_orderdate"), F.lit(1))
+            ).alias("last_month")
+        )
+    )
+    periods = F.greatest(
+        F.lit(365),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("last_month")) + 365,
+    )
+    return last_obs.select(
+        "brand", "last_month", periods.cast("int").alias("periods")
+    )
+
+
+@register(
     "session_windows",
     """
 WITH l AS (
