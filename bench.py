@@ -58,10 +58,15 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in QUERIES]
     timings: dict[str, float] = {}
-    # one warm-up pass on the smallest query to amortize JVM/codegen startup
+    # warm-up: JVM/codegen startup on a small JVM-only query, plus the
+    # Python worker pool + Arrow path for the Pandas-UDF query (at the
+    # smallest scale factor so warm-up cost stays low)
     QUERIES["top10_products"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    QUERIES["linear_forecast"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
     for name in names:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

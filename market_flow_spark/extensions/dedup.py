@@ -69,7 +69,12 @@ def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFra
 
 
 def _jaccard_for_pairs(pairs: DataFrame, words: DataFrame) -> DataFrame:
-    """Attach exact word-set Jaccard to (doc1, doc2) candidate pairs."""
+    """Attach exact word-set Jaccard to (doc1, doc2) candidate pairs.
+
+    The feature table feeds three consumers (both join sides + the size
+    aggregate); persist it so the tokenize/shingle pipeline runs once.
+    Callers pass an already-narrowed table when the corpus is large."""
+    words = words.persist()
     sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     w1 = words.select(F.col("doc_id").alias("doc1"), "word")
     w2 = words.select(F.col("doc_id").alias("doc2"), "word")
@@ -156,6 +161,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     min_sig_matches: int = NUM_MINHASHES // 2,
+    narrow_verification: bool = False,
 ) -> DataFrame:
     """Near-dup pairs in three narrowing stages — the shape that survives
     100 TB:
@@ -171,7 +177,11 @@ def minhash_lsh_pairs(
     3. exact shingle-Jaccard verification of the survivors.
     """
     words = doc_shingles(docs, text_col=text_col)
-    sigs = minhash_signatures(words)
+    # signatures are doc-count-sized (16 hashes/doc) — persist so the band
+    # build and the estimate screen don't recompute the shingle explosion.
+    # The shingle table itself is corpus-sized and is NOT persisted; the
+    # verification stage below narrows it with a semi-join instead.
+    sigs = minhash_signatures(words).persist()
     bands = lsh_bands(sigs)
     b1 = bands.withColumnsRenamed({"doc_id": "doc1"})
     b2 = bands.withColumnsRenamed({"doc_id": "doc2"})
@@ -192,13 +202,30 @@ def minhash_lsh_pairs(
     for i in range(n):
         m = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
         matches = m if matches is None else matches + m
+    # persist: the screened pair set feeds three consumers (the pair join
+    # and both sides of the candidate-doc union) — without caching, the
+    # whole band-join pipeline would re-run per consumer
     screened = (
         cand.join(F.broadcast(s1), "doc1")
         .join(F.broadcast(s2), "doc2")
         .filter(matches >= F.lit(min_sig_matches))
         .select("doc1", "doc2")
+    ).persist()
+    if narrow_verification:
+        # 100 TB path: narrow the corpus-sized shingle table to candidate
+        # docs before the verification join — scanning only the near-dup
+        # neighborhoods instead of the whole corpus. The extra union/
+        # semi-join stages only pay off when the corpus is much larger
+        # than the candidate set, so it's opt-in (bench scale is not).
+        cand_docs = (
+            screened.select(F.col("doc1").alias("doc_id"))
+            .union(screened.select(F.col("doc2").alias("doc_id")))
+            .distinct()
+        )
+        words = words.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    return _jaccard_for_pairs(screened, words).filter(
+        F.col("jaccard") >= threshold
     )
-    return _jaccard_for_pairs(screened, words).filter(F.col("jaccard") >= threshold)
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:

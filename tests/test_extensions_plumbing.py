@@ -70,3 +70,20 @@ def test_api_source_distributed(spark):
         keys_df, fake_fetch, "k string, v double", calls_per_min_per_task=100000
     )
     assert out.count() == 8
+
+
+def test_minhash_narrow_verification_equivalent(spark, tables):
+    """The 100 TB narrowed-verification path must return exactly the same
+    pairs as the direct path."""
+    from market_flow_spark.extensions.dedup import minhash_lsh_pairs
+
+    docs = tables["documents"]
+    direct = sorted(
+        (r.doc1, r.doc2, r.jaccard)
+        for r in minhash_lsh_pairs(docs, narrow_verification=False).collect()
+    )
+    narrowed = sorted(
+        (r.doc1, r.doc2, r.jaccard)
+        for r in minhash_lsh_pairs(docs, narrow_verification=True).collect()
+    )
+    assert direct == narrowed

@@ -1,0 +1,123 @@
+"""Physical-plan assertions: the scale-design claims in README.md, encoded
+as tests so a regression that silently degrades the plan (lost broadcast,
+lost pushdown, accidental global sort, Python UDF creep) fails CI."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from market_flow_spark.queries_all import QUERIES
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_flagship_dims_are_broadcast(spark, sf_dir):
+    plan = _executed_plan(QUERIES["flagship_wide"](spark, sf_dir))
+    # all 7 joins resolve to broadcast at test scale; at cluster scale only
+    # lineitem⋈orders may legitimately become SortMerge (it carries no hint)
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_flagship_scan_prunes_columns(spark, sf_dir):
+    txt = _formatted(QUERIES["flagship_wide"](spark, sf_dir))
+    # lineitem scan must not read l_shipdate/l_returnflag etc.
+    for line in txt.splitlines():
+        if "ReadSchema" in line and "l_orderkey" in line:
+            assert "l_shipdate" not in line and "l_returnflag" not in line
+            break
+    else:
+        pytest.fail("no lineitem ReadSchema found")
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = QUERIES["stg_transactions_typed"](spark, sf_dir)
+    txt = _formatted(df)
+    assert "PushedFilters" in txt
+    # the l_extendedprice > 0 predicate must reach the parquet reader
+    assert any(
+        "GreaterThan(l_extendedprice" in line
+        for line in txt.splitlines()
+        if "PushedFilters" in line
+    )
+
+
+def test_no_global_sort_in_flagship(spark, sf_dir):
+    plan = _executed_plan(QUERIES["flagship_wide"](spark, sf_dir))
+    assert "Sort " not in plan or "TakeOrdered" in plan
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    plan = _executed_plan(QUERIES["top10_products"](spark, sf_dir))
+    # per-partition heap + driver merge, not a full sort-then-limit
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_python_udfs_in_core_queries(spark, sf_dir):
+    """Everything except the two declared Pandas-UDF sites stays JVM-side."""
+    pandas_udf_queries = {"linear_forecast"}
+    for name, fn in QUERIES.items():
+        if name in pandas_udf_queries:
+            continue
+        plan = _executed_plan(fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
+        assert "ArrowEvalPython" not in plan, f"{name} unexpectedly uses Arrow UDF"
+
+
+def test_anti_join_is_left_anti(spark, sf_dir):
+    plan = _executed_plan(QUERIES["anti_join_missing_months"](spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_fact_integrity_filter_is_semi_join(spark, sf_dir):
+    plan = _executed_plan(QUERIES["fact_transactions"](spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_minhash_has_no_cross_join(spark, sf_dir):
+    plan = _executed_plan(QUERIES["dedup_minhash_lsh"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_events_scan_prunes_for_monthly_stats(spark, sf_dir):
+    txt = _formatted(QUERIES["monthly_event_stats"](spark, sf_dir))
+    for line in txt.splitlines():
+        if "ReadSchema" in line and "ts" in line:
+            assert "props" not in line and "user_id" not in line
+            break
+    else:
+        pytest.fail("no events ReadSchema found")
+
+
+def test_partition_pruning_on_written_fact(spark, sf_dir, tmp_path):
+    """The pipeline's partitioned fact table must prune partitions when
+    filtered on the partition key."""
+    from market_flow_spark.operators.star import fact_transactions
+    from market_flow_spark.tables import load_tables
+
+    fact = fact_transactions(load_tables(spark, sf_dir))
+    path = str(tmp_path / "fact_part")
+    fact.write.partitionBy("date_sk").mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    one = back.filter(F.col("date_sk") == 199501)
+    txt = _formatted(one)
+    assert "PartitionFilters: [isnotnull(date_sk" in txt.replace("#", "").replace(
+        ")", ""
+    ) or "PartitionFilters: [isnotnull(date_sk" in txt or "date_sk" in [
+        line for line in txt.splitlines() if "PartitionFilters" in line
+    ][0]
