@@ -81,6 +81,80 @@ def sign_bucket(emb: Column, n_bits: int = 8) -> Column:
     return out.cast("int")
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+    corpus into cells; each query scores only the `nprobe` nearest cells.
+
+    Plan shape at 100 TB: the quantizer is trained once (on a sample) and
+    its centroids are a tiny broadcast table; cell assignment is a map
+    stage; search is an equi-join on cell id — identical skeleton to the
+    LSH variant, but with data-adaptive cells (better recall per probe on
+    clustered corpora). Training uses Spark ML KMeans with a fixed seed.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    data = embeddings.withColumn(
+        "features",
+        array_to_vector(F.col("embedding").cast("array<double>")),
+    ).withColumn("norm", F.sqrt(_norm_sq(F.col("embedding"))))
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="features", predictionCol="cell"
+    ).fit(data)
+    assigned = model.transform(data).select("vec_id", "embedding", "norm", "cell")
+
+    # centroid table: n_cells rows — broadcast everywhere
+    spark = embeddings.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    queries = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    # pick nprobe nearest cells per query (distance to centroid, tiny table)
+    qc = queries.crossJoin(F.broadcast(centroids))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qe").cast("array<double>"),
+            F.col("centroid"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy(d2.asc(), F.col("cell"))
+    probes = (
+        qc.withColumn("cell_rank", F.row_number().over(wq))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("query_id", "qe", "qnorm", "cell")
+    )
+    cand = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("embedding"), F.col("qe")) / (F.col("norm") * F.col("qnorm"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        det_round(cos, 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame, n_queries: int = 5, k: int = 3, n_bits: int = 8
 ) -> DataFrame:

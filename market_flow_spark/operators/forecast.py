@@ -61,15 +61,47 @@ def linear_forecast(
     order_col: str,
     value_col: str,
     horizon: int = 6,
+    cache_dir: str | None = None,
 ) -> DataFrame:
     """Forecast `horizon` future points per group from a linear trend.
 
     Input: one row per (group, time step); output: (group, t, yhat) where
     t continues the 0-based step index past the observed range.
+
+    ``cache_dir`` enables the reference's model cache (UD3,
+    forecast_utils.py:14-18,142-168): fitted predictions are stored keyed
+    by md5(group) and invalidated when the group's series grows (same
+    staleness rule as the reference: cached horizon must start past the
+    current max step). Point it at a shared filesystem on a cluster.
     """
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _ols_forecast_pdf(pdf, group_col, order_col, value_col, horizon)
+        if cache_dir is None:
+            return _ols_forecast_pdf(pdf, group_col, order_col, value_col, horizon)
+        import hashlib
+        import json
+        import os
+
+        group = str(pdf[group_col].iloc[0])
+        key = hashlib.md5(group.encode()).hexdigest()
+        path = os.path.join(cache_dir, f"{key}.json")
+        fingerprint = [int(len(pdf)), int(pd.to_numeric(pdf[order_col]).max())]
+        if os.path.exists(path):
+            with open(path) as f:
+                cached = json.load(f)
+            if cached["fingerprint"] == fingerprint:
+                return pd.DataFrame(cached["result"]).astype(
+                    {group_col: "object", "t": "int32", "yhat": "float64"}
+                )
+        out = _ols_forecast_pdf(pdf, group_col, order_col, value_col, horizon)
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"fingerprint": fingerprint, "result": out.to_dict("list")}, f
+            )
+        os.replace(tmp, path)  # atomic publish; concurrent fitters race benignly
+        return out
 
     return series.groupBy(group_col).applyInPandas(
         fit, schema=f"{group_col} string, t int, yhat double"

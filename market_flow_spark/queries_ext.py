@@ -383,6 +383,14 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ivf_topk")  # rows-only: the k-means quantizer has no SQL oracle;
+# tests/test_similarity_ivf.py checks recall + cosine exactness vs brute force
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(
+        load_tables(spark, sf_dir)["embeddings"], n_queries=5, k=5
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (JVM-side slice; mapInPandas featurizer is pytest-only)
 # ---------------------------------------------------------------------------

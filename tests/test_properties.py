@@ -1,0 +1,71 @@
+"""Property-based and model-based tests for the cleaning/unit operators —
+the test style SURVEY §5 notes the reference lacks entirely.
+
+Pure-python surfaces get hypothesis; Spark column expressions get a
+grid-vs-model comparison in a single job (per-example Spark jobs would be
+pathologically slow)."""
+
+from __future__ import annotations
+
+import math
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from market_flow_spark.functions.units import LB_TO_KG, UNIT_TO_KG_BARE
+from market_flow_spark.sources.csv_source import normalize_column_name
+
+
+def _py_parse_unit(name: str) -> float | None:
+    """Plain-python model of stg_cleaned_units.sql:5-51 semantics."""
+    t = name.strip()
+    m = re.match(r"^([0-9\.]+)", t)
+    qty = float(m.group(1)) if m else 1.0
+    unit_type = re.sub(r"^[0-9\.]+", "", t).strip().lower()
+    factor = UNIT_TO_KG_BARE.get(unit_type)
+    return None if factor is None else qty * factor
+
+
+def test_unit_parser_matches_python_model(spark):
+    """One Spark job over the full grid of unit-string shapes must agree
+    with the python model everywhere (incl. edge cases: bare names,
+    decimals, unknown units, padded whitespace)."""
+    from pyspark.sql import functions as F
+
+    from market_flow_spark.functions.units import parse_unit_name
+
+    units = ["KG", "kg", "G", "MT", "lbs", "lb", "ML", "L", "Pound", "Unit",
+             "Dozen", "Head"]
+    names = [u for u in units]
+    names += [f"{q} {u}" for q in ("1", "90", "2.5", "0.75", "1000") for u in units]
+    names += [f"  {n}  " for n in names[:20]]  # padded variants
+
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    uv, ut, kg = parse_unit_name(F.col("name"))
+    got = {r.name: r.kg for r in df.select("name", kg.alias("kg")).collect()}
+
+    for n in names:
+        expected = _py_parse_unit(n)
+        if expected is None:
+            assert got[n] is None, n
+        else:
+            assert got[n] is not None and math.isclose(
+                got[n], expected, rel_tol=1e-12
+            ), n
+
+
+def test_lb_factor_matches_reference():
+    assert LB_TO_KG == 0.453592  # stg_cleaned_units.sql conversion constant
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(min_size=0, max_size=40))
+def test_normalize_column_name_invariants(raw):
+    out = normalize_column_name(raw)
+    assert out  # never empty
+    assert out == out.lower()
+    assert " " not in out
+    assert not out[0].isdigit()
+    # idempotent
+    assert normalize_column_name(out) == out

@@ -1,0 +1,113 @@
+"""Stateful streaming (applyInPandasWithState), forecast model cache, and
+the Airflow shim."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from market_flow_spark.streaming.stateful import running_user_totals
+from market_flow_spark.tables import load_table
+
+
+def test_running_user_totals_stateful(spark, sf_dir, tmp_path):
+    """State must accumulate across micro-batches: stream the events table
+    as two separate files, force per-file batches, and check the final
+    per-user state equals the batch aggregate."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    landing = str(tmp_path / "landing")
+    # two files → two micro-batches with maxFilesPerTrigger=1
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    out = running_user_totals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    n_batches = len(q.recentProgress)
+
+    # 'update' memory sink appends one row per (batch, user) — the LAST row
+    # per user is the final state
+    import pandas as pd
+
+    sink = spark.sql("SELECT * FROM user_totals").toPandas()
+    final = sink.groupby("user_id").last()
+    batch = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert n_batches >= 2, "expected multiple micro-batches"
+    assert len(final) == len(batch)
+    joined = final.join(batch, how="inner", lsuffix="_s")
+    assert (joined["n_events_s"] == joined["n_events"]).all()
+    assert (abs(joined["total_value"] - joined["total"]) < 1e-6).all()
+
+
+def test_forecast_model_cache(spark, tables, tmp_path):
+    from market_flow_spark.operators.forecast import linear_forecast
+
+    series = (
+        tables["lineitem"]
+        .join(tables["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(tables["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("mkey"),
+        )
+        .agg(F.round(F.avg("l_extendedprice"), 2).alias("avg_price"))
+    )
+    cache = str(tmp_path / "model_cache")
+    first = sorted(
+        map(tuple, linear_forecast(
+            series, "brand", "mkey", "avg_price", cache_dir=cache
+        ).collect())
+    )
+    files = glob.glob(f"{cache}/*.json")
+    assert files, "cache files written"
+    mtimes = {f: os.path.getmtime(f) for f in files}
+
+    second = sorted(
+        map(tuple, linear_forecast(
+            series, "brand", "mkey", "avg_price", cache_dir=cache
+        ).collect())
+    )
+    assert first == second
+    assert all(os.path.getmtime(f) == mtimes[f] for f in files), (
+        "cache hit must not rewrite model files"
+    )
+    # uncached equals cached
+    plain = sorted(
+        map(tuple, linear_forecast(series, "brand", "mkey", "avg_price").collect())
+    )
+    assert plain == first
+
+
+def test_airflow_shim_imports_without_airflow():
+    from market_flow_spark.plans import airflow_dags
+
+    if airflow_dags.HAS_AIRFLOW:
+        dag = airflow_dags.build_dag("/root/testdata/sf0.001", "/tmp/wh")
+        assert dag is not None
+    else:
+        assert airflow_dags.build_dag("/root/testdata/sf0.001", "/tmp/wh") is None
