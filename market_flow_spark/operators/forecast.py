@@ -55,6 +55,58 @@ def _ols_forecast_pdf(
     )
 
 
+def forecast_with(
+    series: DataFrame,
+    group_col: str,
+    fit_predict,
+    schema: str,
+) -> DataFrame:
+    """UD1 pluggable per-group model slot: any `fit_predict(pdf) -> pdf`
+    runs once per group on the executor holding it. `linear_forecast` and
+    `prophet_forecast` are specializations; drop in any model the same way.
+    """
+    return series.groupBy(group_col).applyInPandas(fit_predict, schema=schema)
+
+
+def prophet_forecast(
+    series: DataFrame,
+    group_col: str,
+    ds_col: str,
+    y_col: str,
+    horizon: int = 365,
+) -> DataFrame:
+    """The reference's Prophet fit/predict (forecast_utils.py:21-34: weekly
+    + yearly seasonality, no daily), distributed per group. Prophet is an
+    optional dependency — importing it happens inside the UDF so the module
+    (and every correctness test) loads without it; outputs are
+    nondeterministic and excluded from oracle checks by design
+    (SURVEY §7.4 item 6)."""
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        from prophet import Prophet  # optional dep, executor-side import
+
+        m = Prophet(
+            weekly_seasonality=True, yearly_seasonality=True,
+            daily_seasonality=False,
+        )
+        frame = pdf.rename(columns={ds_col: "ds", y_col: "y"})[["ds", "y"]]
+        m.fit(frame)
+        future = m.make_future_dataframe(periods=horizon)
+        fc = m.predict(future)[["ds", "yhat", "yhat_lower", "yhat_upper"]]
+        fc[group_col] = pdf[group_col].iloc[0]
+        return fc[[group_col, "ds", "yhat", "yhat_lower", "yhat_upper"]]
+
+    return forecast_with(
+        series,
+        group_col,
+        fit,
+        schema=(
+            f"{group_col} string, ds timestamp, yhat double, "
+            "yhat_lower double, yhat_upper double"
+        ),
+    )
+
+
 def linear_forecast(
     series: DataFrame,
     group_col: str,

@@ -527,6 +527,22 @@ def q_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "numeric_filter",
+    """
+SELECT p_partkey, p_size FROM part WHERE p_size = 15
+""",
+)
+def q_numeric_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5's numeric-equality fallback branch (dataset_viewer.py:18-29): the
+    generic viewer filter applied to a numeric column parses the needle as
+    a number and switches from substring to equality."""
+    from market_flow_spark.operators.analytics import filter_contains
+
+    pa = load_tables(spark, sf_dir)["part"].select("p_partkey", "p_size")
+    return filter_contains(pa, "p_size", "15")
+
+
+@register(
     "audit_stats",
     """
 SELECT COUNT(*) AS n_rows,

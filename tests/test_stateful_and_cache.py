@@ -111,3 +111,79 @@ def test_airflow_shim_imports_without_airflow():
         assert dag is not None
     else:
         assert airflow_dags.build_dag("/root/testdata/sf0.001", "/tmp/wh") is None
+
+
+def test_forecast_with_custom_model(spark):
+    """The pluggable UD1 slot accepts any fit_predict."""
+    import pandas as pd
+
+    from market_flow_spark.operators.forecast import forecast_with
+
+    series = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 2, 20.0), ("B", 1, 5.0)], "g string, k int, v double"
+    )
+
+    def mean_model(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"g": [pdf["g"].iloc[0]], "yhat": [float(pdf["v"].mean())]}
+        )
+
+    got = {r.g: r.yhat for r in forecast_with(
+        series, "g", mean_model, "g string, yhat double"
+    ).collect()}
+    assert got == {"A": 15.0, "B": 5.0}
+
+
+def test_prophet_forecast_gated():
+    import pytest
+
+    pytest.importorskip("prophet")
+    # if prophet were installed the operator would run; absence must not
+    # break imports (covered by importing the module at top of this file)
+
+
+def test_stream_archive_cleanup(spark, sf_dir, tmp_path):
+    """S5: at-most-once file pickup with archive-after-processing
+    (Structured Streaming cleanSource=archive replaces the reference's
+    Airflow FileSensor + manual move, ingest_kaggle_data.py:151-156)."""
+    import glob
+    import time
+
+    from pyspark.sql import functions as F
+
+    from market_flow_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    landing = str(tmp_path / "landing")
+    archive = str(tmp_path / "archive")
+    events.limit(100).coalesce(1).write.parquet(landing)
+    events.limit(100).coalesce(1).write.mode("append").parquet(landing)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("cleanSource", "archive")
+        .option("sourceArchiveDir", archive)
+        .parquet(landing)
+    )
+    q = (
+        stream.groupBy("event_type")
+        .count()
+        .writeStream.format("memory")
+        .queryName("arch_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # archival is asynchronous w.r.t. batch completion; poll briefly
+    archived = []
+    for _ in range(20):
+        archived = glob.glob(f"{archive}/**/*.parquet", recursive=True)
+        if archived:
+            break
+        time.sleep(0.5)
+    assert archived, "processed source files were not archived"
