@@ -527,6 +527,54 @@ def q_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "country_name_cleaning",
+    """
+WITH messy AS (
+  SELECT n_nationkey,
+    CASE WHEN n_nationkey % 5 = 0 THEN 'Iran (Islamic Republic of)'
+         WHEN n_nationkey % 5 = 1 THEN 'State of Palestine'
+         WHEN n_nationkey % 5 = 2 THEN '  ' || n_name || '!! '
+         WHEN n_nationkey % 5 = 3 THEN n_name || '   (region)'
+         ELSE n_name END AS raw_name
+  FROM nation
+)
+SELECT n_nationkey, raw_name,
+  trim(regexp_replace(regexp_replace(
+    CASE raw_name
+      WHEN 'Iran (Islamic Republic of)' THEN 'Iran'
+      WHEN 'State of Palestine' THEN 'Palestine'
+      WHEN 'Bolivia (Plurinational State of)' THEN 'Bolivia'
+      WHEN 'Venezuela (Bolivarian Republic of)' THEN 'Venezuela'
+      ELSE raw_name END,
+    '[^a-zA-Z0-9 ]', '', 'g'), '\\s+', ' ', 'g')) AS clean_name
+FROM messy
+""",
+)
+def q_country_name_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2+F4: the reference's signature cleaning op — country-name remap
+    ladder + punctuation strip + whitespace collapse (stg_countries.sql:
+    4-13,22-31), exercised over deliberately dirtied nation names so every
+    branch fires."""
+    from market_flow_spark.functions.cleaning import normalize_country_name
+
+    na = load_tables(spark, sf_dir)["nation"]
+    nk = F.col("n_nationkey")
+    raw = (
+        F.when(nk % 5 == 0, F.lit("Iran (Islamic Republic of)"))
+        .when(nk % 5 == 1, F.lit("State of Palestine"))
+        .when(nk % 5 == 2, F.concat(F.lit("  "), F.col("n_name"), F.lit("!! ")))
+        .when(nk % 5 == 3, F.concat(F.col("n_name"), F.lit("   (region)")))
+        .otherwise(F.col("n_name"))
+    )
+    messy = na.select("n_nationkey", raw.alias("raw_name"))
+    return messy.select(
+        "n_nationkey",
+        "raw_name",
+        normalize_country_name(F.col("raw_name")).alias("clean_name"),
+    )
+
+
+@register(
     "numeric_filter",
     """
 SELECT p_partkey, p_size FROM part WHERE p_size = 15

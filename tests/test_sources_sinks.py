@@ -100,3 +100,18 @@ def test_run_pipeline(spark, sf_dir, tmp_path):
     years = [f.name for f in (tmp_path / "warehouse/analytics/flagship_wide").iterdir()
              if f.name.startswith("year=")]
     assert len(years) > 1
+
+
+def test_csv_encoding_latin1(spark, tmp_path):
+    """S2: encoding-fallback path — a latin-1 file read with the right
+    encoding keeps its characters; with strip_non_ascii they are removed
+    (the reference's `encode('ascii','ignore')` pass)."""
+    p = tmp_path / "latin1.csv"
+    p.write_bytes("Market,Price\nSão Paulo,1.5\nZürich,2.0\n".encode("latin-1"))
+    df = read_csv_all_varchar(spark, str(p), encoding="ISO-8859-1")
+    names = {r.market for r in df.collect()}
+    assert names == {"São Paulo", "Zürich"}
+    stripped = read_csv_all_varchar(
+        spark, str(p), encoding="ISO-8859-1", strip_non_ascii=True
+    )
+    assert {r.market for r in stripped.collect()} == {"So Paulo", "Zrich"}
