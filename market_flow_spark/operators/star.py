@@ -99,9 +99,13 @@ def fact_transactions(tables: dict[str, DataFrame]) -> DataFrame:
     the LEFT-join-degraded-to-INNER FX attach (J4) reproduced as an inner
     join + IS NOT NULL — provably identical result, per SURVEY §2.3 J4.
 
-    transaction_id is key-derived (l_orderkey*10 + l_linenumber) instead of
-    the reference's nondeterministic ROW_NUMBER() OVER () (W2): a pure
-    projection — deterministic, and no single-partition window on the fact.
+    transaction_id replaces the reference's nondeterministic global
+    ROW_NUMBER() OVER () (W2) with orderkey*100 + a row_number WITHIN the
+    order (partitioned window — scales with keys, never a single
+    partition). The synthetic data has duplicate (orderkey, linenumber)
+    pairs, so the within-order rank orders by every measure column; rows
+    still tied are bit-identical, which keeps the output multiset
+    deterministic.
     """
     li, od, cu, ev = (
         tables["lineitem"],
@@ -115,8 +119,16 @@ def fact_transactions(tables: dict[str, DataFrame]) -> DataFrame:
         F.broadcast(cu), base.o_custkey == cu.c_custkey, "left_semi"
     )
     fact = base.join(F.broadcast(ev_m), on="month", how="inner")  # J4 semantics
+    from pyspark.sql import Window
+
+    line_rank = F.row_number().over(
+        Window.partitionBy("l_orderkey").orderBy(
+            "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_discount",
+        )
+    )
     return fact.select(
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("transaction_id"),
+        (F.col("l_orderkey") * 100 + line_rank).alias("transaction_id"),
         F.col("l_orderkey").alias("order_id"),
         F.col("l_partkey").alias("product_id"),
         F.col("l_suppkey").alias("supplier_id"),

@@ -105,7 +105,10 @@ filt AS (
   SELECT b.* FROM base b
   WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = b.o_custkey)
 )
-SELECT b.l_orderkey * 10 + b.l_linenumber AS transaction_id,
+SELECT b.l_orderkey * 100 + row_number() OVER (
+         PARTITION BY b.l_orderkey
+         ORDER BY b.l_linenumber, b.l_partkey, b.l_suppkey, b.l_quantity,
+                  b.l_extendedprice, b.l_discount) AS transaction_id,
        b.l_orderkey AS order_id,
        b.l_partkey AS product_id,
        b.l_suppkey AS supplier_id,
@@ -542,16 +545,25 @@ def q_rolling_ma30(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
 FROM lineitem
-ORDER BY l_orderkey, l_linenumber
+ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
 LIMIT 20 OFFSET 100
 """,
 )
 def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O3: dataset-viewer pagination over a deterministic total order."""
+    """O3: dataset-viewer pagination. The ORDER BY covers every selected
+    column: (l_orderkey, l_linenumber) alone is NOT unique in the data, and
+    a page boundary landing on a tie would be engine-dependent; ordering by
+    all output columns makes any remaining ties bit-identical rows, so the
+    page content is deterministic."""
     li = load_tables(spark, sf_dir)["lineitem"].select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
-    return an.paginate(li, ["l_orderkey", "l_linenumber"], page=5, size=20)
+    return an.paginate(
+        li,
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+        page=5,
+        size=20,
+    )
 
 
 @register(

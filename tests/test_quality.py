@@ -1,0 +1,33 @@
+"""The dbt-style data-quality suite over the built star schema, plus checks
+that the checks themselves detect violations."""
+
+from __future__ import annotations
+
+from market_flow_spark.quality import (
+    check_accepted_values,
+    check_not_null,
+    check_relationship,
+    check_unique,
+    run_star_schema_checks,
+)
+
+
+def test_star_schema_integrity(spark, tables):
+    results = run_star_schema_checks(tables)
+    failing = [r for r in results if not r.passed]
+    assert not failing, f"integrity violations: {failing}"
+    assert len(results) == 9
+
+
+def test_checks_detect_violations(spark):
+    bad = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (None, "c")], "k int, v string"
+    )
+    parent = spark.createDataFrame([(1,)], "k int")
+    assert check_not_null(bad, "k").violations == 1
+    assert check_unique(bad, "k").violations == 2  # both rows of the dup key
+    assert check_accepted_values(bad, "v", ["a", "b"]).violations == 1
+    # orphan: the NULL key and nothing else (1 is present in parent)
+    rel = check_relationship(bad, "k", parent, "k")
+    assert rel.violations == 1
+    assert not rel.passed and check_not_null(bad, "v").passed
