@@ -40,6 +40,7 @@ HEADLINE = [
     "cosine_topk",
     "tumbling_hour_stats",
     "linear_forecast",
+    "best_markets",
 ]
 
 

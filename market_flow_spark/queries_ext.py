@@ -487,6 +487,95 @@ def q_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_forecast(series, "brand", "mkey", "avg_price", horizon=6)
 
 
+_BEST_MARKETS_SERIES_SQL = """
+  SELECT c.c_mktsegment AS market,
+         CAST(year(o.o_orderdate) AS INT) * 100
+           + CAST(month(o.o_orderdate) AS INT) AS mkey,
+         FLOOR((CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+               / COUNT(l.l_extendedprice)) * 100.0 + 0.5) / 100.0 AS avg_price
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  JOIN part p     ON l.l_partkey = p.p_partkey
+  WHERE n.n_name = 'NATION_1' AND p.p_name LIKE 'blue %'
+  GROUP BY 1, 2
+"""
+
+
+@register(
+    "best_markets",
+    f"""
+WITH m AS ({_BEST_MARKETS_SERIES_SQL}),
+i AS (
+  SELECT market, CAST(ROUND(avg_price * 100) AS BIGINT) AS yc,
+         row_number() OVER (PARTITION BY market ORDER BY mkey) - 1 AS t
+  FROM m
+),
+s AS (
+  SELECT market, COUNT(*) AS n,
+         CAST(SUM(t) AS BIGINT) AS sx, CAST(SUM(t * t) AS BIGINT) AS sx2,
+         CAST(SUM(yc) AS BIGINT) AS sy, CAST(SUM(t * yc) AS BIGINT) AS sxy
+  FROM i GROUP BY 1
+),
+g AS (
+  SELECT s.market, s.n,
+    CASE WHEN s.n * s.sx2 - s.sx * s.sx = 0 THEN 0.0
+         ELSE CAST(s.n * s.sxy - s.sx * s.sy AS DOUBLE)
+              / CAST(s.n * s.sx2 - s.sx * s.sx AS DOUBLE) END AS slope_c
+  FROM s
+),
+gi AS (
+  SELECT g.market, g.n, g.slope_c,
+         (CAST(s.sy AS DOUBLE) - g.slope_c * CAST(s.sx AS DOUBLE))
+           / CAST(g.n AS DOUBLE) AS intercept_c
+  FROM g JOIN s ON s.market = g.market
+),
+h AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5)) t(dt)),
+fc AS (
+  SELECT gi.market,
+         {_floor_round_sql(
+             "(gi.intercept_c + gi.slope_c * CAST(gi.n + h.dt AS DOUBLE))"
+             " / 100.0", 2
+         )} AS yhat
+  FROM gi CROSS JOIN h
+)
+SELECT market,
+       {_floor_round_sql(
+           "CAST(SUM(CAST(yhat AS DECIMAL(27,6))) AS DOUBLE) / COUNT(yhat)", 2
+       )} AS forecast_score
+FROM fc GROUP BY market
+ORDER BY forecast_score ASC, market ASC
+LIMIT 10
+""",
+)
+def q_best_markets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's interactive 'best markets' flow end-to-end (SURVEY
+    §3.3, server/pages/best_markets.py:9-29): slice by (country, product
+    family) → per-market monthly series → per-market model fit/predict
+    (applyInPandas replaces the ThreadPoolExecutor fan-out) → rank markets
+    by mean forecast, cheapest first."""
+    from market_flow_spark.functions.aggregates import det_avg
+
+    t = load_tables(spark, sf_dir)
+    series = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .filter((F.col("n_name") == "NATION_1") & F.col("p_name").startswith("blue "))
+        .groupBy(
+            F.col("c_mktsegment").alias("market"),
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("mkey"),
+        )
+        .agg(det_avg("l_extendedprice").alias("avg_price"))
+    )
+    fc = linear_forecast(series, "market", "mkey", "avg_price", horizon=6)
+    scored = fc.groupBy("market").agg(det_avg("yhat").alias("forecast_score"))
+    return scored.orderBy("forecast_score", "market").limit(10)
+
+
 # ---------------------------------------------------------------------------
 # Time windows (streaming-compatible shapes run in batch for the oracle)
 # ---------------------------------------------------------------------------
