@@ -1,0 +1,72 @@
+"""End-to-end streaming ingest: dedup within watermark + windowed stats +
+foreachBatch partitioned upsert."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from market_flow_spark.streaming.ingest import dedup_stream, start_ingest
+from market_flow_spark.tables import load_table
+
+
+def _landing(spark, sf_dir, tmp_path, with_duplicates: bool):
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    landing = str(tmp_path / "landing")
+    sample = events.limit(500).coalesce(1)
+    sample.write.mode("append").parquet(landing)
+    if with_duplicates:
+        sample.write.mode("append").parquet(landing)  # full duplicate file
+    return events, landing
+
+
+def test_stream_dedup_drops_duplicates(spark, sf_dir, tmp_path):
+    events, landing = _landing(spark, sf_dir, tmp_path, with_duplicates=True)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .parquet(landing)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "24 hours")
+    )
+    q = (
+        dedup_stream(stream, "event_id")
+        .groupBy()
+        .count()
+        .writeStream.format("memory")
+        .queryName("dedup_count")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("SELECT * FROM dedup_count").collect()[0]["count"]
+    assert n == 500  # 1000 rows ingested, every event_id seen once
+
+
+def test_full_ingest_pipeline(spark, sf_dir, tmp_path):
+    events, landing = _landing(spark, sf_dir, tmp_path, with_duplicates=True)
+    warehouse = str(tmp_path / "wh")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .parquet(landing)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "24 hours")
+    )
+    writer = start_ingest(stream, warehouse, str(tmp_path / "ck2"))
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(warehouse)
+    # totals must equal the deduped batch equivalent
+    batch = events.limit(500)
+    expected = batch.count()
+    got = out.agg(F.sum("n_events")).collect()[0][0]
+    assert got == expected, f"pipeline emitted {got} events, expected {expected}"
+    # partitioned layout by window_date exists
+    import pathlib
+
+    parts = [p.name for p in pathlib.Path(warehouse).iterdir()
+             if p.name.startswith("window_date=")]
+    assert parts
