@@ -487,6 +487,74 @@ def q_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_forecast(series, "brand", "mkey", "avg_price", horizon=6)
 
 
+@register(
+    "pivot_returnflag",
+    """
+SELECT CAST(year(o_orderdate) AS INT) AS year,
+       FLOOR((CAST(SUM(CAST(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END
+                           AS DECIMAL(27,6))) AS DOUBLE)
+             / COUNT(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END))
+             * 100.0 + 0.5) / 100.0 AS A,
+       FLOOR((CAST(SUM(CAST(CASE WHEN l_returnflag = 'N' THEN l_extendedprice END
+                           AS DECIMAL(27,6))) AS DOUBLE)
+             / COUNT(CASE WHEN l_returnflag = 'N' THEN l_extendedprice END))
+             * 100.0 + 0.5) / 100.0 AS N,
+       FLOOR((CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END
+                           AS DECIMAL(27,6))) AS DOUBLE)
+             / COUNT(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END))
+             * 100.0 + 0.5) / 100.0 AS R
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+""",
+)
+def q_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot to columnar form (the reference pivots FX series to
+    (year,month)×currency before ffill, dag_impute_missing_currencies.py:
+    29-46): avg price per year spread over return-flag columns. Explicit
+    pivot values keep the schema static (no extra distinct-values job —
+    the form that scales)."""
+    from market_flow_spark.functions.aggregates import det_avg
+
+    t = load_tables(spark, sf_dir)
+    base = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.year("o_orderdate").alias("year"), "l_returnflag", "l_extendedprice")
+    )
+    return (
+        base.groupBy("year")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(det_avg("l_extendedprice"))
+    )
+
+
+@register(
+    "month_bounds",
+    """
+SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       CAST(last_day(o_orderdate) AS DATE) AS month_end,
+       CAST(date_diff('day', CAST(date_trunc('month', o_orderdate) AS DATE),
+                      CAST(last_day(o_orderdate) AS DATE)) + 1 AS INT)
+         AS days_in_month
+FROM orders
+""",
+)
+def q_month_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: start/end-of-month date math (utils/date_utils.py:4-15 builds
+    the weather API's monthly ranges this way)."""
+    from market_flow_spark.functions.dates import end_of_month, start_of_month
+
+    od = load_tables(spark, sf_dir)["orders"]
+    d = F.col("o_orderdate")
+    return od.select(
+        start_of_month(d).alias("month_start"),
+        end_of_month(d).alias("month_end"),
+        (F.datediff(end_of_month(d), start_of_month(d)) + 1)
+        .cast("int")
+        .alias("days_in_month"),
+    ).distinct()
+
+
 _BEST_MARKETS_SERIES_SQL = """
   SELECT c.c_mktsegment AS market,
          CAST(year(o.o_orderdate) AS INT) * 100
