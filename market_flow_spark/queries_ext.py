@@ -555,6 +555,141 @@ def q_month_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+@register(
+    "seasonal_forecast",
+    f"""
+WITH m AS ({_MONTHLY_SERIES_SQL}),
+i AS (
+  SELECT brand, mkey, CAST(mkey % 100 AS INT) AS month,
+         CAST(ROUND(avg_price * 100) AS BIGINT) AS yc,
+         row_number() OVER (PARTITION BY brand ORDER BY mkey) - 1 AS t
+  FROM m
+),
+s AS (
+  SELECT brand, COUNT(*) AS n, CAST(MAX(mkey) AS INT) AS last_mkey,
+         CAST(SUM(t) AS BIGINT) AS sx, CAST(SUM(t * t) AS BIGINT) AS sx2,
+         CAST(SUM(yc) AS BIGINT) AS sy, CAST(SUM(t * yc) AS BIGINT) AS sxy
+  FROM i GROUP BY 1
+),
+f AS (
+  SELECT brand, n, last_mkey,
+    CASE WHEN n * sx2 - sx * sx = 0 THEN 0.0
+         ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sx2 - sx * sx AS DOUBLE) END AS slope_c,
+    (CAST(sy AS DOUBLE) - (CASE WHEN n * sx2 - sx * sx = 0 THEN 0.0
+         ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sx2 - sx * sx AS DOUBLE) END) * CAST(sx AS DOUBLE))
+      / CAST(n AS DOUBLE) AS intercept_c
+  FROM s
+),
+r AS (
+  SELECT i.brand, i.month,
+         CAST(i.yc AS DOUBLE) - (f.intercept_c + f.slope_c * CAST(i.t AS DOUBLE))
+           AS resid_c
+  FROM i JOIN f ON f.brand = i.brand
+),
+seas AS (
+  SELECT brand, month,
+         CAST(SUM(CAST(resid_c AS DECIMAL(27,6))) AS DOUBLE) / COUNT(resid_c)
+           AS sm
+  FROM r GROUP BY 1, 2
+),
+h AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),
+                            (6),(7),(8),(9),(10),(11)) t(dt)),
+fut AS (
+  SELECT f.brand, f.n, f.slope_c, f.intercept_c, h.dt,
+         CAST(f.n + h.dt AS INT) AS t,
+         CAST(((f.last_mkey % 100 - 1 + h.dt + 1) % 12) + 1 AS INT) AS month
+  FROM f CROSS JOIN h
+)
+SELECT fut.brand, fut.t,
+       {_floor_round_sql(
+           "(fut.intercept_c + fut.slope_c * CAST(fut.t AS DOUBLE)"
+           " + COALESCE(seas.sm, 0.0)) / 100.0", 2
+       )} AS yhat
+FROM fut LEFT JOIN seas ON seas.brand = fut.brand AND seas.month = fut.month
+""",
+)
+def q_seasonal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal model (trend + monthly offsets) — the SQL-exact
+    cousin of the reference's Prophet yearly seasonality, built entirely
+    from DataFrame ops: integer-cent OLS for the trend, decimal-summed
+    per-calendar-month residual means for the seasonal component,
+    12-month horizon continuing the series calendar."""
+    from pyspark.sql import Window
+
+    series = _monthly_series(spark, sf_dir)
+    i = series.select(
+        "brand",
+        "mkey",
+        (F.col("mkey") % 100).cast("int").alias("month"),
+        F.round(F.col("avg_price") * 100).cast("long").alias("yc"),
+        (
+            F.row_number().over(Window.partitionBy("brand").orderBy("mkey")) - 1
+        ).alias("t"),
+    )
+    s = i.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("mkey").cast("int").alias("last_mkey"),
+        F.sum("t").alias("sx"),
+        F.sum(F.col("t") * F.col("t")).alias("sx2"),
+        F.sum("yc").alias("sy"),
+        F.sum(F.col("t") * F.col("yc")).alias("sxy"),
+    )
+    den = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    slope = F.when(den == 0, F.lit(0.0)).otherwise(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / den.cast("double")
+    )
+    f = s.select(
+        "brand",
+        "n",
+        "last_mkey",
+        slope.alias("slope_c"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept_c"),
+    )
+    r = i.join(F.broadcast(f), "brand").select(
+        "brand",
+        "month",
+        (
+            F.col("yc").cast("double")
+            - (F.col("intercept_c") + F.col("slope_c") * F.col("t").cast("double"))
+        ).alias("resid_c"),
+    )
+    seas = r.groupBy("brand", "month").agg(
+        (
+            F.sum(F.col("resid_c").cast("decimal(27,6)")).cast("double")
+            / F.count("resid_c")
+        ).alias("sm")
+    )
+    h = spark.range(12).select(F.col("id").cast("int").alias("dt"))
+    fut = f.crossJoin(F.broadcast(h)).select(
+        "brand",
+        "slope_c",
+        "intercept_c",
+        (F.col("n") + F.col("dt")).cast("int").alias("t"),
+        (((F.col("last_mkey") % 100 - 1 + F.col("dt") + 1) % 12) + 1)
+        .cast("int")
+        .alias("month"),
+    )
+    from market_flow_spark.functions.aggregates import det_round
+
+    joined = fut.join(F.broadcast(seas), ["brand", "month"], "left")
+    yhat = det_round(
+        (
+            F.col("intercept_c")
+            + F.col("slope_c") * F.col("t").cast("double")
+            + F.coalesce(F.col("sm"), F.lit(0.0))
+        )
+        / 100.0,
+        2,
+    )
+    return joined.select("brand", "t", yhat.alias("yhat"))
+
+
 _BEST_MARKETS_SERIES_SQL = """
   SELECT c.c_mktsegment AS market,
          CAST(year(o.o_orderdate) AS INT) * 100
