@@ -1,0 +1,123 @@
+"""Temporal join operators the reference lacks but a price-analytics engine
+at scale needs: as-of join (attach the most recent right-side observation at
+or before each left timestamp) and a binned range join (pairs within a time
+tolerance without a cross product).
+
+Neither exists as a built-in Spark join type (DuckDB grew ASOF JOIN;
+cf. reference-style FX attachment at
+/root/reference/dbt/models/analytics/fact_transaction.sql:51-53 which only
+ever joins on exact (year, month) keys). Both are implemented here as
+compositions of shuffles Spark already optimizes, not as UDFs:
+
+- ``asof_join``: the classic union+window technique — tag both inputs, union
+  them, and run ``last(value, ignorenulls=True)`` over a window partitioned
+  by the join keys and ordered by (ts, tag). One hash shuffle on the keys +
+  one intra-partition sort: O(n log n) per partition, no per-key collect, no
+  range self-join. Scales to arbitrarily many left rows per key and is
+  skew-tolerant to the same degree as any keyed window.
+
+- ``range_join_binned``: quantize time into tolerance-sized bins, replicate
+  the RIGHT side into each bin it can influence (3 bins per row for a ±tol
+  predicate), equi-join on (keys, bin), then apply the exact |Δts| <= tol
+  predicate. Turns an O(n·m) nested-loop range join into a hash join whose
+  fan-out is bounded by data density per bin — the standard trick for
+  interval joins at 100 TB scale (each side shuffles once, by key+bin).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_TAG = "__asof_tag"
+_TS = "__asof_ts"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    values: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach ``values`` from the latest right row with
+    the same ``on`` keys and ``right_ts <= left_ts`` (inclusive, matching
+    DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``); NULL when no such row.
+
+    Left-join semantics: every left row survives exactly once.
+    """
+    on = list(on)
+    payload = "__asof_payload"
+
+    # The payload struct is non-null for every right row even when the
+    # individual values are NULL, so last(..., ignorenulls) tracks the
+    # latest right ROW (exact as-of semantics), not the latest non-null
+    # value.
+    r = right.select(
+        *on,
+        F.col(right_ts).alias(_TS),
+        F.struct(*[F.col(v) for v in values]).alias(payload),
+    ).withColumn(_TAG, F.lit(1))
+    l = left.withColumn(_TS, F.col(left_ts)).withColumn(_TAG, F.lit(0))
+
+    # unionByName fills each side's missing columns with NULL; right rows
+    # are dropped after the window so the NULLs never surface.
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    # At equal timestamps the right row must be visible to the left row
+    # (inclusive bound) → order right (tag=1) before left (tag=0).
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(_TS).asc(), F.col(_TAG).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn(payload, F.last(payload, ignorenulls=True).over(w))
+    for v in values:
+        u = u.withColumn(v + suffix, F.col(payload)[v])
+
+    return u.filter(F.col(_TAG) == 0).drop(_TAG, _TS, payload)
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts_us: Column,
+    right_ts_us: Column,
+    tolerance_us: int,
+) -> DataFrame:
+    """Inner-join pairs with equal ``on`` keys and |left_ts − right_ts| <= tol.
+
+    Both timestamp expressions must be integer microseconds (shift-invariant:
+    any fixed epoch offset cancels in the difference). The right side is
+    replicated into the 3 tolerance-sized bins it can influence, so the
+    equi-join on (keys, bin) covers every qualifying pair exactly once.
+    Right columns keep their names; callers project/aggregate afterwards.
+
+    Inner semantics only: outer variants need an anti-join recovery pass
+    (a left row whose bin matches are all out-of-tolerance must still
+    survive), which callers who aggregate can do cheaper themselves — see
+    ``queries_ext.q_range_join_nearby``.
+    """
+    on = list(on)
+    lb = "__rj_bin"
+    lt = "__rj_lts"
+    rt = "__rj_rts"
+
+    l2 = left.withColumn(lt, left_ts_us).withColumn(
+        lb, (F.col(lt) / F.lit(tolerance_us)).cast("long")
+    )
+    r2 = (
+        right.withColumn(rt, right_ts_us)
+        .withColumn("__rj_rbin", (F.col(rt) / F.lit(tolerance_us)).cast("long"))
+        .withColumn("__rj_shift", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn(lb, F.col("__rj_rbin") + F.col("__rj_shift"))
+        .drop("__rj_rbin", "__rj_shift")
+    )
+    joined = l2.join(r2, on=[*on, lb], how="inner")
+    within = F.abs(F.col(lt) - F.col(rt)) <= F.lit(tolerance_us)
+    return joined.filter(within).drop(lb, lt, rt)

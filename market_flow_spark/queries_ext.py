@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from market_flow_spark.extensions import dedup, multimodal, similarity, text
+from market_flow_spark.operators import temporal
 from market_flow_spark.operators.forecast import linear_forecast
 from market_flow_spark.queries import register
 from market_flow_spark.streaming import windows as W
@@ -1052,3 +1053,204 @@ FROM s GROUP BY user_id, sess_id
 )
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.session_stats(load_tables(spark, sf_dir)["events"], "5 minutes")
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins the reference lacks: as-of join, binned range join
+# (operators/temporal.py), plus ROLLUP/CUBE hierarchical aggregation
+# ---------------------------------------------------------------------------
+
+@register(
+    "asof_last_view",
+    """
+SELECT l.event_id, l.user_id, l.value AS click_value,
+       r.value AS view_value_asof
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+def q_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event picks up the value of the same user's
+    most recent view event at-or-before it (NULL if none yet). Spark has no
+    ASOF join type; temporal.asof_join does it with one keyed shuffle +
+    window — no range self-join, no per-key collect."""
+    ev = load_tables(spark, sf_dir)["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    out = temporal.asof_join(
+        clicks, views, on=["user_id"], left_ts="ts", right_ts="ts",
+        values=["value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("value").alias("click_value"),
+        F.col("value_asof").alias("view_value_asof"),
+    )
+
+
+@register(
+    "range_join_nearby",
+    f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us
+  FROM events WHERE event_type = 'error'
+),
+c AS (
+  SELECT user_id, epoch_us(ts) AS us, value
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT e.event_id, c.value
+  FROM e JOIN c
+    ON c.user_id = e.user_id AND abs(e.us - c.us) <= 300000000
+),
+a AS (
+  SELECT event_id, CAST(COUNT(*) AS BIGINT) AS n_clicks,
+         {_floor_round_sql(
+             "CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)"
+             " / COUNT(value)", 2)} AS avg_click_value
+  FROM p GROUP BY 1
+)
+SELECT e.event_id, e.user_id,
+       COALESCE(a.n_clicks, 0) AS n_clicks, a.avg_click_value
+FROM e LEFT JOIN a ON a.event_id = e.event_id
+""",
+)
+def q_range_join_nearby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: for each error event, the count and mean value of the
+    same user's click events within ±5 minutes (errors with none kept at
+    count 0). temporal.range_join_binned quantizes time into tolerance-sized
+    bins and equi-joins on (user, bin) — a hash join whose fan-out is data
+    density per bin, instead of the O(n·m) nested-loop a raw inequality
+    join plans."""
+    from market_flow_spark.functions.aggregates import det_avg
+
+    tol_us = 300 * 1_000_000
+    ev = load_tables(spark, sf_dir)["events"]
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    pairs = temporal.range_join_binned(
+        errors,
+        clicks,
+        on=["user_id"],
+        left_ts_us=F.unix_micros(F.col("ts").cast("timestamp")),
+        right_ts_us=F.unix_micros(F.col("c_ts").cast("timestamp")),
+        tolerance_us=tol_us,
+    )
+    agg = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        det_avg("c_value").alias("avg_click_value"),
+    )
+    return errors.join(agg, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("n_clicks"), F.lit(0).cast("long")).alias("n_clicks"),
+        "avg_click_value",
+    )
+
+
+_ROLLUP_REV_SQL = (
+    "CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)"
+    " AS DECIMAL(27,6))) AS DOUBLE)"
+)
+
+
+@register(
+    "rollup_revenue",
+    f"""
+SELECT COALESCE(r.r_name, 'ALL') AS region,
+       COALESCE(n.n_name, 'ALL') AS nation,
+       {_floor_round_sql(_ROLLUP_REV_SQL, 2)} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)
+""",
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregation region → nation → grand total in ONE pass
+    (`df.rollup`): Spark expands the grouping sets map-side, so the fact
+    table is scanned and shuffled once, not once per level."""
+    from market_flow_spark.functions.aggregates import det_round
+
+    t = load_tables(spark, sf_dir)
+    j = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["customer"]),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    out = j.rollup("r_name", "n_name").agg(
+        det_round(F.sum(rev.cast("decimal(27,6)")).cast("double"), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+    )
+    return out.select(
+        F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+        F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+        "revenue",
+        "n_lines",
+        "n_orders",
+    )
+
+
+@register(
+    "cube_returnflag_priority",
+    f"""
+SELECT COALESCE(l.l_returnflag, 'ALL') AS returnflag,
+       COALESCE(o.o_orderpriority, 'ALL') AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {_floor_round_sql(
+           "CAST(SUM(CAST(l.l_quantity AS DECIMAL(27,6))) AS DOUBLE)"
+           " / COUNT(l.l_quantity)", 2)} AS avg_qty
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY CUBE(l.l_returnflag, o.o_orderpriority)
+""",
+)
+def q_cube_returnflag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag × order priority): all four grouping sets in a
+    single scan+shuffle via `df.cube`."""
+    from market_flow_spark.functions.aggregates import det_avg
+
+    t = load_tables(spark, sf_dir)
+    j = t["lineitem"].join(
+        t["orders"], F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    out = j.cube("l_returnflag", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        det_avg("l_quantity").alias("avg_qty"),
+    )
+    return out.select(
+        F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+        F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+        "n_lines",
+        "avg_qty",
+    )
