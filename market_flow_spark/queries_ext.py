@@ -1184,14 +1184,30 @@ GROUP BY ROLLUP(r.r_name, n.n_name)
 """,
 )
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical aggregation region → nation → grand total in ONE pass
-    (`df.rollup`): Spark expands the grouping sets map-side, so the fact
-    table is scanned and shuffled once, not once per level."""
+    """Hierarchical aggregation region → nation → grand total.
+
+    Naively `rollup(...).agg(countDistinct(...))` makes Spark Expand every
+    joined row once per grouping set (×3) and then run a distinct-aggregate
+    over the expanded set — the dominant cost at scale. Instead:
+
+    1. Pre-aggregate lineitem per l_orderkey (map-side combine collapses the
+       ~4 lines/order before the shuffle) — after this join-key rollup each
+       order is exactly ONE row, so the distinct order count degenerates to
+       a plain count(*): no Expand, no distinct-aggregate anywhere.
+    2. Aggregate once at the finest (region, nation) grain.
+    3. rollup() only the ~25 partial rows: sums/counts are additive, and the
+       order count is too because each order belongs to exactly one
+       customer → nation → region (star-schema functional dependency)."""
     from market_flow_spark.functions.aggregates import det_round
 
     t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    per_order = t["lineitem"].groupBy("l_orderkey").agg(
+        F.sum(rev.cast("decimal(27,6)")).alias("rev_sum"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
     j = (
-        t["lineitem"]
+        per_order
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             F.broadcast(t["customer"]),
@@ -1204,13 +1220,15 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey")
         )
     )
-    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    out = j.rollup("r_name", "n_name").agg(
-        det_round(F.sum(rev.cast("decimal(27,6)")).cast("double"), 2).alias(
-            "revenue"
-        ),
-        F.count(F.lit(1)).alias("n_lines"),
-        F.countDistinct("o_orderkey").alias("n_orders"),
+    fine = j.groupBy("r_name", "n_name").agg(
+        F.sum("rev_sum").alias("rev_sum"),
+        F.sum("n_lines").alias("n_lines"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    out = fine.rollup("r_name", "n_name").agg(
+        det_round(F.sum("rev_sum").cast("double"), 2).alias("revenue"),
+        F.sum("n_lines").alias("n_lines"),
+        F.sum("n_orders").alias("n_orders"),
     )
     return out.select(
         F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
@@ -1236,17 +1254,29 @@ GROUP BY CUBE(l.l_returnflag, o.o_orderpriority)
 """,
 )
 def q_cube_returnflag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (returnflag × order priority): all four grouping sets in a
-    single scan+shuffle via `df.cube`."""
-    from market_flow_spark.functions.aggregates import det_avg
+    """CUBE over (returnflag × order priority).
+
+    `df.cube` on the raw join would Expand every joined row ×4 grouping
+    sets; instead aggregate once at the finest (returnflag, priority) grain
+    (~24 groups) keeping additive partials (decimal sum + non-null count),
+    then cube only those partial rows and rebuild the rounded mean —
+    identical to det_avg because decimal addition is exact."""
+    from market_flow_spark.functions.aggregates import det_round
 
     t = load_tables(spark, sf_dir)
     j = t["lineitem"].join(
         t["orders"], F.col("l_orderkey") == F.col("o_orderkey")
     )
-    out = j.cube("l_returnflag", "o_orderpriority").agg(
+    fine = j.groupBy("l_returnflag", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        det_avg("l_quantity").alias("avg_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("qty_sum"),
+        F.count("l_quantity").alias("qty_cnt"),
+    )
+    out = fine.cube("l_returnflag", "o_orderpriority").agg(
+        F.sum("n_lines").alias("n_lines"),
+        det_round(
+            F.sum("qty_sum").cast("double") / F.sum("qty_cnt"), 2
+        ).alias("avg_qty"),
     )
     return out.select(
         F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
