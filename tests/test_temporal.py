@@ -1,0 +1,151 @@
+"""Edge-case tests for operators/temporal.py (as-of join, binned range
+join) on hand-built frames where the expected answer is enumerable by hand.
+The oracle-parity suite checks them against DuckDB on real data; these pin
+the boundary semantics (ties, NULL payloads, bin edges) explicitly.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from market_flow_spark.operators.temporal import asof_join, range_join_binned
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 12, minute, 0)
+
+
+def _asof_rows(spark, left_rows, right_rows):
+    left = spark.createDataFrame(left_rows, "id int, k string, ts timestamp")
+    right = spark.createDataFrame(right_rows, "k string, ts timestamp, v double")
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts", values=["v"]
+    )
+    return {r["id"]: r["v_asof"] for r in out.collect()}
+
+
+def test_asof_picks_latest_at_or_before(spark):
+    got = _asof_rows(
+        spark,
+        [(1, "a", _ts(10)), (2, "a", _ts(30))],
+        [("a", _ts(5), 1.0), ("a", _ts(9), 2.0), ("a", _ts(20), 3.0)],
+    )
+    assert got == {1: 2.0, 2: 3.0}
+
+
+def test_asof_equal_timestamp_is_inclusive(spark):
+    got = _asof_rows(
+        spark,
+        [(1, "a", _ts(10))],
+        [("a", _ts(10), 7.0)],
+    )
+    assert got == {1: 7.0}
+
+
+def test_asof_no_prior_row_yields_null_and_keeps_left_row(spark):
+    got = _asof_rows(
+        spark,
+        [(1, "a", _ts(1)), (2, "zzz", _ts(59))],
+        [("a", _ts(30), 1.0)],
+    )
+    assert got == {1: None, 2: None}
+
+
+def test_asof_null_payload_in_latest_row_is_carried_not_skipped(spark):
+    # The latest right row has v=NULL; exact as-of semantics must surface
+    # that NULL, not fall back to the older non-null value (the payload
+    # struct is non-null even when its fields are NULL).
+    got = _asof_rows(
+        spark,
+        [(1, "a", _ts(40))],
+        [("a", _ts(10), 5.0), ("a", _ts(20), None)],
+    )
+    assert got == {1: None}
+
+
+def test_asof_keys_do_not_leak_across_groups(spark):
+    got = _asof_rows(
+        spark,
+        [(1, "a", _ts(30)), (2, "b", _ts(30))],
+        [("a", _ts(10), 1.0), ("b", _ts(20), 2.0)],
+    )
+    assert got == {1: 1.0, 2: 2.0}
+
+
+def test_asof_left_row_count_preserved_with_duplicate_left_ts(spark):
+    left = spark.createDataFrame(
+        [(1, "a", _ts(10)), (2, "a", _ts(10)), (3, "a", _ts(10))],
+        "id int, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(10), 9.0)], "k string, ts timestamp, v double"
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts", values=["v"]
+    )
+    rows = out.collect()
+    assert len(rows) == 3 and {r["v_asof"] for r in rows} == {9.0}
+
+
+def _range_pairs(spark, left_rows, right_rows, tol_us):
+    left = spark.createDataFrame(left_rows, "id int, k string, us long")
+    right = spark.createDataFrame(right_rows, "k string, rus long, v double")
+    out = range_join_binned(
+        left,
+        right,
+        on=["k"],
+        left_ts_us=F.col("us"),
+        right_ts_us=F.col("rus"),
+        tolerance_us=tol_us,
+    )
+    return sorted((r["id"], r["v"]) for r in out.collect())
+
+
+def test_range_join_boundary_inclusive_and_exclusive(spark):
+    # tol=100: |Δ| == 100 is in, |Δ| == 101 is out.
+    got = _range_pairs(
+        spark,
+        [(1, "a", 1000)],
+        [("a", 900, 1.0), ("a", 1100, 2.0), ("a", 899, 3.0), ("a", 1101, 4.0)],
+        tol_us=100,
+    )
+    assert got == [(1, 1.0), (1, 2.0)]
+
+
+def test_range_join_matches_across_bin_boundary(spark):
+    # left in bin 10 (us=1050), right in bin 9 (us=999): only reachable
+    # because the right side replicates into adjacent bins.
+    got = _range_pairs(
+        spark, [(1, "a", 1050)], [("a", 999, 1.0)], tol_us=100
+    )
+    assert got == [(1, 1.0)]
+
+
+def test_range_join_same_bin_but_out_of_tolerance_is_filtered(spark):
+    # both in bin 0 under tol=1000 but |Δ| > 100 under tol=100? No — use
+    # one call: tol=1000 puts 10 and 990 in bin 0, |Δ|=980 <= 1000 → kept;
+    # tol=100 bins differ by 9 → replicate ±1 can't reach → dropped.
+    assert _range_pairs(
+        spark, [(1, "a", 10)], [("a", 990, 1.0)], tol_us=1000
+    ) == [(1, 1.0)]
+    assert _range_pairs(
+        spark, [(1, "a", 10)], [("a", 990, 1.0)], tol_us=100
+    ) == []
+
+
+def test_range_join_inner_semantics_key_mismatch_drops_row(spark):
+    got = _range_pairs(
+        spark, [(1, "a", 1000)], [("b", 1000, 1.0)], tol_us=100
+    )
+    assert got == []
+
+
+def test_range_join_each_qualifying_pair_exactly_once(spark):
+    # right row sits in the same bin as left AND within tolerance — the
+    # 3-way replication must not produce duplicate joined pairs.
+    got = _range_pairs(
+        spark, [(1, "a", 1000)], [("a", 1001, 1.0)], tol_us=100
+    )
+    assert got == [(1, 1.0)]
