@@ -88,15 +88,22 @@ def ivf_topk(
     n_cells: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    train_rows: int = 2048,
+    max_iter: int = 8,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     corpus into cells; each query scores only the `nprobe` nearest cells.
 
-    Plan shape at 100 TB: the quantizer is trained once (on a sample) and
-    its centroids are a tiny broadcast table; cell assignment is a map
-    stage; search is an equi-join on cell id — identical skeleton to the
-    LSH variant, but with data-adaptive cells (better recall per probe on
-    clustered corpora). Training uses Spark ML KMeans with a fixed seed.
+    Plan shape at 100 TB: the quantizer is trained once on a bounded sample
+    (you never k-means the full corpus — `train_rows` caps the training
+    set, taken deterministically as the lowest vec_ids so repeated runs
+    agree) and its centroids are a tiny broadcast table; cell assignment is
+    a map stage over the FULL corpus; search is an equi-join on cell id —
+    identical skeleton to the LSH variant, but with data-adaptive cells
+    (better recall per probe on clustered corpora). Training uses Spark ML
+    KMeans with a fixed seed; a coarse quantizer doesn't need full Lloyd
+    convergence, and each extra iteration is a whole Spark job, so
+    `max_iter` stays low.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -105,9 +112,15 @@ def ivf_topk(
         "features",
         array_to_vector(F.col("embedding").cast("array<double>")),
     ).withColumn("norm", F.sqrt(_norm_sq(F.col("embedding"))))
+    train = data.orderBy("vec_id").limit(train_rows).select("features").cache()
     model = KMeans(
-        k=n_cells, seed=seed, featuresCol="features", predictionCol="cell"
-    ).fit(data)
+        k=n_cells,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="features",
+        predictionCol="cell",
+    ).fit(train)
+    train.unpersist()
     assigned = model.transform(data).select("vec_id", "embedding", "norm", "cell")
 
     # centroid table: n_cells rows — broadcast everywhere
