@@ -566,11 +566,18 @@ i AS (
          row_number() OVER (PARTITION BY brand ORDER BY mkey) - 1 AS t
   FROM m
 ),
+g AS (
+  SELECT brand, month, CAST(COUNT(*) AS BIGINT) AS nm,
+         CAST(MAX(mkey) AS INT) AS mx,
+         CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(t * t) AS BIGINT) AS st2,
+         CAST(SUM(yc) AS BIGINT) AS syc, CAST(SUM(t * yc) AS BIGINT) AS styc
+  FROM i GROUP BY 1, 2
+),
 s AS (
-  SELECT brand, COUNT(*) AS n, CAST(MAX(mkey) AS INT) AS last_mkey,
-         CAST(SUM(t) AS BIGINT) AS sx, CAST(SUM(t * t) AS BIGINT) AS sx2,
-         CAST(SUM(yc) AS BIGINT) AS sy, CAST(SUM(t * yc) AS BIGINT) AS sxy
-  FROM i GROUP BY 1
+  SELECT brand, CAST(SUM(nm) AS BIGINT) AS n, CAST(MAX(mx) AS INT) AS last_mkey,
+         CAST(SUM(st) AS BIGINT) AS sx, CAST(SUM(st2) AS BIGINT) AS sx2,
+         CAST(SUM(syc) AS BIGINT) AS sy, CAST(SUM(styc) AS BIGINT) AS sxy
+  FROM g GROUP BY 1
 ),
 f AS (
   SELECT brand, n, last_mkey,
@@ -583,17 +590,11 @@ f AS (
       / CAST(n AS DOUBLE) AS intercept_c
   FROM s
 ),
-r AS (
-  SELECT i.brand, i.month,
-         CAST(i.yc AS DOUBLE) - (f.intercept_c + f.slope_c * CAST(i.t AS DOUBLE))
-           AS resid_c
-  FROM i JOIN f ON f.brand = i.brand
-),
 seas AS (
-  SELECT brand, month,
-         CAST(SUM(CAST(resid_c AS DECIMAL(27,6))) AS DOUBLE) / COUNT(resid_c)
-           AS sm
-  FROM r GROUP BY 1, 2
+  SELECT g.brand, g.month,
+         (CAST(g.syc AS DOUBLE) - f.intercept_c * CAST(g.nm AS DOUBLE)
+          - f.slope_c * CAST(g.st AS DOUBLE)) / CAST(g.nm AS DOUBLE) AS sm
+  FROM g JOIN f ON f.brand = g.brand
 ),
 h AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),
                             (6),(7),(8),(9),(10),(11)) t(dt)),
@@ -614,9 +615,16 @@ FROM fut LEFT JOIN seas ON seas.brand = fut.brand AND seas.month = fut.month
 def q_seasonal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive seasonal model (trend + monthly offsets) — the SQL-exact
     cousin of the reference's Prophet yearly seasonality, built entirely
-    from DataFrame ops: integer-cent OLS for the trend, decimal-summed
-    per-calendar-month residual means for the seasonal component,
-    12-month horizon continuing the series calendar."""
+    from DataFrame ops: integer-cent OLS for the trend, per-calendar-month
+    residual means for the seasonal component (computed algebraically from
+    exact integer partial sums: mean(yc - a - b·t) = (Σyc - a·n - b·Σt)/n),
+    12-month horizon continuing the series calendar.
+
+    Single-pass plan: one per-(brand, calendar-month) aggregate carries
+    everything both the trend fit and the seasonal offsets need. It is
+    persisted and materialized eagerly, so the fact table is scanned ONCE —
+    the naive formulation re-derives the monthly series in three plan
+    branches (trend, residuals, horizon), which triples the 100 TB scan."""
     from pyspark.sql import Window
 
     series = _monthly_series(spark, sf_dir)
@@ -629,13 +637,26 @@ def q_seasonal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(Window.partitionBy("brand").orderBy("mkey")) - 1
         ).alias("t"),
     )
-    s = i.groupBy("brand").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.max("mkey").cast("int").alias("last_mkey"),
-        F.sum("t").alias("sx"),
-        F.sum(F.col("t") * F.col("t")).alias("sx2"),
-        F.sum("yc").alias("sy"),
-        F.sum(F.col("t") * F.col("yc")).alias("sxy"),
+    g = (
+        i.groupBy("brand", "month")
+        .agg(
+            F.count(F.lit(1)).alias("nm"),
+            F.max("mkey").cast("int").alias("mx"),
+            F.sum("t").alias("st"),
+            F.sum(F.col("t") * F.col("t")).alias("st2"),
+            F.sum("yc").alias("syc"),
+            F.sum(F.col("t") * F.col("yc")).alias("styc"),
+        )
+        .persist()
+    )
+    g.count()  # materialize: brands × 12 rows; guarantees one fact scan
+    s = g.groupBy("brand").agg(
+        F.sum("nm").alias("n"),
+        F.max("mx").cast("int").alias("last_mkey"),
+        F.sum("st").alias("sx"),
+        F.sum("st2").alias("sx2"),
+        F.sum("syc").alias("sy"),
+        F.sum("styc").alias("sxy"),
     )
     den = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
     slope = F.when(den == 0, F.lit(0.0)).otherwise(
@@ -652,19 +673,17 @@ def q_seasonal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n").cast("double")
         ).alias("intercept_c"),
     )
-    r = i.join(F.broadcast(f), "brand").select(
+    seas = g.join(F.broadcast(f), "brand").select(
         "brand",
         "month",
         (
-            F.col("yc").cast("double")
-            - (F.col("intercept_c") + F.col("slope_c") * F.col("t").cast("double"))
-        ).alias("resid_c"),
-    )
-    seas = r.groupBy("brand", "month").agg(
-        (
-            F.sum(F.col("resid_c").cast("decimal(27,6)")).cast("double")
-            / F.count("resid_c")
-        ).alias("sm")
+            (
+                F.col("syc").cast("double")
+                - F.col("intercept_c") * F.col("nm").cast("double")
+                - F.col("slope_c") * F.col("st").cast("double")
+            )
+            / F.col("nm").cast("double")
+        ).alias("sm"),
     )
     h = spark.range(12).select(F.col("id").cast("int").alias("dt"))
     fut = f.crossJoin(F.broadcast(h)).select(
