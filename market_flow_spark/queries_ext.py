@@ -1303,3 +1303,82 @@ def q_cube_returnflag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines",
         "avg_qty",
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splitting / quotas (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+from market_flow_spark.extensions import sampling  # noqa: E402
+
+
+@register(
+    "stratified_sample",
+    f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {sampling.hash_bucket_sql("doc_id", "sample")} <
+      CASE WHEN lang = 'en' THEN '{sampling.rate_threshold(0.1)}'
+           WHEN lang = 'zh' THEN '{sampling.rate_threshold(0.5)}'
+           ELSE '{sampling.rate_threshold(0.25)}' END
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed stratified downsampling (rebalance over-represented
+    languages): keep 10% of 'en', 50% of 'zh', 25% elsewhere. A pure scan-
+    local filter — no shuffle, reproducible on any cluster layout."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return sampling.sample_by_rate(
+        docs,
+        "doc_id",
+        {"en": 0.1, "zh": 0.5},
+        stratum_col="lang",
+        default_rate=0.25,
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "train_test_split",
+    f"""
+SELECT lang, split, COUNT(*) AS n_docs
+FROM (SELECT lang,
+             CASE WHEN {sampling.hash_bucket_sql("doc_id", "split")}
+                       < '{sampling.rate_threshold(0.8)}'
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents)
+GROUP BY 1, 2
+""",
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/20 train/test assignment as a pure function of doc_id (append-
+    stable: new rows never flip old rows' split, unlike randomSplit whose
+    draw depends on partition layout), summarized per language."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        sampling.assign_split(docs, "doc_id", 0.8)
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "quota_cap",
+    f"""
+SELECT doc_id, source, pick_rank FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY {sampling.hash_bucket_sql("doc_id", "quota")}, doc_id)
+           AS INT) AS pick_rank
+  FROM documents) ranked
+WHERE pick_rank <= 15
+""",
+)
+def q_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota: keep at most 15 docs per source, chosen by hash
+    order — a deterministic uniform draw without replacement (the dedupe-
+    adjacent 'no single site dominates the corpus' op)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return sampling.cap_per_group(docs, "source", 15, "doc_id").select(
+        "doc_id", "source", "pick_rank"
+    )
