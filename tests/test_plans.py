@@ -68,13 +68,18 @@ def test_topk_plans_as_take_ordered(spark, sf_dir):
 
 
 def test_no_python_udfs_in_core_queries(spark, sf_dir):
-    """Everything except the two declared Pandas-UDF sites stays JVM-side."""
-    pandas_udf_queries = {"linear_forecast"}
+    """Everything except the declared Pandas-UDF sites stays JVM-side.
+
+    Declared Arrow-batched sites: linear_forecast (per-group model fit) and
+    ivf_topk (centroid assignment — vectorized numpy matmul per Arrow batch).
+    Row-at-a-time Python UDFs (BatchEvalPython) are banned everywhere.
+    """
+    pandas_udf_queries = {"linear_forecast", "ivf_topk"}
     for name, fn in QUERIES.items():
-        if name in pandas_udf_queries:
-            continue
         plan = _executed_plan(fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
+        if name in pandas_udf_queries:
+            continue
         assert "ArrowEvalPython" not in plan, f"{name} unexpectedly uses Arrow UDF"
 
 
