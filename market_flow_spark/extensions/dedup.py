@@ -116,6 +116,29 @@ def word_jaccard_pairs(
     return _jaccard_for_pairs(pairs, words).filter(F.col("jaccard") >= threshold)
 
 
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.8, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Exact near-dup pairs by word n-gram (shingle) Jaccard ≥ threshold.
+
+    Sits between unigram Jaccard and MinHash+LSH: shingles make the inverted
+    index selective (unrelated docs share ≈ no n-grams, so posting lists stay
+    short and the self-join stays near-linear), while the Jaccard itself is
+    exact — no signature approximation. The 100 TB path still prefers
+    MinHash+LSH (bounded candidate count); this tier is the exact verifier
+    and the mid-scale default."""
+    shingles = doc_shingles(docs, n, text_col)
+    s1 = shingles.select(F.col("doc_id").alias("doc1"), "word")
+    s2 = shingles.select(F.col("doc_id").alias("doc2"), "word")
+    pairs = (
+        s1.join(s2, "word")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    return _jaccard_for_pairs(pairs, shingles).filter(F.col("jaccard") >= threshold)
+
+
 def minhash_signatures(
     features: DataFrame, num_hashes: int = NUM_MINHASHES
 ) -> DataFrame:

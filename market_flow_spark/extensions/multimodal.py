@@ -68,6 +68,101 @@ def _byte_features(buf: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     )
 
 
+RESIZE_SCHEMA = (
+    "doc_id bigint, src_h int, src_w int, height int, width int, "
+    "pixels array<float>"
+)
+FRAME_BYTES = 64
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_md5 string"
+
+
+def _fake_decode_image(buf: bytes) -> np.ndarray:
+    """Deterministic stand-in for an image decoder: interpret the payload as
+    a row-major grayscale image with a square-ish shape. Replaces PIL/ffmpeg
+    (not in this environment) so resize plumbing is end-to-end testable."""
+    arr = np.frombuffer(buf, dtype=np.uint8).astype(np.float64)
+    if arr.size == 0:
+        return np.zeros((1, 1))
+    w = max(1, int(np.sqrt(arr.size)))
+    h = arr.size // w
+    return arr[: h * w].reshape(h, w)
+
+
+def _block_mean_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area-style resize by averaging the source pixels each output cell
+    covers — pure numpy, deterministic, no interpolation library."""
+    src_h, src_w = img.shape
+    ys = (np.arange(out_h + 1) * src_h) // out_h
+    xs = (np.arange(out_w + 1) * src_w) // out_w
+    out = np.empty((out_h, out_w))
+    for i in range(out_h):
+        y0, y1 = ys[i], max(ys[i] + 1, ys[i + 1])
+        row = img[y0:y1]
+        for j in range(out_w):
+            x0, x1 = xs[j], max(xs[j] + 1, xs[j + 1])
+            out[i, j] = row[:, x0:x1].mean()
+    return out
+
+
+def resize_assets(assets: DataFrame, height: int = 4, width: int = 4) -> DataFrame:
+    """mapInPandas image-resize stage: decode (stubbed to the deterministic
+    fake) → block-mean resize to (height, width) → flat pixel vector.
+    Partition-preserving map, no shuffle; the real pipeline swaps
+    `_fake_decode_image` for a PIL/libvips decode inside the same loop."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["content"]):
+                img = _fake_decode_image(buf)
+                small = _block_mean_resize(img, height, width)
+                rows.append(
+                    (
+                        doc_id,
+                        img.shape[0],
+                        img.shape[1],
+                        height,
+                        width,
+                        (small / 255.0).ravel().astype(np.float32),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "src_h", "src_w", "height", "width", "pixels"]
+            )
+
+    return assets.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(
+    assets: DataFrame, frame_bytes: int = FRAME_BYTES, every_k: int = 4
+) -> DataFrame:
+    """Row-expanding mapInPandas frame sampler: treat the payload as a fixed
+    frame-size "video" and emit every k-th complete frame as its own row
+    (doc_id, frame_idx, md5-of-frame). Demonstrates the 1→N Arrow batch
+    shape a real ffmpeg frame-sample stage produces; byte-wise, so it holds
+    for arbitrary binary payloads."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, digests = [], [], []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["content"]):
+                n_frames = len(buf) // frame_bytes
+                for f in range(0, n_frames, every_k):
+                    ids.append(doc_id)
+                    idxs.append(f)
+                    digests.append(
+                        hashlib.md5(
+                            buf[f * frame_bytes : (f + 1) * frame_bytes]
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_md5": digests}
+            )
+
+    return assets.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def featurize_assets(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """mapInPandas featurization: Arrow-batched, partition-preserving map —
     no shuffle. Each batch arrives as a pandas DataFrame with the binary

@@ -12,7 +12,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from market_flow_spark.extensions import dedup, multimodal, similarity, text
+from market_flow_spark.extensions import (
+    dedup,
+    multimodal,
+    similarity,
+    sketches,
+    text,
+)
 from market_flow_spark.operators import temporal
 from market_flow_spark.operators.forecast import linear_forecast
 from market_flow_spark.queries import register
@@ -198,6 +204,24 @@ SELECT doc1, doc2, jaccard FROM j WHERE jaccard >= 0.7
 def q_dedup_word_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.word_jaccard_pairs(
         load_tables(spark, sf_dir)["documents"], threshold=0.7
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH words AS ({SHINGLES_SQL}),
+pairs AS (
+  SELECT DISTINCT w1.doc_id AS doc1, w2.doc_id AS doc2
+  FROM words w1 JOIN words w2 ON w1.word = w2.word AND w1.doc_id < w2.doc_id
+),
+{_JACCARD_TAIL_SQL}
+SELECT doc1, doc2, jaccard FROM j WHERE jaccard >= 0.8
+""",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_tables(spark, sf_dir)["documents"], threshold=0.8
     )
 
 
@@ -412,6 +436,31 @@ def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.select(
         "doc_id", "byte_len", F.md5("content").alias("content_md5"), "media_type"
     )
+
+
+@register("kmv_distinct_parts", sketches.kmv_oracle_sql("lineitem", "l_partkey"))
+def q_kmv_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketches.kmv_distinct(load_tables(spark, sf_dir)["lineitem"], "l_partkey")
+
+
+@register(
+    "multimodal_frames",
+    # Byte-wise framing on the Spark side; the oracle slices VARCHAR, which
+    # is byte-identical here because the test corpus is pure ASCII (verified:
+    # octet_length(encode(text)) == length(text) for every row at every SF).
+    f"""
+SELECT doc_id,
+       CAST(u AS INT) AS frame_idx,
+       md5(substring(text, CAST(u * {multimodal.FRAME_BYTES} + 1 AS BIGINT),
+                     {multimodal.FRAME_BYTES})) AS frame_md5
+FROM (SELECT doc_id, text,
+             unnest(range(0, length(text) // {multimodal.FRAME_BYTES}, 4)) AS u
+      FROM documents)
+""",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = multimodal.to_binary_assets(load_tables(spark, sf_dir)["documents"])
+    return multimodal.sample_frames(assets, every_k=4)
 
 
 # ---------------------------------------------------------------------------

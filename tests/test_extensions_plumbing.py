@@ -10,8 +10,11 @@ from pyspark.sql import functions as F
 
 from market_flow_spark.extensions.multimodal import (
     FEATURE_DIM,
+    FRAME_BYTES,
     decode_media,
     featurize_assets,
+    resize_assets,
+    sample_frames,
     to_binary_assets,
 )
 from market_flow_spark.sources.api_source import (
@@ -39,6 +42,49 @@ def test_featurize_deterministic(spark, tables):
     a = sorted(featurize_assets(to_binary_assets(docs)).collect())
     b = sorted(featurize_assets(to_binary_assets(docs)).collect())
     assert a == b
+
+
+def test_resize_assets_shape_and_range(spark, tables):
+    docs = tables["documents"].limit(10)
+    rows = resize_assets(to_binary_assets(docs), height=4, width=4).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.height == 4 and r.width == 4
+        assert len(r.pixels) == 16
+        assert all(0.0 <= v <= 1.0 for v in r.pixels)
+        assert r.src_h * r.src_w >= 1
+
+
+def test_resize_preserves_mean_brightness(spark, tables):
+    """Block-mean resize is an average of averages over equal-ish blocks —
+    the grand mean must stay close to the source byte mean."""
+    docs = tables["documents"].limit(5)
+    src = {r.doc_id: r.text.encode() for r in docs.collect()}
+    for r in resize_assets(to_binary_assets(docs), 4, 4).collect():
+        buf = src[r.doc_id]
+        w = max(1, int(len(buf) ** 0.5))
+        h = len(buf) // w
+        used = buf[: h * w]
+        expect = sum(used) / len(used) / 255.0
+        got = sum(r.pixels) / len(r.pixels)
+        assert abs(got - expect) < 0.05
+
+
+def test_sample_frames_expands_rows(spark, tables):
+    docs = tables["documents"].limit(10)
+    src = {r.doc_id: r.text.encode() for r in docs.collect()}
+    out = sample_frames(to_binary_assets(docs), every_k=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, buf in src.items():
+        n_frames = len(buf) // FRAME_BYTES
+        expect_idx = list(range(0, n_frames, 4))
+        got = sorted(by_doc.get(doc_id, []), key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in got] == expect_idx
+        for r in got:
+            frame = buf[r.frame_idx * FRAME_BYTES : (r.frame_idx + 1) * FRAME_BYTES]
+            assert r.frame_md5 == hashlib.md5(frame).hexdigest()
 
 
 def test_decode_media_is_stubbed():
@@ -87,3 +133,17 @@ def test_minhash_narrow_verification_equivalent(spark, tables):
         for r in minhash_lsh_pairs(docs, narrow_verification=True).collect()
     )
     assert direct == narrowed
+
+
+def test_kmv_estimate_within_error_bound(spark, tables):
+    """KMV with k=256 has stddev ≈ 1/sqrt(k-2) ≈ 6.3%; assert within 4σ
+    and that the exact path triggers when distinct < k."""
+    from market_flow_spark.extensions.sketches import kmv_distinct
+
+    li = tables["lineitem"]
+    exact = li.select(F.countDistinct("l_partkey")).collect()[0][0]
+    est = kmv_distinct(li, "l_partkey", k=256).collect()[0].est_distinct
+    if exact < 256:
+        assert est == exact
+    else:
+        assert abs(est - exact) / exact < 0.25
