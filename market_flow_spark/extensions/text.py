@@ -9,7 +9,7 @@ full parquet speed on a 100 TB corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from market_flow_spark.functions.aggregates import det_round
@@ -39,10 +39,9 @@ def count_in_expr(toks_sql: str, words: list[str]) -> str:
     return f"size(filter({toks_sql}, x -> x IN ({quoted})))"
 
 
-def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Quality-scoring feature set per document: char/token counts, average
-    token length, stopword ratio, an approximate BPE token estimate
-    (chars/4, the common fast heuristic), and a 0..1 quality score."""
+def _stats_cols(text_col: str) -> dict[str, Column]:
+    """The per-row quality feature columns, shared by text_stats and
+    corpus_prefilter so both compute bit-identical values."""
     t = F.col(text_col)
     toks = tokens(t)
     n_chars = F.length(t)
@@ -63,21 +62,27 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ),
         2,
     )
-    return docs.select(
-        "doc_id",
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        avg_token_len.alias("avg_token_len"),
-        stopword_ratio.alias("stopword_ratio"),
-        approx_bpe.alias("approx_bpe_tokens"),
-        quality.alias("quality_score"),
-    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": avg_token_len,
+        "stopword_ratio": stopword_ratio,
+        "approx_bpe_tokens": approx_bpe,
+        "quality_score": quality,
+    }
 
 
-def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Marker-word language ID: score each language's lexicon against the
-    token list; highest score wins, ties broken by fixed language order.
-    Pure CASE/filter expressions — no UDF."""
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring feature set per document: char/token counts, average
+    token length, stopword ratio, an approximate BPE token estimate
+    (chars/4, the common fast heuristic), and a 0..1 quality score."""
+    cols = _stats_cols(text_col)
+    return docs.select("doc_id", *(c.alias(name) for name, c in cols.items()))
+
+
+def _lang_pred(text_col: str) -> tuple[dict[str, Column], Column]:
+    """Per-language score columns + the winning-language column (ties broken
+    by fixed language order)."""
     toks_sql = f"split(trim({text_col}), '\\\\s+')"
     scores = {
         lang: F.expr(count_in_expr(toks_sql, words))
@@ -95,11 +100,50 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         pred = (
             F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
         )
-    pred = pred.otherwise(F.lit(langs[0]))
+    return scores, pred.otherwise(F.lit(langs[0]))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: score each language's lexicon against the
+    token list; highest score wins, ties broken by fixed language order.
+    Pure CASE/filter expressions — no UDF."""
+    scores, pred = _lang_pred(text_col)
     sel = [F.col("doc_id")]
-    sel += [scores[lang].alias(f"score_{lang}") for lang in langs]
+    sel += [scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS]
     sel.append(pred.alias("predicted_lang"))
     return docs.select(*sel)
+
+
+def corpus_prefilter(
+    docs: DataFrame, min_quality: float = 1.0, text_col: str = "text"
+) -> DataFrame:
+    """The canonical training-data pre-filter, end to end: quality gate →
+    language ID → exact-dedup keeper, in ONE scan plus ONE shuffle.
+
+    Quality score and language are pure column expressions computed in the
+    same projection as the md5 fingerprint (no self-joins between the
+    "stages"); the quality filter runs before the fingerprint window so
+    low-quality rows never shuffle; the dedup keeper is min(doc_id) per
+    fingerprint among quality survivors — deduplicating after the quality
+    gate keeps the best-scoring duplicate group alive even when its lowest
+    doc_id is junk. At 100 TB this plans as scan → filter → one hash
+    exchange on fingerprint → window — the minimum possible movement."""
+    stats = _stats_cols(text_col)
+    _, pred = _lang_pred(text_col)
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    enriched = docs.select(
+        "doc_id",
+        stats["n_tokens"].alias("n_tokens"),
+        stats["quality_score"].alias("quality_score"),
+        pred.alias("predicted_lang"),
+        F.md5(norm).alias("fingerprint"),
+    ).filter(F.col("quality_score") >= min_quality)
+    w = Window.partitionBy("fingerprint")
+    return (
+        enriched.withColumn("min_id", F.min("doc_id").over(w))
+        .filter(F.col("min_id") == F.col("doc_id"))
+        .select("doc_id", "predicted_lang", "n_tokens", "quality_score")
+    )
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:

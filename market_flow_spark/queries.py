@@ -816,6 +816,36 @@ def q_normalized_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "float_key_join",
+    """
+WITH peaks AS (
+  SELECT c_nationkey, MAX(c_acctbal) AS peak_bal
+  FROM customer GROUP BY 1
+)
+SELECT c.c_nationkey, c.c_custkey, c.c_acctbal AS peak_bal
+FROM customer c
+JOIN peaks p ON c.c_nationkey = p.c_nationkey AND c.c_acctbal = p.peak_bal
+""",
+)
+def q_float_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: equi-join on a DOUBLE key (stg_weather.sql:13-15 joins weather to
+    localities on (latitude, longitude) floats). Safe for the same reason as
+    the reference: the join-side value is a bit-exact copy of a stored value
+    (MAX copies one of the inputs), never the result of arithmetic. Modeled
+    as argmax-via-self-join: the customer(s) holding each nation's peak
+    account balance."""
+    cu = load_tables(spark, sf_dir)["customer"]
+    peaks = cu.groupBy(F.col("c_nationkey").alias("p_nationkey")).agg(
+        F.max("c_acctbal").alias("p_peak_bal")
+    )
+    return cu.join(
+        F.broadcast(peaks),
+        (F.col("c_nationkey") == F.col("p_nationkey"))
+        & (F.col("c_acctbal") == F.col("p_peak_bal")),
+    ).select("c_nationkey", "c_custkey", F.col("c_acctbal").alias("peak_bal"))
+
+
+@register(
     "upsert_plan",
     """
 WITH existing AS (

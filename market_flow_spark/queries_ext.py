@@ -133,6 +133,68 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_id(load_tables(spark, sf_dir)["documents"])
 
 
+def _corpus_prefilter_oracle(min_quality: float = 1.0) -> str:
+    langs = list(text.LANG_MARKERS)
+    score_cols = ",\n    ".join(
+        f"CAST(len(list_filter(toks, x -> x IN ({_in_list(ws)}))) AS INT)"
+        f" AS score_{lang}"
+        for lang, ws in text.LANG_MARKERS.items()
+    )
+    cases = []
+    for lang in langs:
+        conds = " AND ".join(
+            f"score_{lang} >= score_{o}" for o in langs if o != lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{langs[0]}' END"
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+b AS (
+  SELECT doc_id, text, toks,
+    CAST(len(toks) AS INT) AS n_tokens,
+    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS INT) AS n_nonspace
+  FROM t
+),
+c AS (
+  SELECT doc_id, text, toks, n_tokens,
+    {_floor_round_sql("n_nonspace / n_tokens", 4)} AS avg_token_len
+  FROM b
+),
+q AS (
+  SELECT doc_id, text, toks, n_tokens,
+    {_floor_round_sql(
+        "(CASE WHEN n_tokens BETWEEN 5 AND 10000 THEN 0.5 ELSE 0.0 END)"
+        " + (CASE WHEN avg_token_len BETWEEN 2 AND 12 THEN 0.5 ELSE 0.0 END)",
+        2,
+    )} AS quality_score
+  FROM c
+),
+s AS (
+  SELECT doc_id, text, n_tokens, quality_score,
+    {score_cols}
+  FROM q
+  WHERE quality_score >= {min_quality}
+),
+p AS (
+  SELECT doc_id, n_tokens, quality_score,
+         {case_sql} AS predicted_lang,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM s
+)
+SELECT doc_id, predicted_lang, n_tokens, quality_score
+FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS min_id FROM p)
+WHERE doc_id = min_id
+"""
+
+
+@register("corpus_prefilter", _corpus_prefilter_oracle())
+def q_corpus_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.corpus_prefilter(load_tables(spark, sf_dir)["documents"])
+
+
 @register(
     "doc_fingerprint",
     """

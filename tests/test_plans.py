@@ -83,6 +83,14 @@ def test_no_python_udfs_in_core_queries(spark, sf_dir):
         assert "ArrowEvalPython" not in plan, f"{name} unexpectedly uses Arrow UDF"
 
 
+def test_corpus_prefilter_single_shuffle(spark, sf_dir):
+    """quality + lang + fingerprint compute in one projection; the dedup
+    window is the only exchange, and the quality filter sits below it."""
+    plan = _executed_plan(QUERIES["corpus_prefilter"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_anti_join_is_left_anti(spark, sf_dir):
     plan = _executed_plan(QUERIES["anti_join_missing_months"](spark, sf_dir))
     assert "LeftAnti" in plan
