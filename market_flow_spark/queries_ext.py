@@ -291,13 +291,17 @@ def _minhash_oracle() -> str:
     n, bands = dedup.NUM_MINHASHES, dedup.LSH_BANDS
     rows = n // bands
     min_matches = n // 2
+    p = dedup.MINHASH_PRIME
     mh_cols = ",\n    ".join(
-        f"min(md5(word || '#{i}')) AS mh{i}" for i in range(n)
+        f"min((h32 * {a} + {b}) % {p}) AS mh{i}"
+        for i, (a, b) in enumerate(dedup.MINHASH_PARAMS[:n])
     )
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_hash FROM mh".format(
             b=b,
-            concat=" || ".join(f"mh{b * rows + r}" for r in range(rows)),
+            concat=" || '-' || ".join(
+                f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
         )
         for b in range(bands)
     )
@@ -306,10 +310,15 @@ def _minhash_oracle() -> str:
     )
     return f"""
 WITH words AS ({SHINGLES_SQL}),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS h32
+  FROM words
+),
 mh AS (
   SELECT doc_id,
     {mh_cols}
-  FROM words GROUP BY doc_id
+  FROM hashed GROUP BY doc_id
 ),
 bands AS ({band_selects}),
 cand AS (
