@@ -139,6 +139,38 @@ def q_monthly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return star.monthly_event_stats(load_tables(spark, sf_dir)["events"])
 
 
+@register(
+    "json_props_stats",
+    """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+         AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+         AS max_k
+FROM events
+WHERE props IS NOT NULL
+GROUP BY 1
+""",
+)
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON `props` payload JVM-side
+    (`get_json_object`, no UDF) and aggregate the extracted field. The
+    reference has no JSON anywhere (SURVEY §2.8 'absent'); a training-data
+    pipeline meets JSON sidecars constantly, so the engine covers it."""
+    ev = load_tables(spark, sf_dir)["events"]
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.filter(F.col("props").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).cast("bigint").alias("sum_k"),
+            F.max(k).cast("int").alias("max_k"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Staging layer: typed projection, cleaning, unit conversion (P1-P2, F1-F5)
 # ---------------------------------------------------------------------------
