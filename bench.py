@@ -55,7 +55,12 @@ def main() -> None:
     def run(name: str) -> float:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return round(time.perf_counter() - t0, 3)
+        dt = round(time.perf_counter() - t0, 3)
+        # a few queries persist() intermediates (legitimate intra-query
+        # reuse); drop them so cached blocks don't accumulate across the
+        # 130 runs and skew later timings with memory/GC pressure
+        spark.catalog.clearCache()
+        return dt
 
     # Two passes per query. The first pays one-time whole-stage-codegen
     # compilation (~1-1.5s per unique plan — a fixed cost irrespective of

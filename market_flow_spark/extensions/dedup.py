@@ -4,9 +4,11 @@ Four tiers, cheapest first — the standard LLM-training-data dedup ladder:
 
 1. **Exact** — hash-groupBy on a normalized fingerprint. One shuffle on the
    hash; at 100 TB this is a plain aggregate, no driver state.
-2. **Word-level Jaccard** — inverted-index self-join on tokens. Exact
-   pairwise similarity, quadratic in bucket size: correct at test scale,
-   and the oracle for verifying the approximate tiers.
+2. **Word-level / n-gram Jaccard** — prefix-filtered inverted-index
+   self-join (SSJoin/AllPairs): only the first ⌊(1-t)·n⌋+1 elements of each
+   sorted shingle set enter the index, and survivors are verified in-row
+   with `array_intersect`. Exact pairwise similarity; the oracle for the
+   approximate tiers.
 3. **MinHash + LSH** — md5-based minhash signatures, banded so candidate
    pairs come from equi-joins on band hashes (shuffle on band key, never a
    cross join). The 100 TB path. md5 is used (not xxhash) so the DuckDB
@@ -56,79 +58,117 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def doc_words(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, word) distinct token pairs — the inverted-index base."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    return docs.select("doc_id", F.explode(toks).alias("word")).distinct()
+def doc_shingle_arrays(
+    docs: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sh, sz): the sorted distinct n-gram shingle set per document
+    as an array column, built entirely row-wise (split → transform/sequence →
+    array_distinct → array_sort). No explode, no distinct, **no shuffle** —
+    at 100 TB this is a map-only pass over the corpus. n=1 gives word sets.
 
-
-def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """(doc_id, word) distinct n-gram shingles (word = the joined n-gram).
-
-    Shingling is what makes MinHash selective: unigram sets from a shared
-    vocabulary overlap heavily between unrelated documents, but n-gram
-    overlap decays geometrically — unrelated docs share ≈ no shingles, so
-    LSH candidates are only genuine near-dups. Built with JVM higher-order
-    functions (transform/sequence), no UDF."""
+    Shingling is what makes near-dup search selective: unigram sets from a
+    shared vocabulary overlap heavily between unrelated documents, but
+    n-gram overlap decays geometrically — unrelated docs share ≈ no
+    shingles. The sort gives every doc the same global element order, which
+    is what the prefix filter below relies on."""
     toked = docs.select(
         "doc_id", F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("toks")
     )
-    parts = ", ".join(f"toks[i+{j}]" for j in range(n))
-    sh = F.expr(
-        f"CASE WHEN size(toks) >= {n} "
-        f"THEN transform(sequence(0, size(toks)-{n}), "
-        f"i -> concat_ws(' ', {parts})) "
-        f"ELSE cast(array() as array<string>) END"
+    if n == 1:
+        sh = F.col("toks")
+    else:
+        parts = ", ".join(f"toks[i+{j}]" for j in range(n))
+        sh = F.expr(
+            f"CASE WHEN size(toks) >= {n} "
+            f"THEN transform(sequence(0, size(toks)-{n}), "
+            f"i -> concat_ws(' ', {parts})) "
+            f"ELSE cast(array() as array<string>) END"
+        )
+    return toked.select(
+        "doc_id", F.array_sort(F.array_distinct(sh)).alias("sh")
+    ).withColumn("sz", F.size("sh"))
+
+
+def doc_words(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, word) distinct token pairs — the inverted-index base.
+    Exploded from the row-wise array build, so distinctness is established
+    per-row and the explode output needs no shuffle."""
+    return doc_shingle_arrays(docs, 1, text_col).select(
+        "doc_id", F.explode("sh").alias("word")
     )
-    return toked.select("doc_id", F.explode(sh).alias("word")).distinct()
 
 
-def _jaccard_for_pairs(pairs: DataFrame, words: DataFrame) -> DataFrame:
-    """Attach exact word-set Jaccard to (doc1, doc2) candidate pairs.
-
-    The feature table feeds three consumers (both join sides + the size
-    aggregate); persist it so the tokenize/shingle pipeline runs once.
-    Callers pass an already-narrowed table when the corpus is large."""
-    words = words.persist()
-    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    w1 = words.select(F.col("doc_id").alias("doc1"), "word")
-    w2 = words.select(F.col("doc_id").alias("doc2"), "word")
-    common = (
-        pairs.join(w1, "doc1")
-        .join(w2, ["doc2", "word"])
-        .groupBy("doc1", "doc2")
-        .agg(F.count(F.lit(1)).alias("common"))
+def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, word) distinct n-gram shingles (word = the joined n-gram)."""
+    return doc_shingle_arrays(docs, n, text_col).select(
+        "doc_id", F.explode("sh").alias("word")
     )
-    j = (
-        common.join(sizes.withColumnsRenamed({"doc_id": "doc1", "n": "n1"}), "doc1")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc2", "n": "n2"}), "doc2")
+
+
+def _prefix_candidates(arrs: DataFrame, threshold: float) -> DataFrame:
+    """Candidate (doc1, doc2) pairs via **prefix filtering** (SSJoin /
+    AllPairs): under any global element order, two sets with Jaccard ≥ t
+    must share an element within their first ``⌊(1-t)·|set|⌋ + 1`` elements
+    — so only that prefix enters the inverted-index self-join, shrinking
+    posting lists (and the candidate count, quadratically) by ~(1-t)².
+    A length filter (min size ≥ t · max size, necessary for J ≥ t) prunes
+    further. Exactness is untouched: every qualifying pair provably
+    survives, and the verifier computes exact Jaccard."""
+    pref_len = (F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1).cast("int")
+    pref = arrs.select(
+        "doc_id", "sz", F.explode(F.slice("sh", F.lit(1), pref_len)).alias("word")
+    )
+    p1 = pref.select(F.col("doc_id").alias("doc1"), F.col("sz").alias("n1"), "word")
+    p2 = pref.select(F.col("doc_id").alias("doc2"), F.col("sz").alias("n2"), "word")
+    return (
+        p1.join(p2, "word")
+        .filter(
+            (F.col("doc1") < F.col("doc2"))
+            & (F.col("n1") >= F.col("n2") * F.lit(threshold))
+            & (F.col("n2") >= F.col("n1") * F.lit(threshold))
+        )
+        .select("doc1", "doc2")
+        .distinct()
+    )
+
+
+def _verify_jaccard(pairs: DataFrame, arrs: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate pairs: join each side's shingle array and
+    intersect in-row (`array_intersect` hashes the smaller array — linear,
+    not quadratic). One equi-join per side instead of the three-way
+    posting-list join; the per-pair work never leaves the JVM."""
+    a1 = arrs.select(
+        F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"), F.col("sz").alias("n1")
+    )
+    a2 = arrs.select(
+        F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"), F.col("sz").alias("n2")
+    )
+    common = F.size(F.array_intersect("sh1", "sh2"))
+    return (
+        pairs.join(a1, "doc1")
+        .join(a2, "doc2")
+        .withColumn("common", common)
         .withColumn(
             "jaccard",
             det_round(
                 F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")), 4
             ),
         )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
     )
-    return j.select("doc1", "doc2", "jaccard")
 
 
 def word_jaccard_pairs(
     docs: DataFrame, threshold: float = 0.7, text_col: str = "text"
 ) -> DataFrame:
-    """Exact near-dup pairs by word-set Jaccard ≥ threshold, found via an
-    inverted-index self-join (never a cross join). Quadratic in posting-list
-    length — the exact-but-small-scale tier; MinHash+LSH below is the
+    """Exact near-dup pairs by word-set Jaccard ≥ threshold: prefix-filtered
+    inverted-index self-join (never a cross join) + in-row array
+    verification. Word sets from a shared vocabulary keep posting lists
+    long, so this is the exact-but-mid-scale tier; MinHash+LSH below is the
     100 TB tier."""
-    words = doc_words(docs, text_col)
-    w1 = words.select(F.col("doc_id").alias("doc1"), "word")
-    w2 = words.select(F.col("doc_id").alias("doc2"), "word")
-    pairs = (
-        w1.join(w2, "word")
-        .filter(F.col("doc1") < F.col("doc2"))
-        .select("doc1", "doc2")
-        .distinct()
-    )
-    return _jaccard_for_pairs(pairs, words).filter(F.col("jaccard") >= threshold)
+    arrs = doc_shingle_arrays(docs, 1, text_col)
+    return _verify_jaccard(_prefix_candidates(arrs, threshold), arrs, threshold)
 
 
 def ngram_jaccard_pairs(
@@ -136,22 +176,14 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact near-dup pairs by word n-gram (shingle) Jaccard ≥ threshold.
 
-    Sits between unigram Jaccard and MinHash+LSH: shingles make the inverted
-    index selective (unrelated docs share ≈ no n-grams, so posting lists stay
-    short and the self-join stays near-linear), while the Jaccard itself is
-    exact — no signature approximation. The 100 TB path still prefers
-    MinHash+LSH (bounded candidate count); this tier is the exact verifier
-    and the mid-scale default."""
-    shingles = doc_shingles(docs, n, text_col)
-    s1 = shingles.select(F.col("doc_id").alias("doc1"), "word")
-    s2 = shingles.select(F.col("doc_id").alias("doc2"), "word")
-    pairs = (
-        s1.join(s2, "word")
-        .filter(F.col("doc1") < F.col("doc2"))
-        .select("doc1", "doc2")
-        .distinct()
-    )
-    return _jaccard_for_pairs(pairs, shingles).filter(F.col("jaccard") >= threshold)
+    Sits between unigram Jaccard and MinHash+LSH: shingles make the
+    inverted index selective and the prefix filter indexes only ~20% of
+    them (t=0.8), so the self-join stays near-linear while the Jaccard
+    itself is exact — no signature approximation. The 100 TB path still
+    prefers MinHash+LSH (bounded candidate count); this tier is the exact
+    verifier and the mid-scale default."""
+    arrs = doc_shingle_arrays(docs, n, text_col)
+    return _verify_jaccard(_prefix_candidates(arrs, threshold), arrs, threshold)
 
 
 def minhash_signatures(
@@ -218,11 +250,12 @@ def minhash_lsh_pairs(
        already says are close;
     3. exact shingle-Jaccard verification of the survivors.
     """
-    words = doc_shingles(docs, text_col=text_col)
+    arrs = doc_shingle_arrays(docs, text_col=text_col)
+    words = arrs.select("doc_id", F.explode("sh").alias("word"))
     # signatures are doc-count-sized (16 hashes/doc) — persist so the band
     # build and the estimate screen don't recompute the shingle explosion.
-    # The shingle table itself is corpus-sized and is NOT persisted; the
-    # verification stage below narrows it with a semi-join instead.
+    # The shingle-array table itself is corpus-sized and is NOT persisted;
+    # the verification stage below narrows it with a semi-join instead.
     sigs = minhash_signatures(words).persist()
     bands = lsh_bands(sigs)
     b1 = bands.withColumnsRenamed({"doc_id": "doc1"})
@@ -254,20 +287,19 @@ def minhash_lsh_pairs(
         .select("doc1", "doc2")
     ).persist()
     if narrow_verification:
-        # 100 TB path: narrow the corpus-sized shingle table to candidate
-        # docs before the verification join — scanning only the near-dup
-        # neighborhoods instead of the whole corpus. The extra union/
-        # semi-join stages only pay off when the corpus is much larger
-        # than the candidate set, so it's opt-in (bench scale is not).
+        # 100 TB path: narrow the corpus-sized shingle-array table to
+        # candidate docs before the verification join — scanning only the
+        # near-dup neighborhoods instead of the whole corpus. The extra
+        # union/semi-join stages only pay off when the corpus is much
+        # larger than the candidate set, so it's opt-in (bench scale is
+        # not).
         cand_docs = (
             screened.select(F.col("doc1").alias("doc_id"))
             .union(screened.select(F.col("doc2").alias("doc_id")))
             .distinct()
         )
-        words = words.join(F.broadcast(cand_docs), "doc_id", "left_semi")
-    return _jaccard_for_pairs(screened, words).filter(
-        F.col("jaccard") >= threshold
-    )
+        arrs = arrs.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    return _verify_jaccard(screened, arrs, threshold)
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
