@@ -65,9 +65,23 @@ def main() -> None:
     # Two passes per query. The first pays one-time whole-stage-codegen
     # compilation (~1-1.5s per unique plan — a fixed cost irrespective of
     # data volume); the second is the steady-state execution cost, which is
-    # what scales with data. Both are reported; `value` is steady-state.
+    # what scales with data. `value` is steady-state; the cold pass is
+    # written to bench_detail.json (keeping the printed line small enough
+    # for the driver's capture buffer — metric/value/sf lead the line).
     cold = {name: run(name) for name in names}
     warm = {name: run(name) for name in names}
+
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
+        "cold_queries": cold,
+        "cold_total": round(sum(cold.values()), 3),
+        "warm_queries": warm,
+        "warm_total": round(sum(warm.values()), 3),
+        "sf": sf_val,
+    }
+    Path(__file__).resolve().parent.joinpath("bench_detail.json").write_text(
+        json.dumps(detail, indent=1)
+    )
 
     print(
         json.dumps(
@@ -75,11 +89,10 @@ def main() -> None:
                 "metric": "headline_queries_total_wall_steady_state",
                 "value": round(sum(warm.values()), 3),
                 "unit": "sec",
-                "queries": warm,
-                "cold_queries": cold,
-                "cold_total": round(sum(cold.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "sf": sf_val,
+                "queries": {k: round(v, 2) for k, v in warm.items()},
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()
