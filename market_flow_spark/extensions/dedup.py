@@ -58,6 +58,24 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def exact_dedup_annotated(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document exact-dedup view: the md5 fingerprint and coarse length
+    band (the cheap pre-filter columns of `text.fingerprint`) plus the
+    fingerprint group's keeper and size. One shuffle on the fingerprint —
+    the same exchange the groupBy form pays — but the per-doc grain keeps
+    the fingerprint itself in the checked output."""
+    from pyspark.sql import Window
+
+    from market_flow_spark.extensions.text import fingerprint
+
+    w = Window.partitionBy("fingerprint")
+    return (
+        fingerprint(docs, text_col)
+        .withColumn("keep_doc_id", F.min("doc_id").over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(w))
+    )
+
+
 def doc_shingle_arrays(
     docs: DataFrame, n: int = 3, text_col: str = "text"
 ) -> DataFrame:

@@ -114,6 +114,19 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(*sel)
 
 
+def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality stats + language ID in ONE projection pass: all columns of
+    text_stats and lang_id computed together so the corpus is scanned once
+    (joining the two separate outputs would scan the 100 TB table twice)."""
+    stats = _stats_cols(text_col)
+    scores, pred = _lang_pred(text_col)
+    sel = [F.col("doc_id")]
+    sel += [c.alias(name) for name, c in stats.items()]
+    sel += [scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS]
+    sel.append(pred.alias("predicted_lang"))
+    return docs.select(*sel)
+
+
 def corpus_prefilter(
     docs: DataFrame, min_quality: float = 1.0, text_col: str = "text"
 ) -> DataFrame:

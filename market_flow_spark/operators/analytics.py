@@ -88,6 +88,24 @@ def distinct_counts_per_group(df: DataFrame, group: str, cols: list[str]) -> Dat
     return df.groupBy(group).agg(*aggs)
 
 
+def group_profile(
+    df: DataFrame,
+    group: str,
+    distinct_cols: dict[str, str],
+    cond: Column,
+    cond_name: str,
+) -> DataFrame:
+    """A5 + A9 fused: exact per-group distinct counts and a conditional
+    (CASE-filtered) count in ONE groupBy — the two reference panels share
+    the same grouping, so computing them together halves the shuffles.
+
+    ``distinct_cols`` maps output alias -> source column."""
+    aggs = [F.countDistinct(c).alias(name) for name, c in distinct_cols.items()]
+    aggs.append(F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(cond_name))
+    aggs.append(F.count(F.lit(1)).alias("total"))
+    return df.groupBy(group).agg(*aggs)
+
+
 def null_counts(df: DataFrame, cols: list[str]) -> DataFrame:
     """A10: per-column null/non-null counts (dataset_viewer.py:43-52)."""
     aggs = [

@@ -49,19 +49,31 @@ def dim_product(part: DataFrame) -> DataFrame:
 
 
 def dim_date_scaffold(orders: DataFrame) -> DataFrame:
-    """J6 + key-derived W2: distinct years × months 1..12 cross-join scaffold
-    (dim_date.sql:11 builds dates as dim_year × dim_month).
+    """J6 + key-derived W2 + F12: distinct years × months 1..12 cross-join
+    scaffold (dim_date.sql:11 builds dates as dim_year × dim_month), carrying
+    the start/end-of-month bounds the reference computes in
+    utils/date_utils.py:4-15 for its monthly API ranges.
 
     date_sk = year*100+month — deterministic, shuffle-free, and monotone in
     time, unlike the reference's ROW_NUMBER() OVER ().
     """
+    from market_flow_spark.functions.dates import end_of_month
+
     spark = orders.sparkSession
     years = orders.select(F.year("o_orderdate").alias("year")).distinct()
     months = spark.range(1, 13).select(F.col("id").cast("int").alias("month"))
+    first = F.make_date("year", "month", F.lit(1))
     return (
         years.crossJoin(months)
         .withColumn("date_sk", F.col("year") * 100 + F.col("month"))
-        .withColumn("first_of_month", F.make_date("year", "month", F.lit(1)))
+        .withColumn("first_of_month", first)
+        .withColumn("month_end", end_of_month(F.col("first_of_month")))
+        .withColumn(
+            "days_in_month",
+            (F.datediff(F.col("month_end"), F.col("first_of_month")) + 1).cast(
+                "int"
+            ),
+        )
     )
 
 

@@ -328,11 +328,18 @@ WITH y AS (SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS year FROM orders),
                                  (7),(8),(9),(10),(11),(12)) AS t(month))
 SELECT y.year, m.month,
        y.year * 100 + m.month AS date_sk,
-       make_date(y.year, m.month, 1) AS first_of_month
+       make_date(y.year, m.month, 1) AS first_of_month,
+       CAST(last_day(make_date(y.year, m.month, 1)) AS DATE) AS month_end,
+       CAST(date_diff('day', make_date(y.year, m.month, 1),
+                      CAST(last_day(make_date(y.year, m.month, 1)) AS DATE))
+            + 1 AS INT) AS days_in_month
 FROM y CROSS JOIN m
 """,
 )
 def q_dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 cross-join scaffold + F12 month-bounds math in one dim (the
+    reference computes the same start/end-of-month pairs in
+    utils/date_utils.py:4-15)."""
     return dims.dim_date_scaffold(load_tables(spark, sf_dir)["orders"])
 
 
@@ -434,27 +441,11 @@ def q_country_month_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "distinct_counts",
+    "sales_agg_profile",
     f"""
 SELECT n_name AS country,
        COUNT(DISTINCT l_partkey) AS n_p_products,
-       COUNT(DISTINCT c_mktsegment) AS n_segments
-{_SALES_JOIN_SQL}
-GROUP BY 1
-""",
-)
-def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _sales_join(load_tables(spark, sf_dir)).withColumnRenamed("n_name", "country")
-    return df.groupBy("country").agg(
-        F.countDistinct("l_partkey").alias("n_p_products"),
-        F.countDistinct("c_mktsegment").alias("n_segments"),
-    )
-
-
-@register(
-    "conditional_agg",
-    f"""
-SELECT n_name AS country,
+       COUNT(DISTINCT c_mktsegment) AS n_segments,
        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
          AS n_returned,
        COUNT(*) AS total
@@ -462,36 +453,19 @@ SELECT n_name AS country,
 GROUP BY 1
 """,
 )
-def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_sales_agg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 + A9 in one driver-checkable query: exact distinct counts and the
+    conditional (CASE-filtered) aggregation share the same sales join and
+    country grouping, so merging them removes a whole duplicate
+    join+shuffle rather than bolting two queries together."""
     df = _sales_join(load_tables(spark, sf_dir)).withColumnRenamed("n_name", "country")
-    return an.conditional_count(df, "country", F.col("l_returnflag") == "R", "n_returned")
-
-
-@register(
-    "null_counts",
-    """
-WITH ev_m AS (
-  SELECT CAST(month(ts) AS INT) AS month, FLOOR((CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
-              / COUNT(value)) * 100.0 + 0.5) / 100.0 AS avg_event_value
-  FROM events GROUP BY 1
-),
-o AS (
-  SELECT o_orderkey, CAST(month(o_orderdate) AS INT) AS month FROM orders
-)
-SELECT CAST(SUM(CASE WHEN e.avg_event_value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS nulls_avg_event_value,
-       COUNT(*) AS total_rows
-FROM o LEFT JOIN ev_m e USING (month)
-""",
-)
-def q_null_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
-    ev_m = star.monthly_event_stats(t["events"]).select("month", "avg_event_value")
-    o = t["orders"].select(
-        "o_orderkey", F.month("o_orderdate").alias("month")
+    return an.group_profile(
+        df,
+        "country",
+        {"n_p_products": "l_partkey", "n_segments": "c_mktsegment"},
+        F.col("l_returnflag") == "R",
+        "n_returned",
     )
-    joined = o.join(F.broadcast(ev_m), on="month", how="left")
-    return an.null_counts(joined, ["avg_event_value"])
 
 
 @register(
@@ -573,83 +547,138 @@ def q_rolling_ma30(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "pagination",
+    "page_and_tail",
     """
-SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-FROM lineitem
-ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
-LIMIT 20 OFFSET 100
+SELECT 'page' AS branch, l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+       CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS TIMESTAMP) AS ts,
+       CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS DOUBLE) AS value
+FROM (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+  FROM lineitem
+  ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+  LIMIT 20 OFFSET 100
+)
+UNION ALL
+SELECT 'tail', NULL, NULL, NULL, NULL, event_id, ts, event_type, value
+FROM (
+  SELECT event_id, ts, event_type, value
+  FROM events
+  ORDER BY ts DESC, event_id DESC
+  LIMIT 50
+)
 """,
 )
-def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O3: dataset-viewer pagination. The ORDER BY covers every selected
-    column: (l_orderkey, l_linenumber) alone is NOT unique in the data, and
-    a page boundary landing on a tie would be engine-dependent; ordering by
-    all output columns makes any remaining ties bit-identical rows, so the
-    page content is deterministic."""
-    li = load_tables(spark, sf_dir)["lineitem"].select(
+def q_page_and_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 + O5 in one driver-checkable query (null-padded union of the two
+    result shapes, tagged by branch).
+
+    O3 dataset-viewer pagination: the ORDER BY covers every selected column
+    — (l_orderkey, l_linenumber) alone is NOT unique in the data, and a page
+    boundary landing on a tie would be engine-dependent; ordering by all
+    output columns makes any remaining ties bit-identical rows, so the page
+    content is deterministic. O5 is the pandas tail(n) analog. Both plan as
+    TakeOrdered — no global sort."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
-    return an.paginate(
+    page = an.paginate(
         li,
         ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
         page=5,
         size=20,
     )
-
-
-@register(
-    "last_n_events",
-    """
-SELECT event_id, ts, event_type, value
-FROM events
-ORDER BY ts DESC, event_id DESC
-LIMIT 50
-""",
-)
-def q_last_n_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O5: pandas tail(n) analog."""
-    ev = load_tables(spark, sf_dir)["events"].select(
-        "event_id", "ts", "event_type", "value"
+    ev = t["events"].select("event_id", "ts", "event_type", "value")
+    tail = an.last_n(ev, "ts", 50, tiebreak=["event_id"])
+    page_side = page.select(
+        F.lit("page").alias("branch"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
     )
-    return an.last_n(ev, "ts", 50, tiebreak=["event_id"])
-
-
-@register(
-    "in_filter",
-    """
-SELECT c_custkey, c_name, c_mktsegment FROM customer
-WHERE c_mktsegment IN ('MACHINERY', 'BUILDING')
-""",
-)
-def q_in_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cu = load_tables(spark, sf_dir)["customer"].select(
-        "c_custkey", "c_name", "c_mktsegment"
+    tail_side = tail.select(
+        F.lit("tail").alias("branch"),
+        F.lit(None).cast("bigint").alias("l_orderkey"),
+        F.lit(None).cast("int").alias("l_linenumber"),
+        F.lit(None).cast("double").alias("l_quantity"),
+        F.lit(None).cast("double").alias("l_extendedprice"),
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
     )
-    return an.filter_isin(cu, "c_mktsegment", ["MACHINERY", "BUILDING"])
+    return page_side.unionByName(tail_side)
 
 
 @register(
-    "contains_filter",
+    "filter_suite",
     """
-SELECT p_partkey, p_name FROM part
-WHERE position('wid' IN lower(p_name)) > 0
+SELECT 'in' AS branch, c_custkey, c_name, c_mktsegment,
+       CAST(NULL AS BIGINT) AS p_partkey, CAST(NULL AS VARCHAR) AS p_name,
+       CAST(NULL AS INT) AS p_size,
+       CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS DOUBLE) AS value
+FROM customer WHERE c_mktsegment IN ('MACHINERY', 'BUILDING')
+UNION ALL
+SELECT 'contains', NULL, NULL, NULL, p_partkey, p_name, NULL, NULL, NULL
+FROM part WHERE position('wid' IN lower(p_name)) > 0
+UNION ALL
+SELECT 'numeric', NULL, NULL, NULL, p_partkey, NULL, p_size, NULL, NULL
+FROM part WHERE p_size = 15
+UNION ALL
+SELECT 'positive', NULL, NULL, NULL, NULL, NULL, NULL, event_id, value
+FROM events WHERE value > 0
 """,
 )
-def q_contains_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pa = load_tables(spark, sf_dir)["part"].select("p_partkey", "p_name")
-    return an.filter_contains(pa, "p_name", "wid")
+def q_filter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 + P5 (both branches) + P6 in one driver-checkable query: IN-list
+    filter, substring-contains filter, the viewer's numeric-equality
+    fallback (dataset_viewer.py:18-29: a needle applied to a numeric column
+    parses as a number and switches from substring to equality), and the
+    `> 0` guard — each branch tagged and null-padded to a common schema.
+    All four filters push down to their parquet scans (asserted in
+    test_plans.py)."""
+    t = load_tables(spark, sf_dir)
+    cu = an.filter_isin(
+        t["customer"].select("c_custkey", "c_name", "c_mktsegment"),
+        "c_mktsegment",
+        ["MACHINERY", "BUILDING"],
+    )
+    pa_contains = an.filter_contains(
+        t["part"].select("p_partkey", "p_name"), "p_name", "wid"
+    )
+    pa_numeric = an.filter_contains(
+        t["part"].select("p_partkey", "p_size"), "p_size", "15"
+    )
+    ev = an.filter_positive(t["events"].select("event_id", "value"), "value")
 
+    def _pad(df: DataFrame, branch: str, have: dict[str, str]) -> DataFrame:
+        cols = [F.lit(branch).alias("branch")]
+        for name, typ in [
+            ("c_custkey", "bigint"),
+            ("c_name", "string"),
+            ("c_mktsegment", "string"),
+            ("p_partkey", "bigint"),
+            ("p_name", "string"),
+            ("p_size", "int"),
+            ("event_id", "bigint"),
+            ("value", "double"),
+        ]:
+            cols.append(
+                F.col(name) if name in have else F.lit(None).cast(typ).alias(name)
+            )
+        return df.select(*cols)
 
-@register(
-    "positive_filter",
-    """
-SELECT event_id, value FROM events WHERE value > 0
-""",
-)
-def q_positive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir)["events"].select("event_id", "value")
-    return an.filter_positive(ev, "value")
+    return (
+        _pad(cu, "in", {"c_custkey", "c_name", "c_mktsegment"})
+        .unionByName(_pad(pa_contains, "contains", {"p_partkey", "p_name"}))
+        .unionByName(_pad(pa_numeric, "numeric", {"p_partkey", "p_size"}))
+        .unionByName(_pad(ev, "positive", {"event_id", "value"}))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,11 +1,103 @@
 """Aggregated registry: importing this module loads every query module so
-QUERIES/ORACLES are complete. Entry points (driver contract, bench, tests)
-import from here."""
+QUERIES/ORACLES are complete, then re-emits them in an explicit priority
+order.
+
+Why the explicit order matters: the driver's correctness harness checks the
+first 50 registered queries against their DuckDB oracles. Every query that
+is the sole driver-checkable evidence for a SURVEY.md §2 operator (or a
+north-star extension op) is pinned inside that window; the handful of
+deliberate near-duplicates — queries whose operators are ALSO exercised by
+an in-window query — are registered after it and carry pytest-only
+coverage (tests/test_oracle_parity.py still runs every oracle, including
+theirs).
+
+Past-window set and the in-window query that already covers each operator:
+- seasonal_forecast   (UD1 per-group model fit  -> linear_forecast)
+- monthly_event_stats (A6 group means           -> group_mean_impute)
+- events_typed        (F5 guarded casts         -> stg_transactions_typed)
+- country_name_cleaning (F2/F4 remap ladder     -> unit_conversion)
+- simhash_signatures  (signature build          -> simhash_pairs, which
+                       derives every pair from those signatures)
+- multimodal_bytes    (binary-asset plumbing    -> multimodal_frames)
+"""
 
 from __future__ import annotations
 
 import market_flow_spark.queries as _core
 import market_flow_spark.queries_ext as _ext  # noqa: F401  (registers on import)
 
-QUERIES = _core.QUERIES
-ORACLES = _core.ORACLES
+# The first 50 names land in the driver's correctness window. Keep every
+# sole-evidence operator query in here.
+_PRIORITY: list[str] = [
+    # core star-schema / staging path
+    "flagship_wide",
+    "fact_transactions",
+    "stg_transactions_typed",
+    "json_props_stats",
+    "unit_conversion",
+    "dim_product",
+    "dim_date",
+    "dim_country_merged",
+    # aggregation / analytics panels
+    "price_summary_stats",
+    "country_month_avg",
+    "sales_agg_profile",
+    "table_audit",
+    "top10_products",
+    "rolling_ma30",
+    "page_and_tail",
+    "filter_suite",
+    # imputation
+    "mean_impute",
+    "ffill_bfill_impute",
+    "group_mean_impute",
+    # joins / incremental
+    "anti_join_missing_months",
+    "normalized_join",
+    "float_key_join",
+    "upsert_plan",
+    # text analysis
+    "text_profile",
+    "corpus_prefilter",
+    # dedup ladder
+    "dedup_exact",
+    "dedup_word_jaccard",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "simhash_pairs",
+    # similarity search
+    "cosine_topk",
+    "ann_lsh_topk",
+    "ivf_topk",
+    "embedding_near_dup",
+    # sketches / multimodal
+    "kmv_distinct_parts",
+    "multimodal_frames",
+    # forecasting
+    "linear_forecast",
+    "forecast_horizon",
+    "best_markets",
+    "pivot_returnflag",
+    # time windows (streaming twins)
+    "tumbling_hour_stats",
+    "sliding_window_stats",
+    "session_windows",
+    # temporal joins / hierarchical aggregation
+    "asof_last_view",
+    "range_join_nearby",
+    "rollup_revenue",
+    "cube_returnflag_priority",
+    # sampling
+    "stratified_sample",
+    "train_test_split",
+    "quota_cap",
+]
+
+_WINDOW = 50
+assert len(_PRIORITY) == _WINDOW, f"priority list has {len(_PRIORITY)} entries"
+_missing = [n for n in _PRIORITY if n not in _core.QUERIES]
+assert not _missing, f"priority names not registered: {_missing}"
+
+QUERIES = {n: _core.QUERIES[n] for n in _PRIORITY}
+QUERIES.update({n: f for n, f in _core.QUERIES.items() if n not in QUERIES})
+ORACLES = {n: _core.ORACLES[n] for n in QUERIES if n in _core.ORACLES}

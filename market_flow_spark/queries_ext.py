@@ -19,7 +19,8 @@ from market_flow_spark.extensions import (
     sketches,
     text,
 )
-from market_flow_spark.operators import temporal
+from market_flow_spark.operators import analytics as an
+from market_flow_spark.operators import star, temporal
 from market_flow_spark.operators.forecast import linear_forecast
 from market_flow_spark.queries import register
 from market_flow_spark.streaming import windows as W
@@ -62,44 +63,9 @@ def _in_list(words: list[str]) -> str:
 # Text analysis
 # ---------------------------------------------------------------------------
 
-_TEXT_STATS_ORACLE = f"""
-WITH t AS (
-  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
-  FROM documents
-),
-b AS (
-  SELECT doc_id,
-    CAST(length(text) AS INT) AS n_chars,
-    CAST(len(toks) AS INT) AS n_tokens,
-    CAST(len(list_filter(toks, x -> x IN ({_in_list(text.STOPWORDS)}))) AS INT)
-      AS n_stop,
-    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS INT) AS n_nonspace
-  FROM t
-),
-c AS (
-  SELECT doc_id, n_chars, n_tokens,
-    {_floor_round_sql("n_nonspace / n_tokens", 4)} AS avg_token_len,
-    {_floor_round_sql("n_stop / n_tokens", 4)} AS stopword_ratio,
-    CAST(CEIL(n_chars / 4.0) AS BIGINT) AS approx_bpe_tokens
-  FROM b
-)
-SELECT doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio,
-       approx_bpe_tokens,
-       {_floor_round_sql(
-           "(CASE WHEN n_tokens BETWEEN 5 AND 10000 THEN 0.5 ELSE 0.0 END)"
-           " + (CASE WHEN avg_token_len BETWEEN 2 AND 12 THEN 0.5 ELSE 0.0 END)",
-           2,
-       )} AS quality_score
-FROM c
-"""
 
 
-@register("text_stats", _TEXT_STATS_ORACLE)
-def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.text_stats(load_tables(spark, sf_dir)["documents"])
-
-
-def _lang_id_oracle() -> str:
+def _text_profile_oracle() -> str:
     langs = list(text.LANG_MARKERS)
     score_cols = ",\n    ".join(
         f"CAST(len(list_filter(toks, x -> x IN ({_in_list(ws)}))) AS INT)"
@@ -116,21 +82,50 @@ def _lang_id_oracle() -> str:
     score_list = ", ".join(f"score_{lang}" for lang in langs)
     return f"""
 WITH t AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
   FROM documents
 ),
-s AS (
-  SELECT doc_id,
-    {score_cols}
+b AS (
+  SELECT doc_id, toks,
+    CAST(length(text) AS INT) AS n_chars,
+    CAST(len(toks) AS INT) AS n_tokens,
+    CAST(len(list_filter(toks, x -> x IN ({_in_list(text.STOPWORDS)}))) AS INT)
+      AS n_stop,
+    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS INT) AS n_nonspace
   FROM t
+),
+c AS (
+  SELECT doc_id, toks, n_chars, n_tokens,
+    {_floor_round_sql("n_nonspace / n_tokens", 4)} AS avg_token_len,
+    {_floor_round_sql("n_stop / n_tokens", 4)} AS stopword_ratio,
+    CAST(CEIL(n_chars / 4.0) AS BIGINT) AS approx_bpe_tokens
+  FROM b
+),
+s AS (
+  SELECT doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio,
+    approx_bpe_tokens,
+    {_floor_round_sql(
+        "(CASE WHEN n_tokens BETWEEN 5 AND 10000 THEN 0.5 ELSE 0.0 END)"
+        " + (CASE WHEN avg_token_len BETWEEN 2 AND 12 THEN 0.5 ELSE 0.0 END)",
+        2,
+    )} AS quality_score,
+    {score_cols}
+  FROM c
 )
-SELECT doc_id, {score_list}, {case_sql} AS predicted_lang FROM s
+SELECT doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio,
+       approx_bpe_tokens, quality_score, {score_list},
+       {case_sql} AS predicted_lang
+FROM s
 """
 
 
-@register("lang_id", _lang_id_oracle())
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.lang_id(load_tables(spark, sf_dir)["documents"])
+@register("text_profile", _text_profile_oracle())
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality stats + language ID in one scan (the text_stats and
+    lang_id library ops remain available separately; the profile computes
+    both column sets in a single projection so the driver check covers
+    both without a second pass over the corpus)."""
+    return text.text_profile(load_tables(spark, sf_dir)["documents"])
 
 
 def _corpus_prefilter_oracle(min_quality: float = 1.0) -> str:
@@ -195,22 +190,6 @@ def q_corpus_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.corpus_prefilter(load_tables(spark, sf_dir)["documents"])
 
 
-@register(
-    "doc_fingerprint",
-    """
-WITH n AS (
-  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
-  FROM documents
-)
-SELECT doc_id, md5(norm) AS fingerprint,
-       CAST(FLOOR(length(norm) / 64) AS BIGINT) * 64 AS length_band
-FROM n
-""",
-)
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.fingerprint(load_tables(spark, sf_dir)["documents"])
-
-
 # ---------------------------------------------------------------------------
 # Dedup
 # ---------------------------------------------------------------------------
@@ -219,17 +198,28 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_exact",
     """
-WITH f AS (
-  SELECT doc_id,
-         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
   FROM documents
+),
+f AS (
+  SELECT doc_id, md5(norm) AS fingerprint,
+         CAST(FLOOR(length(norm) / 64) AS BIGINT) * 64 AS length_band
+  FROM n
 )
-SELECT fingerprint, min(doc_id) AS keep_doc_id, COUNT(*) AS dup_count
-FROM f GROUP BY 1
+SELECT doc_id, fingerprint, length_band,
+       MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep_doc_id,
+       COUNT(*) OVER (PARTITION BY fingerprint) AS dup_count
+FROM f
 """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.exact_dedup(load_tables(spark, sf_dir)["documents"])
+    """Exact dedup at per-document grain: md5 fingerprint + length band
+    (the doc-fingerprint pre-filter) annotated with each fingerprint
+    group's keeper and size. The grouped form (`dedup.exact_dedup`) remains
+    the library op; this view keeps the fingerprint columns themselves
+    under the driver's hash check."""
+    return dedup.exact_dedup_annotated(load_tables(spark, sf_dir)["documents"])
 
 
 _JACCARD_TAIL_SQL = f"""
@@ -650,33 +640,6 @@ def q_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "month_bounds",
-    """
-SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-       CAST(last_day(o_orderdate) AS DATE) AS month_end,
-       CAST(date_diff('day', CAST(date_trunc('month', o_orderdate) AS DATE),
-                      CAST(last_day(o_orderdate) AS DATE)) + 1 AS INT)
-         AS days_in_month
-FROM orders
-""",
-)
-def q_month_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F12: start/end-of-month date math (utils/date_utils.py:4-15 builds
-    the weather API's monthly ranges this way)."""
-    from market_flow_spark.functions.dates import end_of_month, start_of_month
-
-    od = load_tables(spark, sf_dir)["orders"]
-    d = F.col("o_orderdate")
-    return od.select(
-        start_of_month(d).alias("month_start"),
-        end_of_month(d).alias("month_end"),
-        (F.datediff(end_of_month(d), start_of_month(d)) + 1)
-        .cast("int")
-        .alias("days_in_month"),
-    ).distinct()
-
-
-@register(
     "seasonal_forecast",
     f"""
 WITH m AS ({_MONTHLY_SERIES_SQL}),
@@ -1007,68 +970,72 @@ def q_country_name_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "numeric_filter",
+    "table_audit",
     """
-SELECT p_partkey, p_size FROM part WHERE p_size = 15
+WITH audit AS (
+  SELECT COUNT(*) AS n_rows,
+         MIN(o_orderdate) AS first_order,
+         MAX(o_orderdate) AS last_order,
+         COUNT(DISTINCT o_custkey) AS n_customers
+  FROM orders
+),
+ds AS (
+  SELECT COUNT(*) AS customer_rows,
+         COUNT(DISTINCT c_custkey) AS n_c_custkey,
+         COUNT(DISTINCT c_name) AS n_c_name,
+         COUNT(DISTINCT c_nationkey) AS n_c_nationkey,
+         COUNT(DISTINCT c_mktsegment) AS n_c_mktsegment,
+         CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS nulls_c_acctbal
+  FROM customer
+),
+ev_m AS (
+  SELECT CAST(month(ts) AS INT) AS month,
+         FLOOR((CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+              / COUNT(value)) * 100.0 + 0.5) / 100.0 AS avg_event_value
+  FROM events GROUP BY 1
+),
+o AS (
+  SELECT o_orderkey, CAST(month(o_orderdate) AS INT) AS month FROM orders
+),
+nulljoin AS (
+  SELECT CAST(SUM(CASE WHEN e.avg_event_value IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS nulls_avg_event_value,
+         COUNT(*) AS total_rows
+  FROM o LEFT JOIN ev_m e USING (month)
+)
+SELECT * FROM audit CROSS JOIN ds CROSS JOIN nulljoin
 """,
 )
-def q_numeric_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5's numeric-equality fallback branch (dataset_viewer.py:18-29): the
-    generic viewer filter applied to a numeric column parses the needle as
-    a number and switches from substring to equality."""
-    from market_flow_spark.operators.analytics import filter_contains
-
-    pa = load_tables(spark, sf_dir)["part"].select("p_partkey", "p_size")
-    return filter_contains(pa, "p_size", "15")
-
-
-@register(
-    "audit_stats",
-    """
-SELECT COUNT(*) AS n_rows,
-       MIN(o_orderdate) AS first_order,
-       MAX(o_orderdate) AS last_order,
-       COUNT(DISTINCT o_custkey) AS n_customers
-FROM orders
-""",
-)
-def q_audit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: load-verification table stats (ingest_kaggle_data.py:182-187
-    logs COUNT(*) + MAX(audit col) after every load)."""
-    od = load_tables(spark, sf_dir)["orders"]
-    return od.agg(
+def q_table_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 + A9 + A10 in one driver-checkable audit panel: the
+    load-verification stats (ingest_kaggle_data.py:182-187 logs COUNT(*) +
+    MAX(audit col) after every load), the dataset-viewer's per-column
+    nunique/null panel (dataset_viewer.py:37-52), and the null count after
+    a LEFT join (the enrich-coverage check). Three single-row aggregates
+    cross-joined — each side aggregates before joining, so the joins are
+    1×1×1."""
+    t = load_tables(spark, sf_dir)
+    od = t["orders"]
+    audit = od.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min("o_orderdate").alias("first_order"),
         F.max("o_orderdate").alias("last_order"),
         F.countDistinct("o_custkey").alias("n_customers"),
     )
-
-
-@register(
-    "dataset_stats",
-    """
-SELECT COUNT(*) AS total_rows,
-       COUNT(DISTINCT c_custkey) AS n_c_custkey,
-       COUNT(DISTINCT c_name) AS n_c_name,
-       COUNT(DISTINCT c_nationkey) AS n_c_nationkey,
-       COUNT(DISTINCT c_mktsegment) AS n_c_mktsegment,
-       CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS nulls_c_acctbal
-FROM customer
-""",
-)
-def q_dataset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9+A10: the dataset-viewer's per-column nunique/null panel
-    (dataset_viewer.py:37-52) as one aggregate pass."""
-    cu = load_tables(spark, sf_dir)["customer"]
-    return cu.agg(
-        F.count(F.lit(1)).alias("total_rows"),
+    ds = t["customer"].agg(
+        F.count(F.lit(1)).alias("customer_rows"),
         F.countDistinct("c_custkey").alias("n_c_custkey"),
         F.countDistinct("c_name").alias("n_c_name"),
         F.countDistinct("c_nationkey").alias("n_c_nationkey"),
         F.countDistinct("c_mktsegment").alias("n_c_mktsegment"),
         F.sum(F.col("c_acctbal").isNull().cast("bigint")).alias("nulls_c_acctbal"),
     )
+    ev_m = star.monthly_event_stats(t["events"]).select("month", "avg_event_value")
+    o = od.select("o_orderkey", F.month("o_orderdate").alias("month"))
+    joined = o.join(F.broadcast(ev_m), on="month", how="left")
+    nulljoin = an.null_counts(joined, ["avg_event_value"])
+    return audit.crossJoin(ds).crossJoin(nulljoin)
 
 
 def _near_dup_oracle(n_bits: int = 8, threshold: float = 0.9) -> str:
