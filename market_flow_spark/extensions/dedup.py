@@ -131,8 +131,17 @@ def _prefix_candidates(arrs: DataFrame, threshold: float) -> DataFrame:
     posting lists (and the candidate count, quadratically) by ~(1-t)².
     A length filter (min size ≥ t · max size, necessary for J ≥ t) prunes
     further. Exactness is untouched: every qualifying pair provably
-    survives, and the verifier computes exact Jaccard."""
-    pref_len = (F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1).cast("int")
+    survives, and the verifier computes exact Jaccard.
+
+    ceil(sz·t) is computed in exact integer arithmetic (t as a rational
+    num/den, ceil(a/b) = -((-a) div b)): double rounding could shorten the
+    prefix by one element for unlucky (sz, t) and silently drop qualifying
+    pairs from a tier documented as exact."""
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    num, den = frac.numerator, frac.denominator
+    pref_len = F.expr(f"CAST(sz - (-((-sz * {num}) div {den})) + 1 AS INT)")
     pref = arrs.select(
         "doc_id", "sz", F.explode(F.slice("sh", F.lit(1), pref_len)).alias("word")
     )
@@ -297,10 +306,14 @@ def minhash_lsh_pairs(
         matches = m if matches is None else matches + m
     # persist: the screened pair set feeds three consumers (the pair join
     # and both sides of the candidate-doc union) — without caching, the
-    # whole band-join pipeline would re-run per consumer
+    # whole band-join pipeline would re-run per consumer.
+    # No broadcast hints: the signature table is doc-count-sized (one row
+    # per document), so at corpus scale broadcasting it is a guaranteed
+    # OOM. These are plain equi-joins on doc id; AQE picks broadcast
+    # locally when the build side happens to be small.
     screened = (
-        cand.join(F.broadcast(s1), "doc1")
-        .join(F.broadcast(s2), "doc2")
+        cand.join(s1, "doc1")
+        .join(s2, "doc2")
         .filter(matches >= F.lit(min_sig_matches))
         .select("doc1", "doc2")
     ).persist()
@@ -316,7 +329,10 @@ def minhash_lsh_pairs(
             .union(screened.select(F.col("doc2").alias("doc_id")))
             .distinct()
         )
-        arrs = arrs.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        # left_semi with no hint: cand_docs is near-dup-count-sized, which
+        # is usually small but in the worst case corpus-sized — AQE decides
+        # broadcast vs shuffle from its actual runtime size.
+        arrs = arrs.join(cand_docs, "doc_id", "left_semi")
     return _verify_jaccard(screened, arrs, threshold)
 
 

@@ -107,6 +107,16 @@ def test_minhash_has_no_cross_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_minhash_has_no_forced_broadcast(spark, sf_dir):
+    """The signature table is doc-count-sized; a broadcast HINT on it would
+    OOM at corpus scale. AQE may still choose broadcast locally from actual
+    runtime sizes — so assert on the optimized logical plan (where hints
+    survive), not the physical one."""
+    df = QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in logical.lower()
+
+
 def test_events_scan_prunes_for_monthly_stats(spark, sf_dir):
     txt = _formatted(QUERIES["monthly_event_stats"](spark, sf_dir))
     for line in txt.splitlines():
