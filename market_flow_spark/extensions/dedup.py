@@ -140,19 +140,32 @@ def _prefix_candidates(arrs: DataFrame, threshold: float) -> DataFrame:
     from fractions import Fraction
 
     frac = Fraction(threshold).limit_denominator(1_000_000)
+    if frac > Fraction(threshold):
+        # the rational approximation must never exceed the float threshold
+        # the verifier uses, or the prefix could be one element too short
+        # for borderline pairs; Fraction(float) is the exact binary value.
+        frac = Fraction(threshold)
     num, den = frac.numerator, frac.denominator
-    pref_len = F.expr(f"CAST(sz - (-((-sz * {num}) div {den})) + 1 AS INT)")
+    # all arithmetic in BIGINT: sz can be 1e5+ and num up to ~1e6, so the
+    # product overflows INT32 (a runtime error under ANSI mode, a silently
+    # negative prefix length otherwise).
+    pref_len = F.expr(
+        f"CAST(sz - (-((-CAST(sz AS BIGINT) * {num}) div {den})) + 1 AS INT)"
+    )
     pref = arrs.select(
         "doc_id", "sz", F.explode(F.slice("sh", F.lit(1), pref_len)).alias("word")
     )
     p1 = pref.select(F.col("doc_id").alias("doc1"), F.col("sz").alias("n1"), "word")
     p2 = pref.select(F.col("doc_id").alias("doc2"), F.col("sz").alias("n2"), "word")
+    # length filter in the same exact integer arithmetic as the prefix
+    # (n1 >= n2*t  ⇔  n1*den >= n2*num), so filter and prefix agree on
+    # exactly which (n1, n2) combinations can qualify.
     return (
         p1.join(p2, "word")
         .filter(
             (F.col("doc1") < F.col("doc2"))
-            & (F.col("n1") >= F.col("n2") * F.lit(threshold))
-            & (F.col("n2") >= F.col("n1") * F.lit(threshold))
+            & (F.col("n1").cast("bigint") * den >= F.col("n2").cast("bigint") * num)
+            & (F.col("n2").cast("bigint") * den >= F.col("n1").cast("bigint") * num)
         )
         .select("doc1", "doc2")
         .distinct()
@@ -238,23 +251,24 @@ def minhash_signatures(
 def lsh_bands(signatures: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
     """Band the signature: band_hash = md5 of the '-'-joined band rows.
     Docs sharing any (band_idx, band_hash) become candidate pairs via a
-    plain equi-join — the step that keeps LSH linear-ish at scale."""
+    plain equi-join — the step that keeps LSH linear-ish at scale.
+
+    Built as ONE inline-explode over the signature table (not a union of
+    per-band selects), so the signature aggregation upstream runs once
+    regardless of the band count."""
     n = len([c for c in signatures.columns if c.startswith("mh")])
     rows_per_band = n // bands
-    pieces = []
+    entries = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        pieces.append(
-            signatures.select(
-                "doc_id",
+        entries.append(
+            F.struct(
                 F.lit(b).alias("band_idx"),
                 F.md5(F.concat_ws("-", *cols)).alias("band_hash"),
             )
         )
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
-    return out
+    passthrough = [c for c in signatures.columns if not c.startswith("mh")]
+    return signatures.select(*passthrough, F.inline(F.array(*entries)))
 
 
 def minhash_lsh_pairs(
@@ -279,51 +293,47 @@ def minhash_lsh_pairs(
     """
     arrs = doc_shingle_arrays(docs, text_col=text_col)
     words = arrs.select("doc_id", F.explode("sh").alias("word"))
-    # signatures are doc-count-sized (16 hashes/doc) — persist so the band
-    # build and the estimate screen don't recompute the shingle explosion.
-    # The shingle-array table itself is corpus-sized and is NOT persisted;
-    # the verification stage below narrows it with a semi-join instead.
-    sigs = minhash_signatures(words).persist()
-    bands = lsh_bands(sigs)
-    b1 = bands.withColumnsRenamed({"doc_id": "doc1"})
-    b2 = bands.withColumnsRenamed({"doc_id": "doc2"})
-    cand = (
+    sigs = minhash_signatures(words)
+    n = len([c for c in sigs.columns if c.startswith("mh")])
+    # The full signature travels WITH each band row as a 16-element array,
+    # so the band equi-join directly yields both sides' signatures and the
+    # estimate screen is an in-row zip — no join back to the signature
+    # table, no persist, and query construction stays fully lazy (the
+    # r2-flagged cache leak is gone because there is no cache).
+    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(n)])
+    banded = lsh_bands(sigs.withColumn("sig", sig_arr))
+    b1 = banded.select(
+        F.col("doc_id").alias("doc1"), F.col("sig").alias("sig1"),
+        "band_idx", "band_hash",
+    )
+    b2 = banded.select(
+        F.col("doc_id").alias("doc2"), F.col("sig").alias("sig2"),
+        "band_idx", "band_hash",
+    )
+    matches = F.aggregate(
+        F.zip_with("sig1", "sig2", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    # Screen BEFORE distinct: the signature estimate is per-pair
+    # deterministic, so filtering band-duplicated rows first shrinks the
+    # distinct's shuffle to the pairs that already look close.
+    # No broadcast hints anywhere: the signature table is doc-count-sized,
+    # so at corpus scale broadcasting it is a guaranteed OOM. The band join
+    # is a plain equi-join; AQE picks broadcast locally if a side is small.
+    screened = (
         b1.join(b2, ["band_idx", "band_hash"])
-        .filter(F.col("doc1") < F.col("doc2"))
+        .filter((F.col("doc1") < F.col("doc2")) & (matches >= F.lit(min_sig_matches)))
         .select("doc1", "doc2")
         .distinct()
     )
-    n = len([c for c in sigs.columns if c.startswith("mh")])
-    s1 = sigs.select(
-        F.col("doc_id").alias("doc1"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n)]
-    )
-    s2 = sigs.select(
-        F.col("doc_id").alias("doc2"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n)]
-    )
-    matches = None
-    for i in range(n):
-        m = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-        matches = m if matches is None else matches + m
-    # persist: the screened pair set feeds three consumers (the pair join
-    # and both sides of the candidate-doc union) — without caching, the
-    # whole band-join pipeline would re-run per consumer.
-    # No broadcast hints: the signature table is doc-count-sized (one row
-    # per document), so at corpus scale broadcasting it is a guaranteed
-    # OOM. These are plain equi-joins on doc id; AQE picks broadcast
-    # locally when the build side happens to be small.
-    screened = (
-        cand.join(s1, "doc1")
-        .join(s2, "doc2")
-        .filter(matches >= F.lit(min_sig_matches))
-        .select("doc1", "doc2")
-    ).persist()
     if narrow_verification:
         # 100 TB path: narrow the corpus-sized shingle-array table to
         # candidate docs before the verification join — scanning only the
-        # near-dup neighborhoods instead of the whole corpus. The extra
-        # union/semi-join stages only pay off when the corpus is much
-        # larger than the candidate set, so it's opt-in (bench scale is
-        # not).
+        # near-dup neighborhoods instead of the whole corpus. This branches
+        # the screened-pair plan (Spark recomputes it per consumer), so
+        # it's opt-in: only worth it when the corpus dwarfs the candidate
+        # set; long-lived callers can persist() the result themselves.
         cand_docs = (
             screened.select(F.col("doc1").alias("doc_id"))
             .union(screened.select(F.col("doc2").alias("doc_id")))

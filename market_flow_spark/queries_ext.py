@@ -703,11 +703,12 @@ def q_seasonal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer partial sums: mean(yc - a - b·t) = (Σyc - a·n - b·Σt)/n),
     12-month horizon continuing the series calendar.
 
-    Single-pass plan: one per-(brand, calendar-month) aggregate carries
-    everything both the trend fit and the seasonal offsets need. It is
-    persisted and materialized eagerly, so the fact table is scanned ONCE —
-    the naive formulation re-derives the monthly series in three plan
-    branches (trend, residuals, horizon), which triples the 100 TB scan."""
+    Single-lineage plan: the per-(brand, calendar-month) seasonal stats are
+    folded into a ≤12-entry map on the single per-brand row, so the trend
+    fit, the seasonal offsets, AND the horizon expansion all read the same
+    aggregate — the fact table is scanned ONCE, construction is fully lazy,
+    and nothing is persisted (the naive formulation re-derives the monthly
+    series in three plan branches, which triples the 100 TB scan)."""
     from pyspark.sql import Window
 
     series = _monthly_series(spark, sf_dir)
@@ -720,59 +721,47 @@ def q_seasonal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(Window.partitionBy("brand").orderBy("mkey")) - 1
         ).alias("t"),
     )
-    g = (
-        i.groupBy("brand", "month")
-        .agg(
-            F.count(F.lit(1)).alias("nm"),
-            F.max("mkey").cast("int").alias("mx"),
-            F.sum("t").alias("st"),
-            F.sum(F.col("t") * F.col("t")).alias("st2"),
-            F.sum("yc").alias("syc"),
-            F.sum(F.col("t") * F.col("yc")).alias("styc"),
-        )
-        .persist()
+    g = i.groupBy("brand", "month").agg(
+        F.count(F.lit(1)).alias("nm"),
+        F.max("mkey").cast("int").alias("mx"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t") * F.col("t")).alias("st2"),
+        F.sum("yc").alias("syc"),
+        F.sum(F.col("t") * F.col("yc")).alias("styc"),
     )
-    g.count()  # materialize: brands × 12 rows; guarantees one fact scan
-    s = g.groupBy("brand").agg(
+    b = g.groupBy("brand").agg(
         F.sum("nm").alias("n"),
         F.max("mx").cast("int").alias("last_mkey"),
         F.sum("st").alias("sx"),
         F.sum("st2").alias("sx2"),
         F.sum("syc").alias("sy"),
         F.sum("styc").alias("sxy"),
+        F.map_from_entries(
+            F.collect_list(F.struct("month", F.struct("nm", "st", "syc")))
+        ).alias("months"),
     )
     den = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
     slope = F.when(den == 0, F.lit(0.0)).otherwise(
         (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
         / den.cast("double")
     )
-    f = s.select(
+    f = b.select(
         "brand",
         "n",
         "last_mkey",
+        "months",
         slope.alias("slope_c"),
         (
             (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
             / F.col("n").cast("double")
         ).alias("intercept_c"),
     )
-    seas = g.join(F.broadcast(f), "brand").select(
-        "brand",
-        "month",
-        (
-            (
-                F.col("syc").cast("double")
-                - F.col("intercept_c") * F.col("nm").cast("double")
-                - F.col("slope_c") * F.col("st").cast("double")
-            )
-            / F.col("nm").cast("double")
-        ).alias("sm"),
-    )
     h = spark.range(12).select(F.col("id").cast("int").alias("dt"))
     fut = f.crossJoin(F.broadcast(h)).select(
         "brand",
         "slope_c",
         "intercept_c",
+        "months",
         (F.col("n") + F.col("dt")).cast("int").alias("t"),
         (((F.col("last_mkey") % 100 - 1 + F.col("dt") + 1) % 12) + 1)
         .cast("int")
@@ -780,17 +769,26 @@ def q_seasonal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from market_flow_spark.functions.aggregates import det_round
 
-    joined = fut.join(F.broadcast(seas), ["brand", "month"], "left")
+    e = F.col("months")[F.col("month")]  # null when the month never occurred
+    sm = (
+        F.col("syc").cast("double")
+        - F.col("intercept_c") * F.col("nm").cast("double")
+        - F.col("slope_c") * F.col("st").cast("double")
+    ) / F.col("nm").cast("double")
+    with_entry = fut.select(
+        "brand", "t", "slope_c", "intercept_c",
+        e["nm"].alias("nm"), e["st"].alias("st"), e["syc"].alias("syc"),
+    )
     yhat = det_round(
         (
             F.col("intercept_c")
             + F.col("slope_c") * F.col("t").cast("double")
-            + F.coalesce(F.col("sm"), F.lit(0.0))
+            + F.coalesce(sm, F.lit(0.0))
         )
         / 100.0,
         2,
     )
-    return joined.select("brand", "t", yhat.alias("yhat"))
+    return with_entry.select("brand", "t", yhat.alias("yhat"))
 
 
 _BEST_MARKETS_SERIES_SQL = """
