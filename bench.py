@@ -22,11 +22,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from market_flow_spark.queries_all import QUERIES  # noqa: E402
 from market_flow_spark.session import get_spark  # noqa: E402
 
-# every registered query EXCEPT the one intentionally-quadratic exact tier:
-# word-level Jaccard produces ~5M qualifying pairs at sf0.1 on this
-# high-self-similarity synthetic corpus (~90 s) — its scalable siblings
-# (dedup_minhash_lsh, simhash_pairs) are benched instead.
-EXCLUDE = {"dedup_word_jaccard"}
+# every registered query is benched — no exclusions.
+EXCLUDE: set[str] = set()
 
 
 def main() -> None:

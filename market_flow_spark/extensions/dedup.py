@@ -50,6 +50,21 @@ def _norm_text(text_col: str) -> Column:
     return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Ensure the corpus scan feeds at least one partition per core before
+    the CPU-heavy shingle build. On a real corpus the file splits provide
+    this for free and the condition is false — no shuffle is added on the
+    100 TB path. It only fires when the source hands back fewer partitions
+    than the cluster has slots (tiny single-file inputs, a few huge gzip
+    files), where the one-time round-robin shuffle of the raw text is the
+    difference between 1 busy core and all of them."""
+    sc = docs.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target)
+    return docs
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup: md5(normalized text) → keep lowest doc_id per group."""
     f = docs.select("doc_id", F.md5(_norm_text(text_col)).alias("fingerprint"))
@@ -89,8 +104,17 @@ def doc_shingle_arrays(
     n-gram overlap decays geometrically — unrelated docs share ≈ no
     shingles. The sort gives every doc the same global element order, which
     is what the prefix filter below relies on."""
-    toked = docs.select(
-        "doc_id", F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("toks")
+    # coalesce('') makes every downstream expression NON-NULLABLE, which
+    # matters far beyond semantics: with a nullable text column, Catalyst
+    # infers isnotnull(size(<whole shingle expression>)) from the join
+    # conditions above and pushes that filter below the repartition — i.e.
+    # it re-evaluates the full shingle build, serially, at the scan, just
+    # to test for null. Non-nullable inputs generate no such constraint.
+    toked = _spread(docs).select(
+        "doc_id",
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+        ).alias("toks"),
     )
     if n == 1:
         sh = F.col("toks")
@@ -123,6 +147,64 @@ def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFra
     )
 
 
+def _threshold_ratio(threshold: float) -> tuple[int, int]:
+    """threshold as an exact rational num/den, guaranteed <= the float."""
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    if frac > Fraction(threshold):
+        frac = Fraction(threshold)
+    return frac.numerator, frac.denominator
+
+
+def _count_common_pairs(arrs: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard pairs via the count-common shape: full inverted-index
+    self-join → per-pair match count (map-side combine) → algebraic
+    Jaccard. No array payload ever leaves the index rows, and the set
+    sizes ride along as grouping keys, so the whole tier is one equi-join
+    plus one hash aggregate.
+
+    The right shape when pair density is HIGH (many pairs genuinely
+    qualify): the index join's emission is then proportional to the
+    output, and the array-verify tier's per-pair array copies dominate.
+    On sparse corpora with stop-word posting lists, prefer the
+    prefix-filtered tier (bounded index emission)."""
+    num, den = _threshold_ratio(threshold)
+    w = arrs.select("doc_id", "sz", F.explode("sh").alias("word"))
+    a, b = w.alias("a"), w.alias("b")
+    g = (
+        a.join(b, F.col("a.word") == F.col("b.word"))
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.col("a.sz").cast("bigint") * den
+                >= F.col("b.sz").cast("bigint") * num
+            )
+            & (
+                F.col("b.sz").cast("bigint") * den
+                >= F.col("a.sz").cast("bigint") * num
+            )
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.sz").alias("n1"),
+            F.col("b.sz").alias("n2"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        g.withColumn(
+            "jaccard",
+            det_round(
+                F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
 def _prefix_candidates(arrs: DataFrame, threshold: float) -> DataFrame:
     """Candidate (doc1, doc2) pairs via **prefix filtering** (SSJoin /
     AllPairs): under any global element order, two sets with Jaccard ≥ t
@@ -137,15 +219,10 @@ def _prefix_candidates(arrs: DataFrame, threshold: float) -> DataFrame:
     num/den, ceil(a/b) = -((-a) div b)): double rounding could shorten the
     prefix by one element for unlucky (sz, t) and silently drop qualifying
     pairs from a tier documented as exact."""
-    from fractions import Fraction
-
-    frac = Fraction(threshold).limit_denominator(1_000_000)
-    if frac > Fraction(threshold):
-        # the rational approximation must never exceed the float threshold
-        # the verifier uses, or the prefix could be one element too short
-        # for borderline pairs; Fraction(float) is the exact binary value.
-        frac = Fraction(threshold)
-    num, den = frac.numerator, frac.denominator
+    # the rational approximation must never exceed the float threshold the
+    # verifier uses, or the prefix could be one element too short for
+    # borderline pairs — _threshold_ratio guarantees num/den <= threshold.
+    num, den = _threshold_ratio(threshold)
     # all arithmetic in BIGINT: sz can be 1e5+ and num up to ~1e6, so the
     # product overflows INT32 (a runtime error under ANSI mode, a silently
     # negative prefix length otherwise).
@@ -155,19 +232,30 @@ def _prefix_candidates(arrs: DataFrame, threshold: float) -> DataFrame:
     pref = arrs.select(
         "doc_id", "sz", F.explode(F.slice("sh", F.lit(1), pref_len)).alias("word")
     )
-    p1 = pref.select(F.col("doc_id").alias("doc1"), F.col("sz").alias("n1"), "word")
-    p2 = pref.select(F.col("doc_id").alias("doc2"), F.col("sz").alias("n2"), "word")
-    # length filter in the same exact integer arithmetic as the prefix
-    # (n1 >= n2*t  ⇔  n1*den >= n2*num), so filter and prefix agree on
-    # exactly which (n1, n2) combinations can qualify.
+    # Self-join via ALIASES of the identical subtree (not two renamed
+    # projections): both sides canonicalize to the same plan, so the
+    # shuffle on `word` is built once and the other side is a
+    # ReusedExchange — the corpus-sized shingle build + prefix explode
+    # runs ONCE instead of twice. Length filter in the same exact integer
+    # arithmetic as the prefix (n1 >= n2*t ⇔ n1*den >= n2*num), so filter
+    # and prefix agree on exactly which (n1, n2) combinations qualify.
+    p1, p2 = pref.alias("p1"), pref.alias("p2")
     return (
-        p1.join(p2, "word")
+        p1.join(p2, F.col("p1.word") == F.col("p2.word"))
         .filter(
-            (F.col("doc1") < F.col("doc2"))
-            & (F.col("n1").cast("bigint") * den >= F.col("n2").cast("bigint") * num)
-            & (F.col("n2").cast("bigint") * den >= F.col("n1").cast("bigint") * num)
+            (F.col("p1.doc_id") < F.col("p2.doc_id"))
+            & (
+                F.col("p1.sz").cast("bigint") * den
+                >= F.col("p2.sz").cast("bigint") * num
+            )
+            & (
+                F.col("p2.sz").cast("bigint") * den
+                >= F.col("p1.sz").cast("bigint") * num
+            )
         )
-        .select("doc1", "doc2")
+        .select(
+            F.col("p1.doc_id").alias("doc1"), F.col("p2.doc_id").alias("doc2")
+        )
         .distinct()
     )
 
@@ -177,21 +265,21 @@ def _verify_jaccard(pairs: DataFrame, arrs: DataFrame, threshold: float) -> Data
     intersect in-row (`array_intersect` hashes the smaller array — linear,
     not quadratic). One equi-join per side instead of the three-way
     posting-list join; the per-pair work never leaves the JVM."""
-    a1 = arrs.select(
-        F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"), F.col("sz").alias("n1")
-    )
-    a2 = arrs.select(
-        F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"), F.col("sz").alias("n2")
-    )
-    common = F.size(F.array_intersect("sh1", "sh2"))
+    # Both array lookups join the SAME aliased subtree on doc_id, so the
+    # exchange (or broadcast) of the shingle-array table is built once and
+    # reused for the second side — one corpus pass, not two.
+    a1, a2 = arrs.alias("a1"), arrs.alias("a2")
+    common = F.size(F.array_intersect("a1.sh", "a2.sh"))
     return (
-        pairs.join(a1, "doc1")
-        .join(a2, "doc2")
+        pairs.join(a1, F.col("doc1") == F.col("a1.doc_id"))
+        .join(a2, F.col("doc2") == F.col("a2.doc_id"))
         .withColumn("common", common)
         .withColumn(
             "jaccard",
             det_round(
-                F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")), 4
+                F.col("common")
+                / (F.col("a1.sz") + F.col("a2.sz") - F.col("common")),
+                4,
             ),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -199,16 +287,57 @@ def _verify_jaccard(pairs: DataFrame, arrs: DataFrame, threshold: float) -> Data
     )
 
 
+def freq_ordered_arrays(arrs: DataFrame) -> DataFrame:
+    """Re-order each document's element set by ascending global document
+    frequency (ties broken by the element itself — still a total order).
+
+    This is the AllPairs/PPJoin canonicalization: with rarest-first arrays,
+    the ⌊(1-t)·n⌋+1 prefix holds each document's RAREST elements, so
+    stop-word-grade elements sit at the array tails and never enter the
+    inverted index — posting lists collapse from corpus-scale to
+    near-constant. Exactness is untouched (the prefix theorem holds under
+    ANY global order; verification intersects full sets). Costs one
+    vocabulary aggregate + one corpus re-group — the trade that makes the
+    unigram tier survive a shared vocabulary."""
+    w = arrs.select("doc_id", F.explode("sh").alias("word"))
+    df_counts = w.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        w.join(df_counts, "word")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "word"))).alias("ws"))
+        .select(
+            "doc_id", F.transform("ws", lambda s: s["word"]).alias("sh")
+        )
+        .withColumn("sz", F.size("sh"))
+    )
+
+
 def word_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.7, text_col: str = "text"
+    docs: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    freq_ordered: bool = False,
 ) -> DataFrame:
     """Exact near-dup pairs by word-set Jaccard ≥ threshold: prefix-filtered
     inverted-index self-join (never a cross join) + in-row array
     verification. Word sets from a shared vocabulary keep posting lists
     long, so this is the exact-but-mid-scale tier; MinHash+LSH below is the
-    100 TB tier."""
+    100 TB tier.
+
+    Default strategy is count-common (see ``_count_common_pairs``): on a
+    dense near-dup corpus the qualifying-pair count approaches the index
+    join's emission, so the bounded-emission prefix tier just adds array
+    copying. ``freq_ordered=True`` switches to the prefix-filtered verify
+    over rarest-first arrays (see ``freq_ordered_arrays``) — the right
+    trade on sparse realistic corpora where stop-word posting lists would
+    dominate the index join."""
     arrs = doc_shingle_arrays(docs, 1, text_col)
-    return _verify_jaccard(_prefix_candidates(arrs, threshold), arrs, threshold)
+    if freq_ordered:
+        arrs = freq_ordered_arrays(arrs)
+        return _verify_jaccard(
+            _prefix_candidates(arrs, threshold), arrs, threshold
+        )
+    return _count_common_pairs(arrs, threshold)
 
 
 def ngram_jaccard_pairs(
@@ -301,17 +430,15 @@ def minhash_lsh_pairs(
     # table, no persist, and query construction stays fully lazy (the
     # r2-flagged cache leak is gone because there is no cache).
     sig_arr = F.array(*[F.col(f"mh{i}") for i in range(n)])
-    banded = lsh_bands(sigs.withColumn("sig", sig_arr))
-    b1 = banded.select(
-        F.col("doc_id").alias("doc1"), F.col("sig").alias("sig1"),
-        "band_idx", "band_hash",
+    banded = lsh_bands(sigs.withColumn("sig", sig_arr)).select(
+        "doc_id", "sig", "band_idx", "band_hash"
     )
-    b2 = banded.select(
-        F.col("doc_id").alias("doc2"), F.col("sig").alias("sig2"),
-        "band_idx", "band_hash",
-    )
+    # Alias self-join on the identical subtree: the shuffle on the band key
+    # canonicalizes the same for both sides, so the shingle explosion +
+    # signature aggregation + banding runs ONCE (ReusedExchange), not twice.
+    b1, b2 = banded.alias("b1"), banded.alias("b2")
     matches = F.aggregate(
-        F.zip_with("sig1", "sig2", lambda a, b: (a == b).cast("int")),
+        F.zip_with("b1.sig", "b2.sig", lambda a, b: (a == b).cast("int")),
         F.lit(0),
         lambda acc, x: acc + x,
     )
@@ -322,9 +449,18 @@ def minhash_lsh_pairs(
     # so at corpus scale broadcasting it is a guaranteed OOM. The band join
     # is a plain equi-join; AQE picks broadcast locally if a side is small.
     screened = (
-        b1.join(b2, ["band_idx", "band_hash"])
-        .filter((F.col("doc1") < F.col("doc2")) & (matches >= F.lit(min_sig_matches)))
-        .select("doc1", "doc2")
+        b1.join(
+            b2,
+            (F.col("b1.band_idx") == F.col("b2.band_idx"))
+            & (F.col("b1.band_hash") == F.col("b2.band_hash")),
+        )
+        .filter(
+            (F.col("b1.doc_id") < F.col("b2.doc_id"))
+            & (matches >= F.lit(min_sig_matches))
+        )
+        .select(
+            F.col("b1.doc_id").alias("doc1"), F.col("b2.doc_id").alias("doc2")
+        )
         .distinct()
     )
     if narrow_verification:

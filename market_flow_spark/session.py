@@ -39,7 +39,23 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces by shuffle BYTES, which under-parallelizes CPU-bound
+        # stages (shingle verify, array intersection) whose per-row cost
+        # dwarfs their bytes: a ~1 MB shuffle would coalesce to ONE task on
+        # 32 cores at the 1m default floor. 64k keeps small-but-hot shuffles
+        # spread; at cluster scale shuffles are GBs and this floor is inert.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate turns explode(sh) into a size(sh)>0 scan
+        # filter; pushdown through the projection re-EXPANDS the array
+        # expression, so the full shingle build (split inlined once per
+        # element reference) re-runs serially at the scan just to test
+        # emptiness. Every Generate in this engine explodes a COMPUTED
+        # array, so the inferred filter can only ever duplicate work.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
@@ -57,6 +73,9 @@ def tune_session(spark: SparkSession) -> SparkSession:
     for k, v in {
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+        "spark.sql.optimizer.excludedRules":
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
     }.items():

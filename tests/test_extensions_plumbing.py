@@ -135,6 +135,25 @@ def test_minhash_narrow_verification_equivalent(spark, tables):
     assert direct == narrowed
 
 
+def test_word_jaccard_strategies_equivalent(spark, tables):
+    """count-common (dense default) and freq-ordered prefix-verify (sparse
+    path) are different physical shapes of the same exact operator — both
+    must return identical pairs."""
+    from market_flow_spark.extensions.dedup import word_jaccard_pairs
+
+    docs = tables["documents"].limit(120)
+    count_common = sorted(
+        (r.doc1, r.doc2, r.jaccard)
+        for r in word_jaccard_pairs(docs, threshold=0.7).collect()
+    )
+    prefix = sorted(
+        (r.doc1, r.doc2, r.jaccard)
+        for r in word_jaccard_pairs(docs, threshold=0.7, freq_ordered=True).collect()
+    )
+    assert count_common == prefix
+    assert len(count_common) > 0
+
+
 def test_kmv_estimate_within_error_bound(spark, tables):
     """KMV with k=256 has stddev ≈ 1/sqrt(k-2) ≈ 6.3%; assert within 4σ
     and that the exact path triggers when distinct < k."""
