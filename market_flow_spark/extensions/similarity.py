@@ -82,6 +82,40 @@ def sign_bucket(emb: Column, n_bits: int = 8) -> Column:
     return out.cast("int")
 
 
+def train_kmeans_quantizer(X, n_cells: int, seed: int = 42, max_iter: int = 8):
+    """Seeded k-means++ init + capped Lloyd iterations over an in-memory
+    sample (the FAISS-style IVF coarse-quantizer build). Pure numpy and
+    fully deterministic for a given (X, n_cells, seed, max_iter) — which is
+    what lets tests re-derive the exact centroids the operator used."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    n_cells = min(n_cells, len(X))
+    # k-means++ seeding: spread initial centroids ∝ squared distance,
+    # maintaining the running min-distance incrementally
+    C = X[[rng.randint(len(X))]]
+    d2min = ((X - C[0]) ** 2).sum(-1)
+    for _ in range(1, n_cells):
+        total = d2min.sum()
+        if total <= 0.0:
+            nxt = X[rng.randint(len(X))]
+        else:
+            nxt = X[np.searchsorted(np.cumsum(d2min / total), rng.rand())]
+        C = np.vstack([C, nxt])
+        d2min = np.minimum(d2min, ((X - nxt) ** 2).sum(-1))
+    for _ in range(max_iter):
+        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+        newC = C.copy()  # empty cells keep their previous centroid
+        for j in range(n_cells):
+            members = X[assign == j]
+            if len(members):
+                newC[j] = members.mean(0)
+        if np.array_equal(newC, C):
+            break
+        C = newC
+    return C
+
+
 def ivf_topk(
     embeddings: DataFrame,
     n_queries: int = 5,
@@ -129,30 +163,8 @@ def ivf_topk(
             .toPandas()
         )
     X = np.asarray(sample["embedding"].tolist(), dtype=np.float64)
-    rng = np.random.RandomState(seed)
-    n_cells = min(n_cells, len(X))
-    # k-means++ seeding: spread initial centroids ∝ squared distance,
-    # maintaining the running min-distance incrementally
-    C = X[[rng.randint(len(X))]]
-    d2min = ((X - C[0]) ** 2).sum(-1)
-    for _ in range(1, n_cells):
-        total = d2min.sum()
-        if total <= 0.0:
-            nxt = X[rng.randint(len(X))]
-        else:
-            nxt = X[np.searchsorted(np.cumsum(d2min / total), rng.rand())]
-        C = np.vstack([C, nxt])
-        d2min = np.minimum(d2min, ((X - nxt) ** 2).sum(-1))
-    for _ in range(max_iter):
-        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
-        newC = C.copy()  # empty cells keep their previous centroid
-        for j in range(n_cells):
-            members = X[assign == j]
-            if len(members):
-                newC[j] = members.mean(0)
-        if np.array_equal(newC, C):
-            break
-        C = newC
+    C = train_kmeans_quantizer(X, n_cells, seed, max_iter)
+    n_cells = len(C)
     cnorm2 = (C * C).sum(1)
 
     @pandas_udf("int")
@@ -205,6 +217,73 @@ def ivf_topk(
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
+        det_round(cos, 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivf_hyperplane_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    n_bits: int = 4,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF ANN with a FIXED hyperplane coarse quantizer: cell = sign bits
+    of the leading ``n_bits`` dimensions (2^n_bits cells).
+
+    Same plan skeleton as the k-means IVF (``ivf_topk``): cell assignment
+    is a per-row expression over the full corpus, each query probes its
+    ``nprobe`` nearest cells, and search is an equi-join on the cell id —
+    never a full scan per query. The difference is the quantizer: fixed
+    hyperplanes instead of trained centroids. That trades recall-per-probe
+    on clustered corpora for full determinism — every step is expressible
+    in ANSI SQL, which makes this variant the oracle-checked driver entry
+    for the IVF family (the k-means quantizer's training loop is not
+    SQL-expressible; it keeps its recall/exactness pytest).
+
+    Probe ranking uses the exact hyperplane margin lower bound: the
+    squared distance from query q to the nearest point of cell c is
+    Σ q_i² over the bits where c disagrees with sign(q_i) — so probes are
+    ordered by how cheaply q could cross into each cell.
+    """
+    spark = embeddings.sparkSession
+    data = embeddings.withColumn(
+        "norm", F.sqrt(_norm_sq(F.col("embedding")))
+    ).withColumn("cell", sign_bucket(F.col("embedding"), n_bits))
+    queries = data.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    cells = spark.range(2**n_bits).select(F.col("id").cast("int").alias("cell"))
+    qc = queries.crossJoin(F.broadcast(cells))
+    d2 = None
+    for i in range(n_bits):
+        qi = F.col("qe").getItem(i).cast("double")
+        cell_bit = F.shiftright(F.col("cell"), i).bitwiseAND(F.lit(1))
+        q_bit = F.when(qi > 0, F.lit(1)).otherwise(F.lit(0))
+        term = F.when(cell_bit != q_bit, qi * qi).otherwise(F.lit(0.0))
+        d2 = term if d2 is None else d2 + term
+    wq = Window.partitionBy("query_id").orderBy(d2.asc(), F.col("cell"))
+    probes = (
+        qc.withColumn("cell_rank", F.row_number().over(wq))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("query_id", "qe", "qnorm", "cell")
+    )
+    cand = data.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("embedding"), F.col("qe")) / (F.col("norm") * F.col("qnorm"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cell"),
         det_round(cos, 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(

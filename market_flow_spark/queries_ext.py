@@ -469,10 +469,72 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ivf_topk")  # rows-only: the k-means quantizer has no SQL oracle;
-# tests/test_similarity_ivf.py checks recall + cosine exactness vs brute force
+def _ivf_hyperplane_oracle(
+    n_queries: int = 5, k: int = 5, n_bits: int = 4, nprobe: int = 4
+) -> str:
+    cell = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] > 0 THEN {2**i} ELSE 0 END)"
+        for i in range(n_bits)
+    )
+    # exact hyperplane margin lower bound, same term order as the Spark side
+    d2 = " + ".join(
+        f"(CASE WHEN (CASE WHEN CAST(qe[{i + 1}] AS DOUBLE) > 0 THEN 1 ELSE 0 END)"
+        f" <> CAST((c.cell // {2**i}) % 2 AS INT)"
+        f" THEN CAST(qe[{i + 1}] AS DOUBLE) * CAST(qe[{i + 1}] AS DOUBLE)"
+        f" ELSE 0.0 END)"
+        for i in range(n_bits)
+    )
+    dot = _COSINE_SQL.format(a="e.embedding", b="pr.qe")
+    n1 = _COSINE_SQL.format(a="e.embedding", b="e.embedding")
+    n2 = _COSINE_SQL.format(a="pr.qe", b="pr.qe")
+    return f"""
+WITH d AS (
+  SELECT vec_id, embedding, CAST({cell} AS INT) AS cell FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM d WHERE vec_id < {n_queries}
+),
+cells AS (SELECT CAST(range AS INT) AS cell FROM range({2**n_bits})),
+qc AS (
+  SELECT q.query_id, q.qe, c.cell, {d2} AS d2 FROM q CROSS JOIN cells c
+),
+probes AS (
+  SELECT query_id, qe, cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY d2 ASC, cell) AS cell_rank
+    FROM qc
+  ) WHERE cell_rank <= {nprobe}
+),
+p AS (
+  SELECT pr.query_id, e.vec_id AS neighbor_id, e.cell,
+         {dot} AS dot, {n1} AS nsq1, {n2} AS nsq2
+  FROM d e JOIN probes pr USING (cell)
+  WHERE e.vec_id <> pr.query_id
+),
+c AS (
+  SELECT query_id, neighbor_id, cell,
+         {_floor_round_sql("dot / (sqrt(nsq1) * sqrt(nsq2))", 6)} AS cosine
+  FROM p
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM c
+)
+SELECT query_id, neighbor_id, cell, cosine, rank FROM r WHERE rank <= {k}
+"""
+
+
+@register("ivf_topk", _ivf_hyperplane_oracle())
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.ivf_topk(
+    """Driver entry for the IVF family: the deterministic hyperplane
+    quantizer variant — identical plan skeleton to the k-means IVF
+    (assign cells → probe nprobe nearest → equi-join on cell) with every
+    step SQL-expressible, so the whole operator is oracle-checked. The
+    k-means-quantizer IVF (`similarity.ivf_topk`) remains the library op;
+    tests/test_similarity_ivf.py pins its exactness within probed cells
+    and recall vs brute force at two scale factors."""
+    return similarity.ivf_hyperplane_topk(
         load_tables(spark, sf_dir)["embeddings"], n_queries=5, k=5
     )
 

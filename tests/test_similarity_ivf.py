@@ -1,8 +1,95 @@
-"""IVF ANN: structural correctness + recall against exact brute force."""
+"""IVF ANN correctness.
+
+The k-means-quantizer IVF (`similarity.ivf_topk`) is the one operator whose
+driver entry is delegated to the deterministic hyperplane variant (the
+training loop is not SQL-expressible), so its own gate lives here: a
+bit-exact Python reference implementation — same centroids (re-derived via
+the shared `train_kmeans_quantizer`), same sequential-fold arithmetic as
+the JVM expressions, same det_round — evaluated at TWO scale factors, plus
+recall against exact brute force.
+"""
 
 from __future__ import annotations
 
-from market_flow_spark.extensions.similarity import cosine_topk, ivf_topk
+import math
+
+import pytest
+
+from market_flow_spark.extensions.similarity import (
+    cosine_topk,
+    ivf_hyperplane_topk,
+    ivf_topk,
+    train_kmeans_quantizer,
+)
+
+
+def _fold_dot(a, b) -> float:
+    """Sequential left fold — bit-identical to the JVM zip_with+aggregate."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _det_round6(x: float) -> float:
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _reference_ivf(emb_rows, n_queries, k, n_cells, nprobe, train_rows):
+    """Pure-Python IVF mirroring similarity.ivf_topk step for step."""
+    import numpy as np
+
+    X = np.asarray(
+        [list(r.embedding) for r in emb_rows if r.vec_id < train_rows],
+        dtype=np.float64,
+    )
+    C = train_kmeans_quantizer(X, n_cells, seed=42, max_iter=8)
+    cnorm2 = (C * C).sum(1)
+    all_X = np.asarray([list(r.embedding) for r in emb_rows], dtype=np.float64)
+    cells = (cnorm2 - 2.0 * (all_X @ C.T)).argmin(1)
+    ids = [r.vec_id for r in emb_rows]
+    norms = {i: math.sqrt(_fold_dot(e, e)) for i, e in zip(ids, all_X)}
+    by_id = dict(zip(ids, all_X))
+    cell_of = dict(zip(ids, (int(c) for c in cells)))
+
+    out = []
+    for qid in [i for i in ids if i < n_queries]:
+        qe = by_id[qid]
+        # probe ranking: sequential fold of (x-y)^2, tie-break by cell id
+        d2s = []
+        for j, c in enumerate(C):
+            acc = 0.0
+            for x, y in zip(qe, c):
+                acc += (float(x) - float(y)) * (float(x) - float(y))
+            d2s.append((acc, j))
+        probed = {j for _, j in sorted(d2s)[:nprobe]}
+        scored = []
+        for nid in ids:
+            if nid == qid or cell_of[nid] not in probed:
+                continue
+            cos = _fold_dot(by_id[nid], qe) / (norms[nid] * norms[qid])
+            scored.append((_det_round6(cos), nid))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (cos, nid) in enumerate(scored[:k], start=1):
+            out.append((qid, nid, cos, rank))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_ivf_topk_matches_reference_bit_exact(spark, sf):
+    """Spark IVF output == the Python reference, bit for bit, at two SFs."""
+    from market_flow_spark.tables import load_tables
+
+    emb = load_tables(spark, sf)["embeddings"]
+    params = dict(n_queries=5, k=5, n_cells=8, nprobe=4)
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in ivf_topk(emb, train_rows=2048, **params).collect()
+    )
+    want = _reference_ivf(
+        emb.select("vec_id", "embedding").collect(), train_rows=2048, **params
+    )
+    assert got == want
 
 
 def test_ivf_topk_recall_and_exactness(spark, tables):
@@ -39,3 +126,19 @@ def test_ivf_deterministic_across_runs(spark, tables):
     a = sorted(map(tuple, ivf_topk(emb, n_queries=3, k=3).collect()))
     b = sorted(map(tuple, ivf_topk(emb, n_queries=3, k=3).collect()))
     assert a == b
+
+
+def test_ivf_hyperplane_same_skeleton_exact_within_cells(spark, tables):
+    """The hyperplane-quantizer driver variant: every returned pair's
+    cosine must match brute force exactly (same fold arithmetic)."""
+    emb = tables["embeddings"]
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(emb, n_queries=5, k=100).collect()
+    }
+    hp = ivf_hyperplane_topk(emb, n_queries=5, k=5).collect()
+    assert len(hp) > 0
+    for r in hp:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact:
+            assert exact[key] == r.cosine
