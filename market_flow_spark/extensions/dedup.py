@@ -13,8 +13,9 @@ Four tiers, cheapest first — the standard LLM-training-data dedup ladder:
    pairs come from equi-joins on band hashes (shuffle on band key, never a
    cross join). The 100 TB path. md5 is used (not xxhash) so the DuckDB
    oracle can reproduce signatures bit-for-bit.
-4. **SimHash** — per-doc 16-bit signature from marker-bit majorities;
-   near-dup pairs are low-Hamming-distance signatures.
+4. **SimHash** — per-doc 64-bit signature from hash-bit majorities;
+   near-dup pairs are low-Hamming-distance signatures, found via rotated
+   16-bit prefix tables (exact-by-pigeonhole for Hamming < table count).
 
 All tiers are pure DataFrame ops — explode/groupBy/join — no UDFs.
 """
@@ -28,7 +29,7 @@ from market_flow_spark.functions.aggregates import det_round
 
 NUM_MINHASHES = 16
 LSH_BANDS = 4  # 4 bands x 4 rows
-SIMHASH_BITS = 16
+SIMHASH_BITS = 64
 
 # Universal-hash family for MinHash: mh_i = min((a_i*h + b_i) mod P) where h
 # is ONE md5-derived uint32 per shingle. One md5 per shingle instead of one
@@ -483,40 +484,72 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """16-bit SimHash per doc: bit i set iff the majority of the doc's words
-    have md5 hex digit i ≥ '8'. Near-dups share low Hamming distance;
-    bucketing on the signature prefix makes the pair search an equi-join."""
+    """64-bit SimHash per doc: bit i set iff the majority of the doc's
+    words have bit i set in their md5-derived 64-bit hash (two 32-bit
+    halves of the md5 hex — reproducible in any engine that can parse hex).
+    Bit 63 is assembled as the two's-complement sign term so the signature
+    packs into one signed BIGINT."""
     words = doc_words(docs, text_col).withColumn("h", F.md5("word"))
-    aggs = [
-        F.sum(
-            F.when(F.substring("h", i + 1, 1) >= "8", 1).otherwise(-1)
-        ).alias(f"s{i}")
-        for i in range(SIMHASH_BITS)
-    ]
-    s = words.groupBy("doc_id").agg(*aggs)
-    sim = None
+    words = words.withColumn(
+        "h1", F.conv(F.substring("h", 1, 8), 16, 10).cast("long")
+    ).withColumn("h2", F.conv(F.substring("h", 9, 8), 16, 10).cast("long"))
+    aggs = []
     for i in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"s{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
-        sim = bit if sim is None else sim + bit
+        src, j = ("h1", i) if i < 32 else ("h2", i - 32)
+        bit = F.shiftright(F.col(src), j).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{i}"))
+    s = words.groupBy("doc_id").agg(*aggs)
+    sim = F.when(
+        F.col(f"s{SIMHASH_BITS - 1}") > 0, F.lit(-(2 ** (SIMHASH_BITS - 1)))
+    ).otherwise(F.lit(0))
+    for i in range(SIMHASH_BITS - 1):
+        sim = sim + F.when(F.col(f"s{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
     return s.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, n_tables: int = 4
+) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Joins on the high byte of the signature first (a cheap LSH-style
-    blocking key), then filters by bit_count(xor). At 16 bits and test
-    scale the blocking is coarse; at 64 bits/100 TB the same shape holds
-    with multiple rotated prefix tables."""
-    sig = simhash_signatures(docs)
-    a = sig.withColumnsRenamed({"doc_id": "doc1", "simhash": "sim1"})
-    b = sig.withColumnsRenamed({"doc_id": "doc2", "simhash": "sim2"})
-    a = a.withColumn("block", F.floor(F.col("sim1") / 256))
-    b = b.withColumn("block", F.floor(F.col("sim2") / 256))
-    pairs = a.join(b, "block").filter(F.col("doc1") < F.col("doc2"))
-    ham = F.bit_count(F.col("sim1").bitwiseXOR(F.col("sim2")))
+    The 64-bit signature is split into ``n_tables`` 16-bit blocks; by
+    pigeonhole, any pair within Hamming distance < n_tables agrees EXACTLY
+    on at least one block, so candidates come from ``n_tables`` equi-joins
+    on (block_idx, block_value) — the rotated-prefix-table scheme that
+    stays selective at corpus scale (2^16 buckets per table instead of the
+    old 16-bit signature's 256 saturating blocks). Built as one
+    inline-explode + alias self-join; bit_count(xor) verifies in-row."""
+    # pigeonhole completeness: <= max_hamming differing bits can touch at
+    # most max_hamming blocks, leaving one exact-match block only if
+    # max_hamming < n_tables
+    assert max_hamming < n_tables, "need max_hamming < n_tables"
+    width = SIMHASH_BITS // n_tables
+    mask = (1 << width) - 1
+    entries = [
+        F.struct(
+            F.lit(b).alias("block_idx"),
+            F.shiftright(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("block_val"),
+        )
+        for b in range(n_tables)
+    ]
+    blocked = simhash_signatures(docs).select(
+        "doc_id", "simhash", F.inline(F.array(*entries))
+    )
+    b1, b2 = blocked.alias("b1"), blocked.alias("b2")
+    ham = F.bit_count(F.col("b1.simhash").bitwiseXOR(F.col("b2.simhash")))
     return (
-        pairs.withColumn("hamming", ham.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc1", "doc2", "hamming")
+        b1.join(
+            b2,
+            (F.col("b1.block_idx") == F.col("b2.block_idx"))
+            & (F.col("b1.block_val") == F.col("b2.block_val")),
+        )
+        .filter((F.col("b1.doc_id") < F.col("b2.doc_id")) & (ham <= max_hamming))
+        .select(
+            F.col("b1.doc_id").alias("doc1"),
+            F.col("b2.doc_id").alias("doc2"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
     )

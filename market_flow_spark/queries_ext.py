@@ -338,21 +338,36 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_sig_sql() -> str:
     bits = dedup.SIMHASH_BITS
+
+    def bit_src(i: int) -> str:
+        src, j = ("h1", i) if i < 32 else ("h2", i - 32)
+        return f"(({src} >> {j}) & 1)"
+
     s_cols = ",\n    ".join(
-        f"CAST(SUM(CASE WHEN substring(h, {i + 1}, 1) >= '8' THEN 1 ELSE -1 END)"
+        f"CAST(SUM(CASE WHEN {bit_src(i)} = 1 THEN 1 ELSE -1 END)"
         f" AS BIGINT) AS s{i}"
         for i in range(bits)
     )
-    bit_sum = " + ".join(
-        f"(CASE WHEN s{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(bits)
+    # two's-complement assembly: bit 63 is the sign term
+    sign_term = (
+        f"(CASE WHEN s{bits - 1} > 0"
+        f" THEN CAST(-{2 ** (bits - 1) - 1} AS BIGINT) - 1 ELSE 0 END)"
+    )
+    bit_sum = sign_term + " + " + " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(bits - 1)
     )
     return f"""
 WITH words AS ({WORDS_SQL}),
-h AS (SELECT doc_id, md5(word) AS h FROM words),
+hh AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(word), 9, 8)) AS BIGINT) AS h2
+  FROM words
+),
 s AS (
   SELECT doc_id,
     {s_cols}
-  FROM h GROUP BY doc_id
+  FROM hh GROUP BY doc_id
 )
 SELECT doc_id, CAST({bit_sum} AS BIGINT) AS simhash FROM s
 """
@@ -367,13 +382,16 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "simhash_pairs",
     f"""
 WITH sig AS ({_simhash_sig_sql()}),
-a AS (SELECT doc_id AS doc1, simhash AS sim1,
-             CAST(FLOOR(simhash / 256) AS BIGINT) AS block FROM sig),
-b AS (SELECT doc_id AS doc2, simhash AS sim2,
-             CAST(FLOOR(simhash / 256) AS BIGINT) AS block FROM sig)
-SELECT a.doc1, b.doc2, CAST(bit_count(xor(a.sim1, b.sim2)) AS INT) AS hamming
-FROM a JOIN b USING (block)
-WHERE a.doc1 < b.doc2 AND bit_count(xor(a.sim1, b.sim2)) <= 3
+blocked AS (
+  SELECT doc_id, simhash, t.block_idx,
+         (simhash >> (16 * t.block_idx)) & 65535 AS block_val
+  FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) t(block_idx)
+)
+SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM blocked a
+JOIN blocked b ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
 )
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
