@@ -47,7 +47,7 @@ def all_varchar_schema(columns: list[str]) -> T.StructType:
 
 def read_csv_all_varchar(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     encoding: str = "UTF-8",
     strip_non_ascii: bool = False,
 ) -> DataFrame:
@@ -65,6 +65,62 @@ def read_csv_all_varchar(
     if strip_non_ascii:
         df = df.withColumns({c: ascii_strip(F.col(c)) for c in df.columns})
     return df
+
+
+def read_csv_with_encoding_fallback(
+    spark: SparkSession,
+    paths: list[str] | str,
+    encodings: tuple[str, ...] = ("UTF-8", "latin1", "iso-8859-1"),
+    strip_non_ascii: bool = False,
+    probe_bytes: int = 1 << 20,
+) -> DataFrame:
+    """S2: per-file encoding recovery, the Spark re-expression of the
+    reference's utf-8 → latin1 → iso-8859-1 retry loop
+    (/root/reference/utils/csv_utils.py:9-18).
+
+    Spark's CSV reader takes ONE encoding per read, so files are first
+    grouped by the first encoding that cleanly decodes a bounded probe of
+    the file head (latin1 accepts every byte sequence, so the chain always
+    terminates), then ONE spark.read runs per encoding group and the
+    groups union — per-file recovery without per-file Spark jobs. The
+    probe is bounded (`probe_bytes`) and driver-side, mirroring the
+    listing the reader itself performs; a bad byte past the probe window
+    degrades to the reader's PERMISSIVE replacement-char behavior rather
+    than failing the load, which is the reference's best-effort contract.
+    """
+    if isinstance(paths, str):
+        import glob
+        import os
+
+        paths = (
+            sorted(glob.glob(os.path.join(paths, "*.csv")))
+            if os.path.isdir(paths)
+            else [paths]
+        )
+    # python codec aliases → the canonical charset names Spark 4 validates
+    spark_charset = {"latin1": "iso-8859-1", "latin-1": "iso-8859-1"}
+    groups: dict[str, list[str]] = {}
+    for p in paths:
+        with open(p, "rb") as fh:
+            head = fh.read(probe_bytes)
+        for enc in encodings:
+            try:
+                head.decode(enc)
+            except UnicodeDecodeError:
+                continue
+            groups.setdefault(spark_charset.get(enc.lower(), enc), []).append(p)
+            break
+        else:
+            raise ValueError(f"could not decode {p} with any of {encodings}")
+    out: DataFrame | None = None
+    for enc, files in groups.items():
+        df = read_csv_all_varchar(
+            spark, files, encoding=enc, strip_non_ascii=strip_non_ascii
+        )
+        out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+    if out is None:
+        raise ValueError("no input files")
+    return out
 
 
 def with_lineage(df: DataFrame, source_path: str | None = None) -> DataFrame:

@@ -77,17 +77,29 @@ def stream_events(
     source_dir: str,
     schema: str,
     watermark: str = "2 hours",
+    archive_dir: str | None = None,
 ) -> DataFrame:
     """File-source stream of event files with a watermark for late data —
     the streaming twin of the batch events table. New files appearing in
     source_dir become micro-batches (the production shape: a landing
     prefix on object storage).
 
+    S5 (archive-after-load): pass ``archive_dir`` to move each source file
+    out of the landing prefix once its micro-batch commits
+    (``cleanSource=archive`` + ``sourceArchiveDir``) — the reference's
+    shutil.move-to-archive after load
+    (/root/reference/dags/raw/ingest_kaggle_data.py:204-212), giving the
+    at-most-once-pickup guarantee a landing directory needs.
+
     Watermarks require TIMESTAMP (not TIMESTAMP_NTZ) event time; with the
     session timezone pinned to UTC the cast is value-preserving."""
+    reader = spark.readStream.schema(schema)
+    if archive_dir is not None:
+        reader = reader.option("cleanSource", "archive").option(
+            "sourceArchiveDir", archive_dir
+        )
     return (
-        spark.readStream.schema(schema)
-        .parquet(source_dir)
+        reader.parquet(source_dir)
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
     )

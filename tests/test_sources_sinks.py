@@ -102,6 +102,27 @@ def test_run_pipeline(spark, sf_dir, tmp_path):
     assert len(years) > 1
 
 
+def test_csv_encoding_fallback_chain(spark, tmp_path):
+    """S2: the per-file utf-8 → latin1 → iso-8859-1 retry loop
+    (/root/reference/utils/csv_utils.py:9-18): a clean utf-8 file and a
+    latin-1 file (whose bytes are NOT valid utf-8) land in one DataFrame,
+    each decoded with the first encoding that accepts it."""
+    from market_flow_spark.sources.csv_source import read_csv_with_encoding_fallback
+
+    (tmp_path / "utf8.csv").write_bytes(
+        "Market,Price\nMünchen,3.0\n".encode("utf-8")
+    )
+    (tmp_path / "latin1.csv").write_bytes(
+        "Market,Price\nSão Paulo,1.5\nZürich,2.0\n".encode("latin-1")
+    )
+    df = read_csv_with_encoding_fallback(spark, str(tmp_path))
+    names = {r.market for r in df.collect()}
+    assert names == {"München", "São Paulo", "Zürich"}
+
+    stripped = read_csv_with_encoding_fallback(spark, str(tmp_path), strip_non_ascii=True)
+    assert {r.market for r in stripped.collect()} == {"Mnchen", "So Paulo", "Zrich"}
+
+
 def test_csv_encoding_latin1(spark, tmp_path):
     """S2: encoding-fallback path — a latin-1 file read with the right
     encoding keeps its characters; with strip_non_ascii they are removed
