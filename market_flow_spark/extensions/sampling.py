@@ -13,11 +13,14 @@ operator here is exactly oracle-checkable.
 Scale shape:
 - `sample_by_rate` / `assign_split` are pure per-row projections/filters —
   scan-local, no shuffle, survive any repartitioning.
-- `cap_per_group` shuffles once by group. A pathologically skewed group
-  (one domain = half the corpus) serializes into one task's window; for
-  that shape, pre-filter with an over-admitting hash threshold (admit
-  ~2× quota's expected share) before the exact window so the heavy group
-  shrinks before it shuffles.
+- `cap_per_group` is skew-safe by default: a two-level window first takes
+  each (group, hash-subsplit)'s local top-quota — spreading a
+  pathologically skewed group (one domain = half the corpus) across
+  `subsplits` tasks — then runs the exact window over the ≤
+  subsplits×quota survivors per group. The global top-quota by hash order
+  is contained in the union of per-subsplit top-quotas, so the result is
+  IDENTICAL to the naive single-window path, while the by-group shuffle
+  shrinks from corpus-sized to quota-bounded.
 """
 
 from __future__ import annotations
@@ -103,13 +106,31 @@ def cap_per_group(
     key_col: str,
     salt: str = "quota",
     rank_col: str = "pick_rank",
+    skew_safe: bool = True,
+    subsplits: int = 32,
 ) -> DataFrame:
     """Keep at most `quota` rows per group, selected by hash order — a
     deterministic uniform draw without replacement (domain quotas, per-site
     caps). The hash orders candidates; the key breaks the (vanishingly
-    rare) hash ties so the cut line is total-ordered."""
+    rare) hash ties so the cut line is total-ordered.
+
+    ``skew_safe`` (default) runs the exact two-level reduction: rows first
+    shuffle by (group, key-hash mod subsplits) and each subsplit keeps its
+    local top-quota, so a hot group occupies `subsplits` tasks instead of
+    serializing into one window; the final by-group window then sees at
+    most subsplits×quota rows per group. Because the global top-quota under
+    a total order is contained in the union of the per-subsplit top-quotas,
+    the output is identical to the naive path row for row."""
     order = [hash_bucket(F.col(key_col), salt).asc(), F.col(key_col).asc()]
     w = Window.partitionBy(group_col).orderBy(*order)
+    if skew_safe:
+        sub = F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), F.lit(subsplits))
+        w1 = Window.partitionBy(F.col(group_col), sub).orderBy(*order)
+        df = (
+            df.withColumn("_sub_rank", F.row_number().over(w1))
+            .filter(F.col("_sub_rank") <= quota)
+            .drop("_sub_rank")
+        )
     return (
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= quota)

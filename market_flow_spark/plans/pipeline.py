@@ -18,8 +18,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from market_flow_spark.operators import dims, star
+from market_flow_spark.quality import CheckResult, run_star_schema_checks
 from market_flow_spark.sources.sinks import export_parquet
 from market_flow_spark.tables import load_tables
+
+
+class QualityCheckError(RuntimeError):
+    """Raised when the post-build quality suite finds violations; carries
+    the full result list so callers can route/inspect them."""
+
+    def __init__(self, results: list[CheckResult]):
+        self.results = results
+        failed = [r for r in results if not r.passed]
+        super().__init__(
+            "quality checks failed: "
+            + "; ".join(
+                f"{r.check}({r.table}.{r.column})={r.violations}" for r in failed
+            )
+        )
 
 
 def build_staging(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
@@ -49,10 +65,22 @@ def build_analytics(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
     }
 
 
-def run_pipeline(spark: SparkSession, sf_dir: str, warehouse: str) -> dict[str, str]:
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    warehouse: str,
+    quality_gate: bool = True,
+) -> dict[str, str]:
     """Run the full raw→staging→analytics build into `warehouse`.
     Returns {table_name: path}. Each write is an independent Spark job —
-    the unit an external scheduler retries."""
+    the unit an external scheduler retries.
+
+    With ``quality_gate`` (default), the dbt-style star-schema suite
+    (`quality.run_star_schema_checks`) runs after the build and the
+    pipeline FAILS on any violation (`QualityCheckError`, carrying the
+    full result list) — the reference's declared-but-empty dbt test slot,
+    actually enforced. Results for a green run are attached to the
+    returned mapping under `_quality` as `check(table.column)=0` strings."""
     tables = load_tables(spark, sf_dir)
     written: dict[str, str] = {}
 
@@ -79,4 +107,12 @@ def run_pipeline(spark: SparkSession, sf_dir: str, warehouse: str) -> dict[str, 
         partition_by=["year"],
     )
     written["flagship_wide"] = f"{warehouse}/analytics/flagship_wide"
+
+    if quality_gate:
+        results = run_star_schema_checks(tables)
+        if any(not r.passed for r in results):
+            raise QualityCheckError(results)
+        written["_quality"] = "; ".join(
+            f"{r.check}({r.table}.{r.column})={r.violations}" for r in results
+        )
     return written

@@ -19,6 +19,22 @@ def test_star_schema_integrity(spark, tables):
     assert len(results) == 9
 
 
+def test_pipeline_quality_gate_fails_on_violation(spark, sf_dir, tmp_path, monkeypatch):
+    """run_pipeline must RAISE (not warn) when a check reports violations."""
+    import pytest
+
+    from market_flow_spark.plans import pipeline as pl
+    from market_flow_spark.quality import CheckResult
+
+    def broken_suite(tables):
+        return [CheckResult("unique", "fact_transactions", "transaction_id", 3)]
+
+    monkeypatch.setattr(pl, "run_star_schema_checks", broken_suite)
+    with pytest.raises(pl.QualityCheckError) as exc:
+        pl.run_pipeline(spark, sf_dir, str(tmp_path / "wh"))
+    assert "unique(fact_transactions.transaction_id)=3" in str(exc.value)
+
+
 def test_checks_detect_violations(spark):
     bad = spark.createDataFrame(
         [(1, "a"), (1, "b"), (None, "c")], "k int, v string"

@@ -70,6 +70,25 @@ def test_split_append_stability(tables):
     assert splits <= {"train", "test"}
 
 
+def test_quota_cap_skew_safe_identical_to_naive(spark):
+    """50%-skew synthetic (one group holds half the rows): the two-level
+    skew-safe reduction must return row-for-row the same picks (including
+    ranks) as the naive single-window path."""
+    rows = [("hot", i) for i in range(5000)] + [
+        (f"g{i % 50}", 10000 + i) for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, id bigint")
+    naive = sampling.cap_per_group(
+        df, "grp", 13, "id", skew_safe=False
+    ).collect()
+    safe = sampling.cap_per_group(
+        df, "grp", 13, "id", skew_safe=True, subsplits=8
+    ).collect()
+    key = lambda r: (r.grp, r.id, r.pick_rank)  # noqa: E731
+    assert sorted(map(key, naive)) == sorted(map(key, safe))
+    assert len(safe) > 0
+
+
 def test_quota_cap_bounds_and_exhaustiveness(tables):
     docs = tables["documents"]
     capped = sampling.cap_per_group(docs, "source", 7, "doc_id")

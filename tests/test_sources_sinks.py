@@ -94,6 +94,9 @@ def test_export_sinks(spark, tmp_path):
 def test_run_pipeline(spark, sf_dir, tmp_path):
     written = run_pipeline(spark, sf_dir, str(tmp_path / "warehouse"))
     assert "flagship_wide" in written and "fact_transactions" in written
+    # the quality gate ran and every check came back clean
+    assert "_quality" in written
+    assert "=0" in written["_quality"] and "relationship" in written["_quality"]
     flagship = spark.read.parquet(written["flagship_wide"])
     assert flagship.count() > 0
     # partitioned layout enables pruning on year

@@ -142,6 +142,74 @@ def test_prophet_forecast_gated():
     # break imports (covered by importing the module at top of this file)
 
 
+def test_prophet_cache_hit_with_mock(spark, tmp_path):
+    """UD3 for the heavy path: first run writes one cache file per group;
+    an unchanged series re-run is a cache hit (files not rewritten, same
+    rows); appending to a group invalidates only that group."""
+    import glob
+    import os
+
+    from market_flow_spark.operators.forecast import prophet_forecast
+
+    class _FakeProphetModel:
+        """Deterministic stand-in matching the Prophet surface the operator
+        uses (fit / make_future_dataframe / predict). Defined locally so
+        cloudpickle ships it by value to the Python workers."""
+
+        def fit(self, frame):
+            self._last_ds = frame["ds"].max()
+            self._mean = float(frame["y"].mean())
+            return self
+
+        def make_future_dataframe(self, periods):
+            import pandas as pd
+
+            start = pd.to_datetime(self._last_ds)
+            return pd.DataFrame(
+                {"ds": pd.date_range(start, periods=periods + 1, freq="D")}
+            )
+
+        def predict(self, future):
+            out = future.copy()
+            out["yhat"] = self._mean
+            out["yhat_lower"] = self._mean - 1.0
+            out["yhat_upper"] = self._mean + 1.0
+            return out
+
+    rows = [
+        ("A", f"2024-01-{d:02d}", float(d)) for d in range(1, 11)
+    ] + [("B", f"2024-01-{d:02d}", float(2 * d)) for d in range(1, 6)]
+    series = spark.createDataFrame(rows, "g string, ds string, y double").select(
+        "g", F.col("ds").cast("timestamp").alias("ds"), "y"
+    )
+    cache = str(tmp_path / "prophet_cache")
+    kw = dict(
+        group_col="g", ds_col="ds", y_col="y", horizon=3,
+        cache_dir=cache, model_factory=_FakeProphetModel,
+    )
+    first = sorted(map(tuple, prophet_forecast(series, **kw).collect()))
+    files = sorted(glob.glob(f"{cache}/prophet_*.json"))
+    assert len(files) == 2, "one cache file per group"
+    mtimes = {f: os.path.getmtime(f) for f in files}
+
+    second = sorted(map(tuple, prophet_forecast(series, **kw).collect()))
+    assert first == second
+    assert all(os.path.getmtime(f) == mtimes[f] for f in files), (
+        "cache hit must not rewrite model files"
+    )
+
+    # growing one group's series invalidates exactly that group's entry
+    grown = series.unionByName(
+        spark.createDataFrame(
+            [("A", "2024-01-11", 11.0)], "g string, ds string, y double"
+        ).select("g", F.col("ds").cast("timestamp").alias("ds"), "y")
+    )
+    third = prophet_forecast(grown, **kw)
+    assert third.count() > 0
+    rewritten = {f for f in files if os.path.getmtime(f) != mtimes[f]}
+    assert len(rewritten) == 1, "exactly the grown group refits"
+
+
 def test_stream_archive_cleanup(spark, sf_dir, tmp_path):
     """S5: at-most-once file pickup with archive-after-processing
     (Structured Streaming cleanSource=archive replaces the reference's
