@@ -58,6 +58,14 @@ def get_spark(
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # the whole-stage-codegen class cache defaults to 100 entries; a
+        # session running the full query suite compiles >100 unique plans,
+        # so steady-state runs would re-pay compilation after eviction
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
+        # reclaim shuffle files / broadcast blocks from completed queries
+        # promptly instead of at the 30min default — a long-lived session
+        # running many queries otherwise accumulates them
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
