@@ -1116,7 +1116,7 @@ def q_table_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit.crossJoin(ds).crossJoin(nulljoin)
 
 
-def _near_dup_oracle(n_bits: int = 8, threshold: float = 0.9) -> str:
+def _near_dup_oracle(n_bits: int = 8, threshold: float = 0.25) -> str:
     bucket = " + ".join(
         f"(CASE WHEN embedding[{i + 1}] > 0 THEN {2**i} ELSE 0 END)"
         for i in range(n_bits)
@@ -1144,7 +1144,11 @@ WHERE {_floor_round_sql("dot / (sqrt(nsq1) * sqrt(nsq2))", 6)} >= {threshold}
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup tier of the dedup ladder: sign-bucket
     blocking (equi-join, never a cross join) then cosine ≥ threshold within
-    buckets."""
+    buckets. The registered threshold is 0.25 — low for a real near-dup
+    sweep, but the synthetic embeddings are uniform (max in-bucket cosine
+    ≈ 0.49), and a production-grade 0.9 would make the checked result the
+    empty set; 0.25 keeps tens-to-hundreds of pairs flowing through the
+    driver's value-hash comparison at every SF."""
     from market_flow_spark.extensions.similarity import _dot, sign_bucket
 
     emb = load_tables(spark, sf_dir)["embeddings"]
@@ -1168,7 +1172,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.select("vec1", "vec2", cos.alias("cosine"))
-        .filter(F.col("cosine") >= 0.9)
+        .filter(F.col("cosine") >= 0.25)
     )
 
 
