@@ -120,6 +120,41 @@ def test_minhash_has_no_forced_broadcast(spark, sf_dir):
     assert "UnresolvedHint" not in analyzed
 
 
+def test_word_jaccard_count_common_shape(spark, sf_dir):
+    """The dense-corpus word tier must be one index equi-join + hash
+    aggregate: no cartesian products, no array payload joins, and partial
+    (map-side) aggregation before the pair shuffle."""
+    plan = _executed_plan(QUERIES["dedup_word_jaccard"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan  # map-side combine on (doc1, doc2)
+
+
+def test_simhash_pairs_no_cross_join(spark, sf_dir):
+    plan = _executed_plan(QUERIES["simhash_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_scan_level_recomputation_of_computed_arrays(spark, sf_dir):
+    """Catalyst must not re-expand computed array expressions into scan
+    filters (the round-3 pathology: InferFiltersFromGenerate +
+    constraint inference re-ran the whole shingle build serially at the
+    scan). Guard: no FileScan DataFilter mentions array_sort."""
+    for name in ["dedup_ngram_jaccard", "dedup_minhash_lsh", "simhash_pairs"]:
+        txt = _formatted(QUERIES[name](spark, sf_dir))
+        for line in txt.splitlines():
+            if "DataFilters" in line:
+                assert "array_sort" not in line, f"{name}: shingle build at scan"
+
+
+def test_quota_cap_skew_safe_two_level_windows(spark, sf_dir):
+    """The skew-safe cap plans two window stages: the subsplit-local
+    top-quota and the final by-group window."""
+    plan = _executed_plan(QUERIES["quota_cap"](spark, sf_dir))
+    assert plan.count("RunningWindowFunction") >= 2 or plan.count("Window") >= 2
+
+
 def test_events_scan_prunes_for_monthly_stats(spark, sf_dir):
     txt = _formatted(QUERIES["monthly_event_stats"](spark, sf_dir))
     for line in txt.splitlines():
