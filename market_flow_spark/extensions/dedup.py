@@ -356,6 +356,105 @@ def ngram_jaccard_pairs(
     return _verify_jaccard(_prefix_candidates(arrs, threshold), arrs, threshold)
 
 
+def exact_contamination(
+    corpus: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    prefix_len: int | None = None,
+) -> DataFrame:
+    """Cross-corpus EXACT contamination: every probe (test/eval) document
+    whose normalized text appears verbatim in the training corpus — the
+    train/test-overlap audit every model-data pipeline runs before
+    training. One md5 per row per side and an equi-join on the
+    fingerprint: at 100 TB this is two map passes + one hash join, no
+    self-join anywhere.
+
+    ``prefix_len`` fingerprints only the first N normalized characters —
+    the prefix-collision variant that also catches shared openings /
+    partial inclusion (a test prompt embedded at the head of a training
+    document), at the cost of some false positives the caller can verify
+    downstream."""
+    norm = _norm_text(text_col)
+    if prefix_len is not None:
+        norm = F.substring(norm, 1, prefix_len)
+    tr = corpus.select(
+        F.col("doc_id").alias("train_doc_id"), F.md5(norm).alias("fingerprint")
+    )
+    te = probe.select(
+        F.col("doc_id").alias("test_doc_id"), F.md5(norm).alias("fingerprint")
+    )
+    return te.join(tr, "fingerprint").select(
+        "test_doc_id", "train_doc_id", "fingerprint"
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    probe: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus NEAR-duplicate contamination: probe documents whose
+    n-gram-shingle Jaccard against any training document reaches
+    ``threshold`` — catches paraphrased/partially-edited leakage exact
+    fingerprints miss.
+
+    Same prefix-filter machinery as the self-join tier, but the inverted
+    index is built per side and joined ACROSS sides only, so the candidate
+    space is |probe|×|corpus| pruned by prefix+length — never a self-join
+    of the union, and the (typically small) probe side drives the join."""
+    num, den = _threshold_ratio(threshold)
+    pref_len = F.expr(
+        f"CAST(sz - (-((-CAST(sz AS BIGINT) * {num}) div {den})) + 1 AS INT)"
+    )
+
+    def index(docs: DataFrame, side: str) -> DataFrame:
+        arrs = doc_shingle_arrays(docs, n, text_col)
+        return arrs.select(
+            F.col("doc_id").alias(f"{side}_doc_id"),
+            F.col("sz").alias(f"n_{side}"),
+            F.explode(F.slice("sh", F.lit(1), pref_len)).alias("word"),
+        )
+
+    cand = (
+        index(probe, "test")
+        .join(index(corpus, "train"), "word")
+        .filter(
+            (F.col("n_test").cast("bigint") * den >= F.col("n_train").cast("bigint") * num)
+            & (F.col("n_train").cast("bigint") * den >= F.col("n_test").cast("bigint") * num)
+        )
+        .select("test_doc_id", "train_doc_id")
+        .distinct()
+    )
+    te = doc_shingle_arrays(probe, n, text_col).select(
+        F.col("doc_id").alias("test_doc_id"),
+        F.col("sh").alias("sh_test"),
+        F.col("sz").alias("n_test"),
+    )
+    tr = doc_shingle_arrays(corpus, n, text_col).select(
+        F.col("doc_id").alias("train_doc_id"),
+        F.col("sh").alias("sh_train"),
+        F.col("sz").alias("n_train"),
+    )
+    common = F.size(F.array_intersect("sh_test", "sh_train"))
+    return (
+        cand.join(te, "test_doc_id")
+        .join(tr, "train_doc_id")
+        .withColumn("common", common)
+        .withColumn(
+            "jaccard",
+            det_round(
+                F.col("common")
+                / (F.col("n_test") + F.col("n_train") - F.col("common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("test_doc_id", "train_doc_id", "jaccard")
+    )
+
+
 def minhash_signatures(
     features: DataFrame, num_hashes: int = NUM_MINHASHES
 ) -> DataFrame:

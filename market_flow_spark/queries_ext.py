@@ -336,6 +336,73 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# train/test split for the contamination demos: deterministic, disjoint,
+# SQL-expressible — every 10th doc_id is the "evaluation" side.
+_CONTAM_SPLIT = ("doc_id % 10 <> 0", "doc_id % 10 = 0")
+
+
+@register(
+    "contamination_exact",
+    f"""
+WITH n AS (
+  SELECT doc_id,
+         md5(substring(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+             1, 80)) AS fingerprint
+  FROM documents
+),
+tr AS (SELECT doc_id AS train_doc_id, fingerprint FROM n WHERE {_CONTAM_SPLIT[0]}),
+te AS (SELECT doc_id AS test_doc_id, fingerprint FROM n WHERE {_CONTAM_SPLIT[1]})
+SELECT te.test_doc_id, tr.train_doc_id, fingerprint FROM te JOIN tr USING (fingerprint)
+""",
+)
+def q_contamination_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test overlap audit via 80-char prefix fingerprints (the
+    synthetic corpus has no verbatim cross-split duplicates, so the demo
+    registers the prefix-collision variant — real matches flow through the
+    value check at every SF). Past-window: full oracle runs in pytest; the
+    fingerprint equi-join operator family is in-window via dedup_exact."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return dedup.exact_contamination(
+        docs.filter(F.expr(_CONTAM_SPLIT[0])),
+        docs.filter(F.expr(_CONTAM_SPLIT[1])),
+        prefix_len=80,
+    )
+
+
+@register(
+    "contamination_ngram",
+    f"""
+WITH words AS ({SHINGLES_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY 1),
+tw AS (SELECT * FROM words WHERE {_CONTAM_SPLIT[0]}),
+pw AS (SELECT * FROM words WHERE {_CONTAM_SPLIT[1]}),
+common AS (
+  SELECT pw.doc_id AS test_doc_id, tw.doc_id AS train_doc_id, COUNT(*) AS common
+  FROM pw JOIN tw USING (word)
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT c.test_doc_id, c.train_doc_id,
+         {_floor_round_sql("c.common / (s1.n + s2.n - c.common)", 4)} AS jaccard
+  FROM common c
+  JOIN sizes s1 ON s1.doc_id = c.test_doc_id
+  JOIN sizes s2 ON s2.doc_id = c.train_doc_id
+)
+SELECT test_doc_id, train_doc_id, jaccard FROM j WHERE jaccard >= 0.8
+""",
+)
+def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test near-dup contamination at shingle Jaccard ≥ 0.8
+    (past-window; the prefix-filter machinery is in-window via
+    dedup_ngram_jaccard)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return dedup.ngram_contamination(
+        docs.filter(F.expr(_CONTAM_SPLIT[0])),
+        docs.filter(F.expr(_CONTAM_SPLIT[1])),
+        threshold=0.8,
+    )
+
+
 def _simhash_sig_sql() -> str:
     bits = dedup.SIMHASH_BITS
 
