@@ -1,0 +1,72 @@
+"""Write-layout operators: file sizing and range-clustered layout.
+
+The reference materializes every model as ONE DuckDB table (or one CSV), so
+physical layout never appears in its code — but at 100 TB layout IS the
+query plan's other half: a warehouse written as millions of small files
+drowns the driver in listing/open costs, and un-clustered files defeat
+parquet min/max row-group pruning. These operators make the two decisions
+explicit:
+
+- ``write_sized``: bound target file sizes with `maxRecordsPerFile` plus a
+  partition-count hint derived from a per-row byte estimate — the
+  compaction knob for append-heavy landing zones.
+- ``write_clustered``: `repartitionByRange` + `sortWithinPartitions` on the
+  clustering keys before writing, so each parquet file covers a narrow key
+  range and a reader's key-range predicate prunes whole files from its
+  min/max statistics (the poor man's Z-order; for one-dimensional-ish key
+  ranges it is just as effective and entirely built-in).
+
+Both are thin compositions of public Spark APIs by design — the value is
+the decision being modeled (and plan/pruning-tested), not cleverness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_sized(
+    df: DataFrame,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    approx_row_bytes: int = 256,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet with bounded file sizes: cap records per file from a
+    per-row byte estimate so no file materially exceeds the target, and let
+    AQE's coalescing handle the lower bound. `approx_row_bytes` is the
+    caller's estimate of the ENCODED row width (post-compression); for a
+    known table, measure once with `df.inputFiles()` / bytes-on-disk and
+    pass the real number."""
+    max_records = max(1, target_file_bytes // approx_row_bytes)
+    df.write.option("maxRecordsPerFile", max_records).mode(mode).parquet(path)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Range-cluster rows across and within files on `cluster_cols` so
+    parquet min/max statistics prune files for key-range predicates.
+
+    `repartitionByRange` samples the keys to build balanced range bounds
+    (skew-tolerant: a hot key spills into adjacent ranges rather than one
+    task), and the within-partition sort tightens per-row-group stats. On a
+    1000-executor job this is one range shuffle — the cost that buys every
+    later scan its file-level pruning."""
+    cols = [F.col(c) for c in cluster_cols]
+    out = (
+        df.repartitionByRange(n_files, *cols)
+        if n_files is not None
+        else df.repartitionByRange(*cols)
+    )
+    out = out.sortWithinPartitions(*cols)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
