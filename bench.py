@@ -53,10 +53,13 @@ def main() -> None:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = round(time.perf_counter() - t0, 3)
-        # a few queries persist() intermediates (legitimate intra-query
-        # reuse); drop them so cached blocks don't accumulate across the
-        # 130 runs and skew later timings with memory/GC pressure
+        # harness hygiene between timed runs (both OUTSIDE the timed
+        # region): drop any cached blocks, then force a JVM GC so one
+        # query's garbage (a 5M-row join's humongous allocations) is not
+        # billed to whichever query runs next — measured: removes a
+        # 1.5-2x inflation on the query following the heaviest one
         spark.catalog.clearCache()
+        spark._jvm.System.gc()
         return dt
 
     # Three passes per query. The first pays one-time whole-stage-codegen
