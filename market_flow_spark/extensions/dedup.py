@@ -149,13 +149,21 @@ def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFra
 
 
 def _threshold_ratio(threshold: float) -> tuple[int, int]:
-    """threshold as an exact rational num/den, guaranteed <= the float."""
+    """threshold as a rational num/den with BOTH guarantees the prefix
+    filter needs: num/den <= the float threshold (a larger rational could
+    shorten the prefix past a qualifying pair — under-estimating only ever
+    lengthens it, which is safe because the verifier applies the exact
+    threshold), and den bounded at 1e6 so sz*num stays far inside int64
+    (the exact binary Fraction of a float has a ~2^53 denominator, which
+    would overflow the SQL-side product). floor() is computed in Fraction
+    arithmetic, so no float rounding can push the numerator above the
+    exact value."""
+    import math
     from fractions import Fraction
 
-    frac = Fraction(threshold).limit_denominator(1_000_000)
-    if frac > Fraction(threshold):
-        frac = Fraction(threshold)
-    return frac.numerator, frac.denominator
+    den = 1_000_000
+    num = math.floor(Fraction(threshold) * den)
+    return max(num, 0), den
 
 
 def _count_common_pairs(arrs: DataFrame, threshold: float) -> DataFrame:

@@ -69,3 +69,41 @@ def test_normalize_column_name_invariants(raw):
     assert not out[0].isdigit()
     # idempotent
     assert normalize_column_name(out) == out
+
+
+@given(
+    sz=st.integers(min_value=0, max_value=2_000_000),
+    t=st.floats(min_value=0.01, max_value=0.999),
+)
+@settings(max_examples=500)
+def test_prefix_threshold_integer_arithmetic_exact(sz, t):
+    """The prefix filter's rational num/den must (a) never exceed the float
+    threshold the verifier uses and (b) make the BIGINT ceil formula agree
+    with exact Fraction arithmetic for any set size — the two invariants
+    that guarantee no qualifying pair is ever dropped by a one-short
+    prefix (and that sz*num stays in int64 range)."""
+    from fractions import Fraction
+
+    from market_flow_spark.extensions.dedup import _threshold_ratio
+
+    num, den = _threshold_ratio(t)
+    assert Fraction(num, den) <= Fraction(t)  # Fraction(float) is exact
+    ceil_int = -((-sz * num) // den)  # the SQL formula, python-mirrored
+    assert ceil_int == math.ceil(Fraction(sz) * Fraction(num, den))
+    assert sz * num < 2**63
+
+
+@given(sums=st.lists(st.integers(-5, 5), min_size=64, max_size=64))
+@settings(max_examples=200)
+def test_simhash_twos_complement_assembly(sums):
+    """The signed-BIGINT simhash assembly (sign term for bit 63 + 2^i for
+    the rest) must reproduce the two's-complement value of the bit vector
+    (majority per bit) for any per-bit sums."""
+    bits = [1 if s > 0 else 0 for s in sums]
+    assembled = (-(2**63) if bits[63] else 0) + sum(
+        2**i for i in range(63) if bits[i]
+    )
+    unsigned = sum(2**i for i in range(64) if bits[i])
+    expected = unsigned - 2**64 if bits[63] else unsigned
+    assert assembled == expected
+    assert -(2**63) <= assembled < 2**63
