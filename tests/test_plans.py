@@ -67,20 +67,38 @@ def test_topk_plans_as_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_no_python_udfs_in_core_queries(spark, sf_dir):
-    """Everything except the declared Pandas-UDF sites stays JVM-side.
+PANDAS_UDF_QUERIES = {"linear_forecast"}
+# crossJoins whose broadcast side is scalar/constant-sized by construction
+# (a 12-row scaffold, a 5-row query set, a one-row aggregate): the BNLJ
+# they plan to is the intended physical op. Anywhere else a nested-loop
+# join appearing means a join degenerated — fail.
+INTENTIONAL_TINY_CROSSJOIN = {
+    "dim_date",        # years × months scaffold
+    "table_audit",     # fused one-row audit panels
+    "mean_impute",     # one-row global mean
+    "cosine_topk",     # corpus × 5-row query set (by design)
+    "ivf_topk",        # 5 queries × 16-row cell table
+    "seasonal_forecast",  # brands × 12-row horizon
+}
 
-    Declared Arrow-batched sites: linear_forecast (per-group model fit) and
-    ivf_topk (centroid assignment — vectorized numpy matmul per Arrow batch).
-    Row-at-a-time Python UDFs (BatchEvalPython) are banned everywhere.
+
+def test_all_plans_stay_jvm_side_and_join_sane(spark, sf_dir):
+    """One sweep over EVERY registered query's executed plan:
+
+    - row-at-a-time Python UDFs (BatchEvalPython) are banned everywhere;
+      Arrow UDFs only at the declared applyInPandas site
+    - no CartesianProduct anywhere
+    - BroadcastNestedLoopJoin only at the documented tiny-broadcast
+      crossJoin sites
     """
-    pandas_udf_queries = {"linear_forecast", "ivf_topk"}
     for name, fn in QUERIES.items():
         plan = _executed_plan(fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
-        if name in pandas_udf_queries:
-            continue
-        assert "ArrowEvalPython" not in plan, f"{name} unexpectedly uses Arrow UDF"
+        if name not in PANDAS_UDF_QUERIES:
+            assert "ArrowEvalPython" not in plan, f"{name} unexpectedly Arrow"
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
+        if name not in INTENTIONAL_TINY_CROSSJOIN:
+            assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans BNLJ"
 
 
 def test_corpus_prefilter_single_shuffle(spark, sf_dir):
