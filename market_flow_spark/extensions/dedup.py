@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from market_flow_spark.functions.aggregates import det_round
+from market_flow_spark.sources.layout import spread_to_cores as _spread
 
 NUM_MINHASHES = 16
 LSH_BANDS = 4  # 4 bands x 4 rows
@@ -49,21 +50,6 @@ del _rng
 
 def _norm_text(text_col: str) -> Column:
     return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-
-
-def _spread(docs: DataFrame) -> DataFrame:
-    """Ensure the corpus scan feeds at least one partition per core before
-    the CPU-heavy shingle build. On a real corpus the file splits provide
-    this for free and the condition is false — no shuffle is added on the
-    100 TB path. It only fires when the source hands back fewer partitions
-    than the cluster has slots (tiny single-file inputs, a few huge gzip
-    files), where the one-time round-robin shuffle of the raw text is the
-    difference between 1 busy core and all of them."""
-    sc = docs.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        return docs.repartition(target)
-    return docs
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:

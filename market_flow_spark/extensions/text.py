@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from market_flow_spark.functions.aggregates import det_round
+from market_flow_spark.sources.layout import spread_to_cores
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
 # Deliberately small and hard-coded: the point is deterministic, cheap,
@@ -77,7 +78,9 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     token length, stopword ratio, an approximate BPE token estimate
     (chars/4, the common fast heuristic), and a 0..1 quality score."""
     cols = _stats_cols(text_col)
-    return docs.select("doc_id", *(c.alias(name) for name, c in cols.items()))
+    return spread_to_cores(docs).select(
+        "doc_id", *(c.alias(name) for name, c in cols.items())
+    )
 
 
 def _lang_pred(text_col: str) -> tuple[dict[str, Column], Column]:
@@ -111,7 +114,7 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     sel = [F.col("doc_id")]
     sel += [scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS]
     sel.append(pred.alias("predicted_lang"))
-    return docs.select(*sel)
+    return spread_to_cores(docs).select(*sel)
 
 
 def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -124,7 +127,7 @@ def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     sel += [c.alias(name) for name, c in stats.items()]
     sel += [scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS]
     sel.append(pred.alias("predicted_lang"))
-    return docs.select(*sel)
+    return spread_to_cores(docs).select(*sel)
 
 
 def corpus_prefilter(
@@ -144,7 +147,7 @@ def corpus_prefilter(
     stats = _stats_cols(text_col)
     _, pred = _lang_pred(text_col)
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    enriched = docs.select(
+    enriched = spread_to_cores(docs).select(
         "doc_id",
         stats["n_tokens"].alias("n_tokens"),
         stats["quality_score"].alias("quality_score"),
@@ -163,7 +166,7 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized, lowercased text
     plus a coarse length band — the cheap pre-filter for exact/near dedup."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    return docs.select(
+    return spread_to_cores(docs).select(
         "doc_id",
         F.md5(norm).alias("fingerprint"),
         (F.floor(F.length(norm) / 64) * 64).alias("length_band"),

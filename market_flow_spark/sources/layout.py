@@ -26,6 +26,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def spread_to_cores(df: DataFrame) -> DataFrame:
+    """Ensure a scan feeds at least one partition per core before a
+    CPU-heavy map stage (shingling, regex profiling, featurization). On a
+    real corpus the file splits provide this for free and the condition is
+    false — no shuffle is added on the 100 TB path. It only fires when the
+    source hands back fewer partitions than the cluster has slots (tiny
+    single-file inputs, a few huge gzip files), where the one-time
+    round-robin shuffle of the raw rows is the difference between 1 busy
+    core and all of them."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def write_sized(
     df: DataFrame,
     path: str,
