@@ -33,9 +33,14 @@ FEATURE_SCHEMA = (
 
 def to_binary_assets(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Wrap a source column as an opaque binary asset with typed metadata —
-    the shape every multimodal table shares regardless of media type."""
+    the shape every multimodal table shares regardless of media type.
+    The scan is spread across cores first: every downstream stage here is
+    a Python-side mapInPandas whose parallelism is capped by the incoming
+    partition count."""
+    from market_flow_spark.sources.layout import spread_to_cores
+
     content = F.encode(F.col(text_col), "UTF-8")
-    return docs.select(
+    return spread_to_cores(docs).select(
         "doc_id",
         content.alias("content"),
         F.lit("text/plain").alias("media_type"),
