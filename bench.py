@@ -29,14 +29,13 @@ EXCLUDE: set[str] = set()
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    # At bench scale (≤ a few hundred MB) 8 shuffle partitions beat the
-    # 32-partition cluster default: AQE coalesces either way, but fewer
-    # initial partitions cut task-launch overhead. A real cluster run
-    # overrides via SPARK_SHUFFLE_PARTITIONS (sized ~2-3x total cores).
-    spark = get_spark(
-        app_name="mfs-bench",
-        shuffle_partitions=os.environ.get("SPARK_SHUFFLE_PARTITIONS", "8"),
-    )
+    # One initial shuffle partition per core (the session default): AQE
+    # coalesces small stages down for free, while CPU-heavy aggregations
+    # (the 150M-row dedup joins) keep full parallelism — measured: the
+    # former 8-partition override halved the heavy queries' throughput
+    # and made them bimodal. A real cluster run overrides via
+    # SPARK_SHUFFLE_PARTITIONS (sized ~2-3x total cores).
+    spark = get_spark(app_name="mfs-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in QUERIES if n not in EXCLUDE]
