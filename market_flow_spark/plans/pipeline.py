@@ -23,6 +23,26 @@ from market_flow_spark.sources.sinks import export_parquet
 from market_flow_spark.tables import load_tables
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Expose the full model surface as temp views so any reference-style
+    SQL (the dbt models / the app's ad-hoc queries) runs via ``spark.sql``
+    — the Spark analog of the reference's 'every model is a DuckDB table
+    you can SELECT from'. Registers the raw tables, the staging layer, the
+    dims, and the analytics tables; returns the registered names. Views
+    are lazy: nothing materializes until a SQL query runs, and Catalyst
+    optimizes straight through them."""
+    tables = load_tables(spark, sf_dir)
+    registered = []
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+        registered.append(name)
+    for layer in (build_staging(tables), build_dims(tables), build_analytics(tables)):
+        for name, df in layer.items():
+            df.createOrReplaceTempView(name)
+            registered.append(name)
+    return registered
+
+
 class QualityCheckError(RuntimeError):
     """Raised when the post-build quality suite finds violations; carries
     the full result list so callers can route/inspect them."""

@@ -105,6 +105,33 @@ def test_run_pipeline(spark, sf_dir, tmp_path):
     assert len(years) > 1
 
 
+def test_register_views_sql_surface(spark, sf_dir):
+    """The reference's query surface is SQL-over-models; after
+    register_views every raw table and built model answers spark.sql."""
+    from market_flow_spark.plans.pipeline import register_views
+
+    names = register_views(spark, sf_dir)
+    assert {"lineitem", "stg_transactions", "dim_product", "flagship_wide"} <= set(
+        names
+    )
+    top = spark.sql(
+        """
+        SELECT product_name, SUM(price) AS revenue
+        FROM flagship_wide GROUP BY product_name
+        ORDER BY revenue DESC LIMIT 5
+        """
+    ).collect()
+    assert len(top) == 5 and top[0].revenue >= top[-1].revenue
+    joined = spark.sql(
+        """
+        SELECT d.p_type, COUNT(*) AS n
+        FROM fact_transactions f JOIN dim_product d ON f.product_id = d.p_partkey
+        GROUP BY d.p_type
+        """
+    ).collect()
+    assert len(joined) > 0
+
+
 def test_csv_encoding_fallback_chain(spark, tmp_path):
     """S2: the per-file utf-8 → latin1 → iso-8859-1 retry loop
     (/root/reference/utils/csv_utils.py:9-18): a clean utf-8 file and a
