@@ -576,6 +576,78 @@ def minhash_lsh_pairs(
     return _verify_jaccard(screened, arrs, threshold)
 
 
+def minhash_lsh_pairs_against(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    min_sig_matches: int = NUM_MINHASHES // 2,
+) -> DataFrame:
+    """Incremental MinHash+LSH dedup: near-dup pairs between a NEW batch
+    and an EXISTING corpus — the shape an ingest pipeline actually runs
+    (dedup tonight's crawl against the indexed corpus, not the union
+    against itself). The band join is cross-side only, so its cost scales
+    with |new| × collision rate, not |corpus|²; in production the corpus
+    side's banded signatures are a persisted table that each batch reuses.
+
+    Returns (new_doc_id, corpus_doc_id, jaccard) for exact shingle-Jaccard
+    ≥ threshold among signature-screened band collisions — the same
+    three-stage narrowing as :func:`minhash_lsh_pairs`."""
+
+    def banded(docs: DataFrame, side: str) -> DataFrame:
+        arrs = doc_shingle_arrays(docs, text_col=text_col)
+        words = arrs.select("doc_id", F.explode("sh").alias("word"))
+        sigs = minhash_signatures(words)
+        n = len([c for c in sigs.columns if c.startswith("mh")])
+        sig_arr = F.array(*[F.col(f"mh{i}") for i in range(n)])
+        return lsh_bands(sigs.withColumn("sig", sig_arr)).select(
+            F.col("doc_id").alias(f"{side}_doc_id"),
+            F.col("sig").alias(f"sig_{side}"),
+            "band_idx",
+            "band_hash",
+        )
+
+    b_new = banded(new_docs, "new")
+    b_cor = banded(corpus_docs, "corpus")
+    matches = F.aggregate(
+        F.zip_with("sig_new", "sig_corpus", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    screened = (
+        b_new.join(b_cor, ["band_idx", "band_hash"])
+        .filter(matches >= F.lit(min_sig_matches))
+        .select("new_doc_id", "corpus_doc_id")
+        .distinct()
+    )
+    ne = doc_shingle_arrays(new_docs, text_col=text_col).select(
+        F.col("doc_id").alias("new_doc_id"),
+        F.col("sh").alias("sh_new"),
+        F.col("sz").alias("n_new"),
+    )
+    co = doc_shingle_arrays(corpus_docs, text_col=text_col).select(
+        F.col("doc_id").alias("corpus_doc_id"),
+        F.col("sh").alias("sh_corpus"),
+        F.col("sz").alias("n_corpus"),
+    )
+    common = F.size(F.array_intersect("sh_new", "sh_corpus"))
+    return (
+        screened.join(ne, "new_doc_id")
+        .join(co, "corpus_doc_id")
+        .withColumn("common", common)
+        .withColumn(
+            "jaccard",
+            det_round(
+                F.col("common")
+                / (F.col("n_new") + F.col("n_corpus") - F.col("common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_doc_id", "corpus_doc_id", "jaccard")
+    )
+
+
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash per doc: bit i set iff the majority of the doc's
     words have bit i set in their md5-derived 64-bit hash (two 32-bit

@@ -341,6 +341,90 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONTAM_SPLIT = ("doc_id % 10 <> 0", "doc_id % 10 = 0")
 
 
+def _minhash_incremental_oracle() -> str:
+    """Cross-side variant of the MinHash oracle: signatures/bands are
+    per-document, so computing them over the union and keeping only
+    new×corpus band collisions reproduces the incremental operator."""
+    n, bands = dedup.NUM_MINHASHES, dedup.LSH_BANDS
+    rows = n // bands
+    min_matches = n // 2
+    p = dedup.MINHASH_PRIME
+    mh_cols = ",\n    ".join(
+        f"min((h32 * {a} + {b}) % {p}) AS mh{i}"
+        for i, (a, b) in enumerate(dedup.MINHASH_PARAMS[:n])
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_hash FROM mh".format(
+            b=b,
+            concat=" || '-' || ".join(
+                f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    sig_matches = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(n)
+    )
+    return f"""
+WITH words AS ({SHINGLES_SQL}),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS h32
+  FROM words
+),
+mh AS (
+  SELECT doc_id,
+    {mh_cols}
+  FROM hashed GROUP BY doc_id
+),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_doc_id, b.doc_id AS corpus_doc_id
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+),
+pairs AS (
+  SELECT c.new_doc_id, c.corpus_doc_id
+  FROM cand c
+  JOIN mh sa ON sa.doc_id = c.new_doc_id
+  JOIN mh sb ON sb.doc_id = c.corpus_doc_id
+  WHERE {sig_matches} >= {min_matches}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY 1),
+common AS (
+  SELECT p.new_doc_id, p.corpus_doc_id, COUNT(*) AS common
+  FROM pairs p
+  JOIN words w1 ON w1.doc_id = p.new_doc_id
+  JOIN words w2 ON w2.doc_id = p.corpus_doc_id AND w2.word = w1.word
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT c.new_doc_id, c.corpus_doc_id,
+         {_floor_round_sql("c.common / (s1.n + s2.n - c.common)", 4)} AS jaccard
+  FROM common c
+  JOIN sizes s1 ON s1.doc_id = c.new_doc_id
+  JOIN sizes s2 ON s2.doc_id = c.corpus_doc_id
+)
+SELECT new_doc_id, corpus_doc_id, jaccard FROM j WHERE jaccard >= 0.8
+"""
+
+
+@register("dedup_minhash_incremental", _minhash_incremental_oracle())
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: the new batch (every 10th doc) band-joins
+    the existing corpus's MinHash index — cost scales with the batch, not
+    the corpus squared. Past-window (the MinHash machinery is in-window
+    via dedup_minhash_lsh); equivalence to the union self-join's
+    cross-side pairs is pinned in tests/test_extensions_plumbing.py."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return dedup.minhash_lsh_pairs_against(
+        docs.filter(F.expr(_CONTAM_SPLIT[1])),
+        docs.filter(F.expr(_CONTAM_SPLIT[0])),
+        threshold=0.8,
+    )
+
+
 @register(
     "contamination_exact",
     f"""

@@ -135,6 +135,35 @@ def test_minhash_narrow_verification_equivalent(spark, tables):
     assert direct == narrowed
 
 
+def test_incremental_minhash_matches_union_cross_pairs(spark, tables):
+    """Banding the new batch against the corpus must find exactly the
+    cross-side pairs the union self-join finds (same bands, same screen,
+    same exact verify) — the invariant that makes incremental ingest
+    equivalent to re-running dedup over everything."""
+    from pyspark.sql import functions as F
+
+    from market_flow_spark.extensions.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_against,
+    )
+
+    docs = tables["documents"]
+    corpus = docs.filter(F.expr("doc_id % 10 <> 0"))
+    new = docs.filter(F.expr("doc_id % 10 = 0"))
+    incr = {
+        (r.new_doc_id, r.corpus_doc_id, r.jaccard)
+        for r in minhash_lsh_pairs_against(new, corpus).collect()
+    }
+    union_cross = set()
+    for r in minhash_lsh_pairs(docs).collect():
+        a_new, b_new = r.doc1 % 10 == 0, r.doc2 % 10 == 0
+        if a_new != b_new:  # exactly one side in the new batch
+            nd, cd = (r.doc1, r.doc2) if a_new else (r.doc2, r.doc1)
+            union_cross.add((nd, cd, r.jaccard))
+    assert incr == union_cross
+    assert len(incr) > 0
+
+
 def test_word_jaccard_strategies_equivalent(spark, tables):
     """count-common (dense default) and freq-ordered prefix-verify (sparse
     path) are different physical shapes of the same exact operator — both
