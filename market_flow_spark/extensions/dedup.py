@@ -658,17 +658,25 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     words = words.withColumn(
         "h1", F.conv(F.substring("h", 1, 8), 16, 10).cast("long")
     ).withColumn("h2", F.conv(F.substring("h", 9, 8), 16, 10).cast("long"))
-    aggs = []
+    # majority per bit as 2*count(bit set) > count(words): plain bit sums
+    # instead of 64 CASE-to-±1 aggregates — same result (sum of ±1 > 0 ⇔
+    # 2·cnt > n, ties identical), ~4x cheaper codegen compile
+    aggs = [F.count(F.lit(1)).alias("nw")]
     for i in range(SIMHASH_BITS):
         src, j = ("h1", i) if i < 32 else ("h2", i - 32)
-        bit = F.shiftright(F.col(src), j).bitwiseAND(F.lit(1))
-        aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{i}"))
+        aggs.append(
+            F.sum(F.shiftright(F.col(src), j).bitwiseAND(F.lit(1))).alias(f"c{i}")
+        )
     s = words.groupBy("doc_id").agg(*aggs)
+
+    def majority(i: int):
+        return F.col(f"c{i}") * 2 > F.col("nw")
+
     sim = F.when(
-        F.col(f"s{SIMHASH_BITS - 1}") > 0, F.lit(-(2 ** (SIMHASH_BITS - 1)))
+        majority(SIMHASH_BITS - 1), F.lit(-(2 ** (SIMHASH_BITS - 1)))
     ).otherwise(F.lit(0))
     for i in range(SIMHASH_BITS - 1):
-        sim = sim + F.when(F.col(f"s{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        sim = sim + F.when(majority(i), F.lit(2**i)).otherwise(F.lit(0))
     return s.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
