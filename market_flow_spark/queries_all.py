@@ -19,6 +19,9 @@ Past-window set and the in-window query that already covers each operator:
 - simhash_signatures  (signature build          -> simhash_pairs, which
                        derives every pair from those signatures)
 - multimodal_bytes    (binary-asset plumbing    -> multimodal_frames)
+- contamination_exact (fingerprint equi-join    -> dedup_exact)
+- contamination_ngram (prefix-filter machinery  -> dedup_ngram_jaccard)
+- dedup_minhash_incremental (MinHash band join  -> dedup_minhash_lsh)
 """
 
 from __future__ import annotations
