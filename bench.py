@@ -81,6 +81,53 @@ def main() -> None:
     warm2 = {name: run(built[name]) for name in names}
     warm = {name: min(warm1[name], warm2[name]) for name in names}
 
+    # --- word-jaccard strategy A/B + dedup-ladder scaling curve ----------
+    # Both physical shapes of the unigram tier are timed head-to-head, and
+    # the four dedup tiers + ngram contamination run at 1/4, 1/2 and full
+    # corpus so rows-vs-wall-time backs the near-linearity claims with data
+    # (one cold pass discarded per plan, steady = min of two warm passes).
+    from pyspark.sql import functions as F  # noqa: E402
+
+    from market_flow_spark.extensions import dedup  # noqa: E402
+    from market_flow_spark.tables import load_tables  # noqa: E402
+
+    docs = load_tables(spark, sf_dir)["documents"]
+
+    def steady(df) -> float:
+        run(df)  # cold: construction + codegen, discarded
+        return min(run(df), run(df))
+
+    strategies = {
+        strat: steady(dedup.word_jaccard_pairs(docs, threshold=0.7, strategy=strat))
+        for strat in ("count_common", "freq_ordered")
+    }
+
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    tiers = {
+        "dedup_exact": lambda d: dedup.exact_dedup_annotated(d),
+        "dedup_word_jaccard": lambda d: dedup.word_jaccard_pairs(d, threshold=0.7),
+        "dedup_ngram_jaccard": lambda d: dedup.ngram_jaccard_pairs(d, threshold=0.8),
+        "dedup_minhash_lsh": lambda d: dedup.minhash_lsh_pairs(d, threshold=0.8),
+        "contamination_ngram": lambda d: dedup.ngram_contamination(
+            d.filter(F.col("doc_id") % 10 != 0),
+            d.filter(F.col("doc_id") % 10 == 0),
+            threshold=0.8,
+        ),
+    }
+    scaling: dict[str, list[dict[str, float]]] = {}
+    for tier_name, build in tiers.items():
+        curve = []
+        for frac_name, subset in (("quarter", docs.filter(F.col("doc_id") % 4 == 0)),
+                                  ("half", half), ("full", docs)):
+            curve.append(
+                {
+                    "subset": frac_name,
+                    "rows": subset.count(),
+                    "sec": steady(build(subset)),
+                }
+            )
+        scaling[tier_name] = curve
+
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
         "cold_queries": cold,
@@ -89,6 +136,8 @@ def main() -> None:
         "warm_pass2": warm2,
         "warm_queries": warm,
         "warm_total": round(sum(warm.values()), 3),
+        "word_jaccard_strategies": strategies,
+        "scaling": scaling,
         "sf": sf_val,
     }
     Path(__file__).resolve().parent.joinpath("bench_detail.json").write_text(

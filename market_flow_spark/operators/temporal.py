@@ -108,12 +108,21 @@ def range_join_binned(
     lt = "__rj_lts"
     rt = "__rj_rts"
 
+    def _floordiv(col: Column, divisor: int) -> Column:
+        # Exact integer floor-division (Spark's `/` is double and `cast long`
+        # truncates toward zero, which mis-bins negative pre-1970 epochs near
+        # a boundary). pmod keeps the remainder non-negative regardless of
+        # sign; (col - pmod) is an exact multiple of the divisor so the final
+        # division is exact for |quotient| < 2^53.
+        pm = F.pmod(col, F.lit(divisor))
+        return ((col - pm) / F.lit(divisor)).cast("long")
+
     l2 = left.withColumn(lt, left_ts_us).withColumn(
-        lb, (F.col(lt) / F.lit(tolerance_us)).cast("long")
+        lb, _floordiv(F.col(lt), tolerance_us)
     )
     r2 = (
         right.withColumn(rt, right_ts_us)
-        .withColumn("__rj_rbin", (F.col(rt) / F.lit(tolerance_us)).cast("long"))
+        .withColumn("__rj_rbin", _floordiv(F.col(rt), tolerance_us))
         .withColumn("__rj_shift", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
         .withColumn(lb, F.col("__rj_rbin") + F.col("__rj_shift"))
         .drop("__rj_rbin", "__rj_shift")

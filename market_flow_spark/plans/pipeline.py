@@ -85,22 +85,37 @@ def build_analytics(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
     }
 
 
+class PipelineRun(dict):
+    """Result of ``run_pipeline``: a plain {table_name: path} mapping (it
+    IS a dict — every key is a table, every value a path) with the quality
+    suite's results carried out-of-band on the ``quality`` attribute, so
+    consumers iterating ``.values()`` as paths never trip over a sentinel
+    entry."""
+
+    quality: list[CheckResult]
+
+    def __init__(self, paths: dict[str, str], quality: list[CheckResult]):
+        super().__init__(paths)
+        self.quality = quality
+
+
 def run_pipeline(
     spark: SparkSession,
     sf_dir: str,
     warehouse: str,
     quality_gate: bool = True,
-) -> dict[str, str]:
+) -> PipelineRun:
     """Run the full raw→staging→analytics build into `warehouse`.
-    Returns {table_name: path}. Each write is an independent Spark job —
-    the unit an external scheduler retries.
+    Returns a ``PipelineRun``: a {table_name: path} dict whose values are
+    all real paths. Each write is an independent Spark job — the unit an
+    external scheduler retries.
 
     With ``quality_gate`` (default), the dbt-style star-schema suite
     (`quality.run_star_schema_checks`) runs after the build and the
     pipeline FAILS on any violation (`QualityCheckError`, carrying the
     full result list) — the reference's declared-but-empty dbt test slot,
-    actually enforced. Results for a green run are attached to the
-    returned mapping under `_quality` as `check(table.column)=0` strings."""
+    actually enforced. A green run's results ride on the returned
+    object's ``quality`` attribute (empty list when the gate is off)."""
     tables = load_tables(spark, sf_dir)
     written: dict[str, str] = {}
 
@@ -128,11 +143,63 @@ def run_pipeline(
     )
     written["flagship_wide"] = f"{warehouse}/analytics/flagship_wide"
 
+    results: list[CheckResult] = []
     if quality_gate:
         results = run_star_schema_checks(tables)
         if any(not r.passed for r in results):
             raise QualityCheckError(results)
-        written["_quality"] = "; ".join(
-            f"{r.check}({r.table}.{r.column})={r.violations}" for r in results
-        )
-    return written
+    return PipelineRun(written, results)
+
+
+def run_pipeline_metastore(
+    spark: SparkSession,
+    sf_dir: str,
+    quality_gate: bool = True,
+    location_root: str | None = None,
+) -> PipelineRun:
+    """Catalog-backed medallion build: the reference's raw / staging /
+    analytics *databases* (profiles.yml:20-27 — one DuckDB schema per dbt
+    target) become Spark catalog databases, every layer written with
+    ``saveAsTable`` so downstream consumers address tables by qualified
+    name (``analytics.flagship_wide``) instead of paths.
+
+    Returns a ``PipelineRun`` mapping {qualified_table: catalog location}.
+    Partitioned analytics tables keep the same pruning layout as the
+    path-based ``run_pipeline``. ``location_root`` pins the database
+    locations (tests); default is the session's warehouse dir. The quality
+    gate raises ``QualityCheckError`` on any violation, same contract as
+    ``run_pipeline``."""
+    for db in ("raw", "staging", "analytics"):
+        loc = f" LOCATION '{location_root}/{db}.db'" if location_root else ""
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}{loc}")
+
+    tables = load_tables(spark, sf_dir)
+    written: dict[str, str] = {}
+
+    def _save(df: DataFrame, qualified: str, partition_by: list[str] | None = None):
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.saveAsTable(qualified)
+        written[qualified] = spark.sql(f"DESCRIBE TABLE EXTENDED {qualified}").filter(
+            "col_name = 'Location'"
+        ).collect()[0]["data_type"]
+
+    for name, df in tables.items():
+        _save(df, f"raw.{name}")
+    for name, df in build_staging(tables).items():
+        _save(df, f"staging.{name}")
+    for name, df in build_dims(tables).items():
+        _save(df, f"analytics.{name}")
+    analytics = build_analytics(tables)
+    _save(analytics["fact_transactions"], "analytics.fact_transactions",
+          partition_by=["date_sk"])
+    _save(analytics["flagship_wide"], "analytics.flagship_wide",
+          partition_by=["year"])
+
+    results: list[CheckResult] = []
+    if quality_gate:
+        results = run_star_schema_checks(tables)
+        if any(not r.passed for r in results):
+            raise QualityCheckError(results)
+    return PipelineRun(written, results)

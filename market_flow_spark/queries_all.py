@@ -11,7 +11,9 @@ an in-window query — are registered after it and carry pytest-only
 coverage (tests/test_oracle_parity.py still runs every oracle, including
 theirs).
 
-Past-window set and the in-window query that already covers each operator:
+Past-window set and the in-window query that already covers each operator
+(rotated in round 4 so the driver itself certifies the contamination and
+incremental-MinHash operators, per the round-3 brief):
 - seasonal_forecast   (UD1 per-group model fit  -> linear_forecast)
 - monthly_event_stats (A6 group means           -> group_mean_impute)
 - events_typed        (F5 guarded casts         -> stg_transactions_typed)
@@ -20,8 +22,14 @@ Past-window set and the in-window query that already covers each operator:
                        derives every pair from those signatures)
 - multimodal_bytes    (binary-asset plumbing    -> multimodal_frames)
 - contamination_exact (fingerprint equi-join    -> dedup_exact)
-- contamination_ngram (prefix-filter machinery  -> dedup_ngram_jaccard)
-- dedup_minhash_incremental (MinHash band join  -> dedup_minhash_lsh)
+- dedup_ngram_jaccard (prefix-filter machinery  -> contamination_ngram,
+                       the cross-side run of the SAME prefix-filtered
+                       inverted-index + exact-rational verify; rotated out
+                       in r4 after two green driver rounds)
+- sliding_window_stats (overlapping F.window    -> tumbling_hour_stats,
+                       the same window() operator with slide == width, and
+                       session_windows for the stateful variant; rotated
+                       out in r4 after two green driver rounds)
 """
 
 from __future__ import annotations
@@ -62,11 +70,13 @@ _PRIORITY: list[str] = [
     # text analysis
     "text_profile",
     "corpus_prefilter",
-    # dedup ladder
+    # dedup ladder (contamination_ngram carries the prefix-filter machinery
+    # in-window; dedup_minhash_incremental carries the band join cross-side)
     "dedup_exact",
     "dedup_word_jaccard",
-    "dedup_ngram_jaccard",
+    "contamination_ngram",
     "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
     "simhash_pairs",
     # similarity search
     "cosine_topk",
@@ -81,9 +91,9 @@ _PRIORITY: list[str] = [
     "forecast_horizon",
     "best_markets",
     "pivot_returnflag",
-    # time windows (streaming twins)
+    # time windows (streaming twins; sliding is past-window — same window()
+    # operator as tumbling, session covers the stateful variant)
     "tumbling_hour_stats",
-    "sliding_window_stats",
     "session_windows",
     # temporal joins / hierarchical aggregation
     "asof_last_view",

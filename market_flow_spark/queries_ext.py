@@ -30,10 +30,14 @@ from market_flow_spark.tables import load_tables
 # Shared SQL fragments
 # ---------------------------------------------------------------------------
 
+# word <> '' mirrors dedup.doc_shingle_arrays dropping the [""] artifact
+# that splitting NULL/empty/whitespace-only text produces — null docs have
+# empty word sets on both engines instead of pairing with each other.
 WORDS_SQL = (
-    "SELECT DISTINCT doc_id, "
+    "SELECT DISTINCT doc_id, word FROM ("
+    "SELECT doc_id, "
     "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word "
-    "FROM documents"
+    "FROM documents) WHERE word <> ''"
 )
 
 # 3-gram shingles (1-based list indexing in DuckDB; mirrors

@@ -67,12 +67,53 @@ def read_csv_all_varchar(
     return df
 
 
+def _probe_head_encoding(
+    head: bytes, truncated: bool, encodings: tuple[str, ...]
+) -> str | None:
+    """First encoding that cleanly decodes `head`.
+
+    Uses an incremental decoder with ``final=not truncated`` so a valid
+    multi-byte sequence split at the probe boundary of a larger file is NOT
+    misreported as a decode failure (it is simply carried-over decoder
+    state); only when the head is the whole file is a dangling partial
+    sequence an error. latin1/iso-8859-1 accept every byte, so the
+    reference's chain always terminates.
+    """
+    import codecs
+
+    for enc in encodings:
+        try:
+            codecs.getincrementaldecoder(enc)(errors="strict").decode(
+                head, final=not truncated
+            )
+        except UnicodeDecodeError:
+            continue
+        return enc
+    return None
+
+
+def _probe_file_encoding(
+    path: str, probe_bytes: int, encodings: tuple[str, ...]
+) -> str | None:
+    """Read a bounded head of `path` and classify its encoding.
+
+    Plain function of (path, config) so it runs identically on the driver
+    (small N) and inside an executor task (large N) — the landing zone is
+    shared storage on a real cluster, so executors see the same paths.
+    """
+    with open(path, "rb") as fh:
+        head = fh.read(probe_bytes + 1)
+    truncated = len(head) > probe_bytes
+    return _probe_head_encoding(head[:probe_bytes], truncated, encodings)
+
+
 def read_csv_with_encoding_fallback(
     spark: SparkSession,
     paths: list[str] | str,
     encodings: tuple[str, ...] = ("UTF-8", "latin1", "iso-8859-1"),
     strip_non_ascii: bool = False,
     probe_bytes: int = 1 << 20,
+    distributed_probe_threshold: int = 64,
 ) -> DataFrame:
     """S2: per-file encoding recovery, the Spark re-expression of the
     reference's utf-8 → latin1 → iso-8859-1 retry loop
@@ -83,8 +124,11 @@ def read_csv_with_encoding_fallback(
     the file head (latin1 accepts every byte sequence, so the chain always
     terminates), then ONE spark.read runs per encoding group and the
     groups union — per-file recovery without per-file Spark jobs. The
-    probe is bounded (`probe_bytes`) and driver-side, mirroring the
-    listing the reader itself performs; a bad byte past the probe window
+    probe is bounded (`probe_bytes`); for small file counts it runs as a
+    driver loop, and from `distributed_probe_threshold` files up it fans
+    out as one Spark job over the path list (each task probing its slice
+    of files), so a 10⁶-file landing zone costs one parallel pass instead
+    of hours of serial driver I/O. A bad byte past the probe window
     degrades to the reader's PERMISSIVE replacement-char behavior rather
     than failing the load, which is the reference's best-effort contract.
     """
@@ -99,19 +143,24 @@ def read_csv_with_encoding_fallback(
         )
     # python codec aliases → the canonical charset names Spark 4 validates
     spark_charset = {"latin1": "iso-8859-1", "latin-1": "iso-8859-1"}
+    if len(paths) >= distributed_probe_threshold:
+        sc = spark.sparkContext
+        n_slices = max(1, min(len(paths) // 8, sc.defaultParallelism * 4))
+        pb, encs = probe_bytes, tuple(encodings)
+        probed = (
+            sc.parallelize(paths, n_slices)
+            .map(lambda p: (p, _probe_file_encoding(p, pb, encs)))
+            .collect()
+        )
+    else:
+        probed = [
+            (p, _probe_file_encoding(p, probe_bytes, encodings)) for p in paths
+        ]
     groups: dict[str, list[str]] = {}
-    for p in paths:
-        with open(p, "rb") as fh:
-            head = fh.read(probe_bytes)
-        for enc in encodings:
-            try:
-                head.decode(enc)
-            except UnicodeDecodeError:
-                continue
-            groups.setdefault(spark_charset.get(enc.lower(), enc), []).append(p)
-            break
-        else:
+    for p, enc in probed:
+        if enc is None:
             raise ValueError(f"could not decode {p} with any of {encodings}")
+        groups.setdefault(spark_charset.get(enc.lower(), enc), []).append(p)
     out: DataFrame | None = None
     for enc, files in groups.items():
         df = read_csv_all_varchar(

@@ -26,6 +26,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_SPREAD_DECISIONS: dict[tuple[int, int], bool] = {}
+
+
 def spread_to_cores(df: DataFrame) -> DataFrame:
     """Ensure a scan feeds at least one partition per core before a
     CPU-heavy map stage (shingling, regex profiling, featurization). On a
@@ -34,12 +37,30 @@ def spread_to_cores(df: DataFrame) -> DataFrame:
     source hands back fewer partitions than the cluster has slots (tiny
     single-file inputs, a few huge gzip files), where the one-time
     round-robin shuffle of the raw rows is the difference between 1 busy
-    core and all of them."""
+    core and all of them.
+
+    The partition-count probe (`df.rdd.getNumPartitions`) forces full
+    analysis + physical planning, so it is (a) skipped for streaming
+    DataFrames (where it would raise — and the microbatch engine owns
+    partitioning anyway) and (b) memoized per (semantic plan, target): the
+    dedup/contamination builders call this several times per query on the
+    same input, which must cost one probe, not four."""
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        key = (df.semanticHash(), target)
+    except Exception:
+        key = None
+    need = _SPREAD_DECISIONS.get(key) if key is not None else None
+    if need is None:
+        need = df.rdd.getNumPartitions() < target
+        if key is not None:
+            if len(_SPREAD_DECISIONS) > 4096:
+                _SPREAD_DECISIONS.clear()
+            _SPREAD_DECISIONS[key] = need
+    return df.repartition(target) if need else df
 
 
 def write_sized(

@@ -173,7 +173,9 @@ def test_word_jaccard_strategies_equivalent(spark, tables):
     docs = tables["documents"].limit(120)
     count_common = sorted(
         (r.doc1, r.doc2, r.jaccard)
-        for r in word_jaccard_pairs(docs, threshold=0.7).collect()
+        for r in word_jaccard_pairs(
+            docs, threshold=0.7, strategy="count_common"
+        ).collect()
     )
     prefix = sorted(
         (r.doc1, r.doc2, r.jaccard)
@@ -181,6 +183,75 @@ def test_word_jaccard_strategies_equivalent(spark, tables):
     )
     assert count_common == prefix
     assert len(count_common) > 0
+
+
+def test_word_jaccard_auto_strategy_selection(spark, tables):
+    """'auto' picks freq_ordered on a shared-vocabulary corpus (stop-word
+    posting lists would make count-common's index join quadratic) and
+    count_common on a near-disjoint vocabulary; both remain exact."""
+    from market_flow_spark.extensions.dedup import (
+        choose_word_jaccard_strategy,
+        word_jaccard_pairs,
+    )
+
+    dense = spark.createDataFrame(
+        [(i, f"the quick brown fox {i}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    assert choose_word_jaccard_strategy(dense) == "freq_ordered"
+    disjoint = spark.createDataFrame(
+        [(i, f"tok{i}a tok{i}b tok{i}c tok{i}d") for i in range(200)],
+        "doc_id long, text string",
+    )
+    assert choose_word_jaccard_strategy(disjoint) == "count_common"
+    # saturated token universe (10 tokens, 200 docs): output itself is
+    # dense, so count-common wins even though every token is stop-word-grade
+    saturated = spark.createDataFrame(
+        [(i, " ".join(f"w{(i + j) % 10}" for j in range(5))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    assert choose_word_jaccard_strategy(saturated) == "count_common"
+    # auto end-to-end equals the explicit strategies
+    got = sorted(
+        (r.doc1, r.doc2)
+        for r in word_jaccard_pairs(dense, threshold=0.9, strategy="auto").collect()
+    )
+    want = sorted(
+        (r.doc1, r.doc2)
+        for r in word_jaccard_pairs(
+            dense, threshold=0.9, strategy="count_common"
+        ).collect()
+    )
+    assert got == want
+
+
+def test_null_and_empty_text_docs_never_pair(spark):
+    """NULL/empty/whitespace-only text must yield an EMPTY word set (not
+    the [\"\"] split artifact), so null docs don't all pair with each other
+    at jaccard 1.0 — O(N²) pairs for N null docs at corpus scale."""
+    from market_flow_spark.extensions.dedup import (
+        doc_shingle_arrays,
+        minhash_lsh_pairs,
+        word_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, ""), (4, "   "), (5, "real text here"),
+         (6, "real text here")],
+        "doc_id long, text string",
+    )
+    arrs = {r.doc_id: r.sz for r in doc_shingle_arrays(docs, 1).collect()}
+    assert arrs == {1: 0, 2: 0, 3: 0, 4: 0, 5: 3, 6: 3}
+    for strat in ("count_common", "freq_ordered"):
+        pairs = sorted(
+            (r.doc1, r.doc2)
+            for r in word_jaccard_pairs(docs, threshold=0.5, strategy=strat).collect()
+        )
+        assert pairs == [(5, 6)]
+    lsh = sorted(
+        (r.doc1, r.doc2) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    )
+    assert lsh == [(5, 6)]
 
 
 def test_kmv_estimate_within_error_bound(spark, tables):

@@ -65,3 +65,29 @@ def test_write_clustered_layout_prunes_row_groups(spark, sf_dir, tmp_path):
     want = li.filter(F.col("l_orderkey").between(lo, hi)).count()
     got = back.filter(F.col("l_orderkey").between(lo, hi)).count()
     assert got == want
+
+
+def test_spread_to_cores_streaming_passthrough_and_memo(spark, tmp_path):
+    """spread_to_cores must (a) pass streaming DataFrames through untouched
+    (the partition probe would raise on them) and (b) memoize the probe per
+    semantic plan so repeated calls from the shingle builders don't re-run
+    full physical planning each time."""
+    from market_flow_spark.sources.layout import _SPREAD_DECISIONS, spread_to_cores
+
+    # streaming: no probe, no repartition, no raise
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    spark.range(10).write.mode("overwrite").parquet(str(src / "seed"))
+    sdf = spark.readStream.schema("id long").parquet(str(src / "seed"))
+    assert spread_to_cores(sdf) is sdf
+
+    # batch: decision cached under (semanticHash, target)
+    df = spark.range(5).toDF("doc_id")
+    before = dict(_SPREAD_DECISIONS)
+    out1 = spread_to_cores(df)
+    key_new = set(_SPREAD_DECISIONS) - set(before)
+    assert len(key_new) == 1
+    # second call on an equivalent plan hits the memo (no new entries)
+    out2 = spread_to_cores(spark.range(5).toDF("doc_id"))
+    assert set(_SPREAD_DECISIONS) - set(before) == key_new
+    assert out1.rdd.getNumPartitions() == out2.rdd.getNumPartitions()

@@ -140,14 +140,60 @@ def test_minhash_has_no_forced_broadcast(spark, sf_dir):
     assert "UnresolvedHint" not in analyzed
 
 
-def test_word_jaccard_count_common_shape(spark, sf_dir):
-    """The dense-corpus word tier must be one index equi-join + hash
-    aggregate: no cartesian products, no array payload joins, and partial
-    (map-side) aggregation before the pair shuffle."""
+def test_word_jaccard_auto_selects_by_corpus_shape(spark, sf_dir):
+    """The registered word tier auto-selects its physical shape from
+    sampled corpus stats. The test corpus has a SATURATED vocabulary
+    (~31 tokens across 500 docs → dense qualifying-pair output), so auto
+    must pick count-common (emission tracks output; measured 3.4× faster
+    here); the freq-ordered prefix shape stays available and pinned below.
+    """
+    from market_flow_spark.extensions.dedup import choose_word_jaccard_strategy
+    from market_flow_spark.tables import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    assert choose_word_jaccard_strategy(docs) == "count_common"
     plan = _executed_plan(QUERIES["dedup_word_jaccard"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan  # count-common chosen on this corpus
+    assert "collect_list" not in plan
+
+
+def test_word_jaccard_freq_ordered_shape(spark, sf_dir):
+    """The sparse-corpus shape: rarest-first re-ordering (collect_list
+    aggregate) keeps stop-word posting lists out of the inverted index.
+    No cartesian products, no nested-loop joins."""
+    from market_flow_spark.extensions.dedup import word_jaccard_pairs
+    from market_flow_spark.tables import load_tables
+
+    df = word_jaccard_pairs(
+        load_tables(spark, sf_dir)["documents"],
+        threshold=0.7,
+        strategy="freq_ordered",
+    )
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "collect_list" in plan  # freq-ordered canonicalization present
+
+
+def test_word_jaccard_count_common_shape(spark, sf_dir):
+    """The opt-in dense-corpus shape must be one index equi-join + hash
+    aggregate: no cartesian products, no array payload joins, and partial
+    (map-side) aggregation before the pair shuffle."""
+    from market_flow_spark.extensions.dedup import word_jaccard_pairs
+    from market_flow_spark.tables import load_tables
+
+    df = word_jaccard_pairs(
+        load_tables(spark, sf_dir)["documents"],
+        threshold=0.7,
+        strategy="count_common",
+    )
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan  # map-side combine on (doc1, doc2)
+    assert "collect_list" not in plan  # no freq-ordering pass in this shape
 
 
 def test_simhash_pairs_no_cross_join(spark, sf_dir):

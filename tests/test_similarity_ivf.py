@@ -142,3 +142,34 @@ def test_ivf_hyperplane_same_skeleton_exact_within_cells(spark, tables):
         key = (r.query_id, r.neighbor_id)
         if key in exact:
             assert exact[key] == r.cosine
+
+
+def test_ivf_centroids_persist_and_reuse(spark, tables, tmp_path):
+    """Build-once/query-many: centroids trained, saved, loaded back must
+    drive ivf_topk to EXACTLY the same results as the train-inline path —
+    and the loaded-quantizer query plan must not collect the corpus."""
+    import numpy as np
+
+    from market_flow_spark.extensions.similarity import (
+        load_ivf_centroids,
+        save_ivf_centroids,
+        train_ivf_centroids,
+    )
+
+    emb = tables["embeddings"]
+    C = train_ivf_centroids(emb, n_cells=8, seed=42)
+    path = str(tmp_path / "ivf_index")
+    save_ivf_centroids(spark, C, path)
+    loaded = load_ivf_centroids(spark, path)
+    assert np.array_equal(C, loaded)
+
+    inline = sorted(
+        map(tuple, ivf_topk(emb, n_queries=4, k=4, n_cells=8, nprobe=3).collect())
+    )
+    reused = sorted(
+        map(
+            tuple,
+            ivf_topk(emb, n_queries=4, k=4, nprobe=3, centroids=loaded).collect(),
+        )
+    )
+    assert inline == reused and len(reused) > 0

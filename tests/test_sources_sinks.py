@@ -94,15 +94,66 @@ def test_export_sinks(spark, tmp_path):
 def test_run_pipeline(spark, sf_dir, tmp_path):
     written = run_pipeline(spark, sf_dir, str(tmp_path / "warehouse"))
     assert "flagship_wide" in written and "fact_transactions" in written
-    # the quality gate ran and every check came back clean
-    assert "_quality" in written
-    assert "=0" in written["_quality"] and "relationship" in written["_quality"]
+    # the mapping is pure {table: path} — every value is a real path
+    import os
+
+    assert all(os.path.exists(p) for p in written.values())
+    # the quality gate ran and every check came back clean (out-of-band)
+    assert written.quality and all(r.passed for r in written.quality)
+    assert any(r.check == "relationship" for r in written.quality)
     flagship = spark.read.parquet(written["flagship_wide"])
     assert flagship.count() > 0
     # partitioned layout enables pruning on year
     years = [f.name for f in (tmp_path / "warehouse/analytics/flagship_wide").iterdir()
              if f.name.startswith("year=")]
     assert len(years) > 1
+
+
+def test_run_pipeline_metastore(spark, sf_dir, tmp_path, monkeypatch):
+    """The catalog-backed medallion run: raw/staging/analytics DATABASES
+    (the reference's profiles.yml schema-per-target layout) with every
+    layer saveAsTable'd, partitioned analytics tables, and the quality
+    gate failing the run on violation."""
+    import pytest
+
+    from market_flow_spark.plans import pipeline as pl
+
+    run = pl.run_pipeline_metastore(
+        spark, sf_dir, location_root=str(tmp_path / "meta_wh")
+    )
+    assert {"raw", "staging", "analytics"} <= {
+        d.name for d in spark.catalog.listDatabases()
+    }
+    assert "analytics.flagship_wide" in run and "raw.orders" in run
+    assert run.quality and all(r.passed for r in run.quality)
+    # tables are addressable by qualified name through the catalog
+    n = spark.sql("SELECT COUNT(*) AS n FROM analytics.flagship_wide").first().n
+    assert n > 0
+    assert spark.table("staging.stg_transactions").count() > 0
+    # partitioned layout survived saveAsTable (year=... directories)
+    loc = run["analytics.flagship_wide"].replace("file:", "")
+    import os
+
+    years = [d for d in os.listdir(loc) if d.startswith("year=")]
+    assert len(years) > 1
+    # partition pruning works through the catalog table
+    pruned = spark.sql(
+        f"SELECT COUNT(*) AS n FROM analytics.flagship_wide WHERE year = {years[0].split('=')[1]}"
+    ).first().n
+    assert 0 < pruned < n
+
+    # the gate FAILS the metastore run on violation, same as the path run
+    from market_flow_spark.quality import CheckResult
+
+    monkeypatch.setattr(
+        pl,
+        "run_star_schema_checks",
+        lambda tables: [CheckResult("unique", "fact_transactions", "transaction_id", 3)],
+    )
+    with pytest.raises(pl.QualityCheckError):
+        pl.run_pipeline_metastore(
+            spark, sf_dir, location_root=str(tmp_path / "meta_wh2")
+        )
 
 
 def test_register_views_sql_surface(spark, sf_dir):
@@ -151,6 +202,63 @@ def test_csv_encoding_fallback_chain(spark, tmp_path):
 
     stripped = read_csv_with_encoding_fallback(spark, str(tmp_path), strip_non_ascii=True)
     assert {r.market for r in stripped.collect()} == {"Mnchen", "So Paulo", "Zrich"}
+
+
+def test_csv_encoding_probe_boundary_split(spark, tmp_path):
+    """S2 hardening: a valid UTF-8 file larger than probe_bytes whose probe
+    boundary splits a multi-byte character must still classify as UTF-8
+    (the incremental decoder carries the partial sequence instead of
+    raising), not silently fall through to latin1 and mojibake the file."""
+    from market_flow_spark.sources.csv_source import (
+        _probe_file_encoding,
+        read_csv_with_encoding_fallback,
+    )
+
+    # probe_bytes=32; 'é' is 2 bytes in UTF-8 — place it straddling byte 32
+    header = b"Market,Price\n"
+    pad = b"a" * (31 - len(header))
+    body = header + pad + "é more utf-8 text,1.0\n".encode("utf-8")
+    assert body[31] == "é".encode("utf-8")[0] and len(body) > 32
+    p = tmp_path / "split.csv"
+    p.write_bytes(body)
+    assert _probe_file_encoding(str(p), 32, ("UTF-8", "latin1")) == "UTF-8"
+
+    df = read_csv_with_encoding_fallback(spark, str(tmp_path), probe_bytes=32)
+    vals = {r.market for r in df.collect()}
+    assert any("é" in v for v in vals)
+
+    # whole-file head (not truncated): a dangling partial sequence IS an
+    # error, so a genuinely-truncated utf-8 byte at EOF falls to latin1
+    q = tmp_path / "dangling.csv"
+    q.write_bytes(b"Market,Price\nx,1\n" + "é".encode("utf-8")[:1])
+    assert _probe_file_encoding(str(q), 1 << 20, ("UTF-8", "latin1")) == "latin1"
+
+
+def test_csv_encoding_probe_distributed(spark, tmp_path):
+    """S2 at scale: from `distributed_probe_threshold` files up, the
+    encoding probe fans out as one Spark job over the path list instead of
+    a serial driver loop; classification must match the driver path."""
+    from market_flow_spark.sources.csv_source import read_csv_with_encoding_fallback
+
+    for i in range(40):
+        (tmp_path / f"u{i:03d}.csv").write_bytes(
+            f"Market,Price\nCity{i} ü,1.0\n".encode("utf-8")
+        )
+        (tmp_path / f"l{i:03d}.csv").write_bytes(
+            f"Market,Price\nVille{i} é,2.0\n".encode("latin-1")
+        )
+    df = read_csv_with_encoding_fallback(
+        spark, str(tmp_path), distributed_probe_threshold=16
+    )
+    rows = df.collect()
+    assert len(rows) == 80
+    names = {r.market for r in rows}
+    assert "City0 ü" in names and "Ville0 é" in names
+    # same result via the driver path
+    df2 = read_csv_with_encoding_fallback(
+        spark, str(tmp_path), distributed_probe_threshold=10_000
+    )
+    assert {r.market for r in df2.collect()} == names
 
 
 def test_csv_encoding_latin1(spark, tmp_path):

@@ -134,12 +134,28 @@ def test_forecast_with_custom_model(spark):
     assert got == {"A": 15.0, "B": 5.0}
 
 
-def test_prophet_forecast_gated():
+def test_prophet_forecast_gated(spark):
+    """Optional-dep smoke: when prophet IS installed, run the real
+    fit/predict end-to-end on one tiny group (the reference's
+    forecast_utils.py:21-34 config); when absent, skip — absence must not
+    break imports (covered by importing the module at top of this file)."""
     import pytest
 
     pytest.importorskip("prophet")
-    # if prophet were installed the operator would run; absence must not
-    # break imports (covered by importing the module at top of this file)
+    import datetime as dt
+
+    from market_flow_spark.operators.forecast import prophet_forecast
+
+    base = dt.date(2023, 1, 1)
+    rows = [
+        ("g1", base + dt.timedelta(days=i), 10.0 + (i % 7) + 0.1 * i)
+        for i in range(60)
+    ]
+    series = spark.createDataFrame(rows, "g string, ds date, y double")
+    out = prophet_forecast(series, "g", "ds", "y", horizon=7).collect()
+    # history + horizon rows, finite bands, lower <= yhat <= upper
+    assert len(out) == 67
+    assert all(r.yhat_lower <= r.yhat <= r.yhat_upper for r in out)
 
 
 def test_prophet_cache_hit_with_mock(spark, tmp_path):

@@ -149,3 +149,37 @@ def test_range_join_each_qualifying_pair_exactly_once(spark):
         spark, [(1, "a", 1000)], [("a", 1001, 1.0)], tol_us=100
     )
     assert got == [(1, 1.0)]
+
+
+def test_range_join_negative_epoch_floor_binning(spark):
+    # Pre-1970 timestamps: with truncating division, -50 and 50 under
+    # tol=1000 both landed in "bin 0" by accident of trunc-toward-zero,
+    # but e.g. -1050 (true bin -2) vs -10 (true bin -1) must still pair:
+    # floor semantics keep adjacent-bin replication correct for negatives.
+    got = _range_pairs(
+        spark, [(1, "a", -1010)], [("a", -10, 1.0)], tol_us=1000
+    )
+    assert got == [(1, 1.0)]
+    # symmetric case across the zero boundary
+    got = _range_pairs(spark, [(2, "a", -100)], [("a", 850, 2.0)], tol_us=1000)
+    assert got == [(2, 2.0)]
+    # and out-of-tolerance negatives stay dropped
+    assert _range_pairs(spark, [(3, "a", -5000)], [("a", -10, 3.0)], tol_us=1000) == []
+
+
+def test_range_join_negative_epoch_property(spark):
+    # Shift-invariance property: binning must find exactly the pairs the
+    # brute-force |l - r| <= tol predicate finds, for a grid straddling 0.
+    import itertools
+
+    tol = 700
+    lvals = [-3000, -1500, -701, -700, -1, 0, 1, 699, 700, 701, 2100]
+    rvals = [-2900, -1400, -700, -350, 0, 350, 700, 1400, 2899]
+    left = [(i, "k", v) for i, v in enumerate(lvals)]
+    right = [("k", v, float(v)) for v in rvals]
+    expect = sorted(
+        (i, float(r))
+        for (i, _, l), r in itertools.product([(i, "k", v) for i, v in enumerate(lvals)], rvals)
+        if abs(l - r) <= tol
+    )
+    assert _range_pairs(spark, left, right, tol_us=tol) == expect
