@@ -97,19 +97,19 @@ def doc_shingle_arrays(
     # conditions above and pushes that filter below the repartition — i.e.
     # it re-evaluates the full shingle build, serially, at the scan, just
     # to test for null. Non-nullable inputs generate no such constraint.
-    # filter(t != '') drops the [""] artifact split() produces for
+    # The empty-string guard drops the [""] artifact split() produces for
     # NULL/empty/whitespace-only text: without it every null doc carries
     # the single-element [""] unigram set and pairs with every other null
-    # doc at jaccard 1.0 — O(N²) pairs for N null docs. After the filter
-    # such docs have sz=0, emit no index rows, and join nothing.
+    # doc at jaccard 1.0 — O(N²) pairs for N null docs. Guarded docs have
+    # sz=0, emit no index rows, and join nothing. split() on a non-empty
+    # TRIMMED string never yields interior empties ('\s+' collapses runs),
+    # so one per-doc comparison covers it — no per-token lambda.
+    norm = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
     toked = _spread(docs).select(
         "doc_id",
-        F.filter(
-            F.split(
-                F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
-            ),
-            lambda t: t != F.lit(""),
-        ).alias("toks"),
+        F.when(norm == "", F.array().cast("array<string>"))
+        .otherwise(F.split(norm, r"\s+"))
+        .alias("toks"),
     )
     if n == 1:
         sh = F.col("toks")
@@ -803,4 +803,188 @@ def simhash_pairs(
             ham.cast("int").alias("hamming"),
         )
         .distinct()
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 8, window: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, fp) rolling-hash document fingerprints via winnowing
+    (Schleimer/Wilkerson/Aiken, MOSS): hash every character k-gram of the
+    normalized text, then keep the minimum hash of each sliding window of
+    ``window`` consecutive k-gram hashes. Guarantee: any shared substring
+    of length >= k + window - 1 between two documents yields at least one
+    SHARED fingerprint — which is what makes fingerprint equality a
+    containment detector, not just a whole-document one.
+
+    Built entirely row-wise with higher-order functions (transform /
+    sequence / slice / array_min): a map-only pass over the corpus, no
+    shuffle until the caller joins on fp. Hashes are md5-prefix uint32s —
+    bit-reproducible in DuckDB for the oracle. Fingerprint density is
+    ~2/(window+1) per character, so the index a containment join probes is
+    a bounded fraction of corpus bytes.
+    """
+    n = "__wn_norm"
+    h = "__wn_h"
+    base = _spread(docs).select(
+        "doc_id", _norm_text(text_col).alias(n)
+    )
+    # one uint32 rolling hash per k-gram start position
+    gram_hashes = F.expr(
+        f"CASE WHEN length({n}) >= {k} THEN "
+        f"transform(sequence(0, length({n}) - {k}), "
+        f"i -> CAST(conv(substr(md5(substr({n}, i + 1, {k})), 1, 8), 16, 10) AS BIGINT)) "
+        f"ELSE CAST(array() AS array<bigint>) END"
+    )
+    hashed = base.select("doc_id", gram_hashes.alias(h))
+    # winnow: min per window of `window` consecutive hashes; short docs
+    # (fewer hashes than one window) contribute their single overall min
+    fps = F.expr(
+        f"CASE WHEN size({h}) >= {window} THEN "
+        f"array_distinct(transform(sequence(0, size({h}) - {window}), "
+        f"j -> array_min(slice({h}, j + 1, {window})))) "
+        f"WHEN size({h}) > 0 THEN array(array_min({h})) "
+        f"ELSE CAST(array() AS array<bigint>) END"
+    )
+    return hashed.select("doc_id", F.explode(fps.alias("fps")).alias("fp"))
+
+
+def winnow_containment(
+    corpus: DataFrame,
+    probe: DataFrame,
+    threshold: float = 0.5,
+    k: int = 8,
+    window: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus CONTAINMENT contamination: probe (test/eval) documents
+    a large fraction of whose winnowed fingerprints also occur in some
+    training document. Unlike symmetric Jaccard (``ngram_contamination``),
+    containment |fp_test ∩ fp_train| / |fp_test| catches a short test
+    prompt embedded INSIDE a long training document — the leakage shape
+    Jaccard's union denominator dilutes away.
+
+    Plan: fingerprint both sides (map-only), equi-join on fp ACROSS sides
+    only, count shared fps per (test, train) pair with map-side combine,
+    divide by the probe doc's fingerprint count. High-entropy hash keys
+    keep posting lists short; cost scales with |probe| x avg-overlap, not
+    |corpus|^2."""
+    te = winnow_fingerprints(probe, k, window, text_col).select(
+        F.col("doc_id").alias("test_doc_id"), "fp"
+    )
+    tr = winnow_fingerprints(corpus, k, window, text_col).select(
+        F.col("doc_id").alias("train_doc_id"), "fp"
+    )
+    te_sizes = te.groupBy("test_doc_id").agg(
+        F.count(F.lit(1)).alias("n_test_fps")
+    )
+    shared = (
+        te.join(tr, "fp")
+        .groupBy("test_doc_id", "train_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(te_sizes, "test_doc_id")
+        .withColumn(
+            "containment",
+            det_round(F.col("n_shared") / F.col("n_test_fps"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("test_doc_id", "train_doc_id", "n_shared", "containment")
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    id1: str = "doc1",
+    id2: str = "doc2",
+) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, cluster_id) with
+    cluster_id = the MINIMUM doc_id reachable through the pair graph — the
+    step that turns pairwise near-dup evidence into keep/drop decisions
+    (pairs alone over-delete: A~B and B~C must not drop both B and C
+    independently of each other).
+
+    Min-label propagation (the MapReduce connected-components shape,
+    cf. Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    each round every node adopts the minimum label in its closed
+    neighborhood — one groupBy-min over the (undirected) edge list per
+    round. Rounds needed = graph diameter, and near-dup clusters are
+    clique-ish (diameter 1-2), so convergence is 2-3 rounds in practice;
+    a driver-side convergence check (one count per round — this is an
+    iterative algorithm, the one place an action per step is the design)
+    stops early, ``max_iter`` bounds the worst case. Each round is one
+    shuffle on doc_id over the EDGE list — never all-pairs, never a
+    collect of the graph."""
+    edges = (
+        pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+        .union(pairs.select(F.col(id2).alias("a"), F.col(id1).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(
+                    labels.withColumnRenamed("doc_id", "b"), "b"
+                )
+                .groupBy("a")
+                .agg(F.min("cluster_id").alias("nbr_min"))
+                .withColumnRenamed("a", "doc_id")
+            )
+            new_labels = (
+                labels.join(neighbor_min, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                    ).alias("cluster_id"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        # truncate the iterative lineage: without this the returned plan
+        # replays every propagation round on each downstream action
+        final = labels.localCheckpoint(eager=True)
+        labels.unpersist()
+        return final.select("doc_id", "cluster_id")
+    finally:
+        edges.unpersist()
+
+
+def dedup_keep_list(
+    docs: DataFrame,
+    pairs: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Keep/drop decision per document from near-dup pairs: cluster the
+    pair graph, keep the minimum doc_id of each cluster, keep every
+    unpaired document. Returns (doc_id, cluster_id, keep) over ALL docs —
+    the materializable output a dedup job actually writes."""
+    clusters = dedup_clusters(pairs, max_iter)
+    return (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("keep", (F.col("doc_id") == F.col("cluster_id")))
     )

@@ -171,3 +171,28 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         (F.floor(F.length(norm) / 64) * 64).alias("length_band"),
     )
+
+
+# The GPT-2-style pre-tokenizer shape, restricted to a portable character
+# class form both Spark (Java regex) and DuckDB (RE2) execute identically:
+# letter runs, digit runs, single punctuation marks. BPE merges only ever
+# split WITHIN these pre-token boundaries, so their count is a tight lower
+# bound (and the usual fast estimator) for the real BPE token count.
+BPE_PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token counting, both ways a data pipeline needs it:
+    whitespace tokens (the shingling unit) and BPE-ish pre-tokens (the
+    budget unit — letter runs / digit runs / punctuation, the boundaries a
+    byte-pair encoder never crosses). Pure regexp column expressions: one
+    codegen'd scan, no UDF, no shuffle."""
+    t = F.col(text_col)
+    return spread_to_cores(docs).select(
+        "doc_id",
+        F.size(tokens(t)).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_PRETOKEN_RE), F.lit(0))).alias(
+            "n_pretokens"
+        ),
+        F.length(t).alias("n_chars"),
+    )

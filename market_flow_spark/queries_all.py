@@ -30,6 +30,15 @@ incremental-MinHash operators, per the round-3 brief):
                        the same window() operator with slide == width, and
                        session_windows for the stateful variant; rotated
                        out in r4 after two green driver rounds)
+- token_counts        (regex pre-token counting -> text_profile covers the
+                       scan-level token/char stats surface)
+- winnow_containment  (rolling-hash fingerprints; cross-side fp equi-join
+                       -> contamination_exact covers the cross-side
+                       fingerprint-join shape)
+- dedup_clusters_minhash (pairs->components->keep list over the in-window
+                       dedup_minhash_lsh pair graph; recursive-CTE oracle
+                       in pytest)
+All three r4 additions are full-oracle-checked in tests/test_oracle_parity.
 """
 
 from __future__ import annotations

@@ -1706,3 +1706,113 @@ def q_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.cap_per_group(docs, "source", 15, "doc_id").select(
         "doc_id", "source", "pick_rank"
     )
+
+
+@register(
+    "token_counts",
+    r"""
+SELECT doc_id,
+  len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_pretokens,
+  length(text) AS n_chars
+FROM documents
+""",
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish pre-tokenizer) — the budget
+    columns every training-data pipeline computes per document."""
+    return text.token_counts(load_tables(spark, sf_dir)["documents"])
+
+
+def _winnow_oracle(
+    k: int = 8, window: int = 4, threshold: float = 0.5, probe_mod: int = 10
+) -> str:
+    """DuckDB twin of dedup.winnow_fingerprints + winnow_containment:
+    same md5-prefix uint32 rolling hashes, same window-min winnowing, same
+    containment = shared/test-fps arithmetic."""
+    return f"""
+WITH normed AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+    CASE WHEN len(n) >= {k} THEN
+      list_transform(range(0, len(n) - {k} + 1),
+        i -> CAST(('0x' || substr(md5(substr(n, i + 1, {k})), 1, 8)) AS BIGINT))
+    ELSE [] END AS h
+  FROM normed
+),
+fps AS (
+  SELECT DISTINCT doc_id, unnest(CASE
+      WHEN len(h) >= {window} THEN
+        list_distinct(list_transform(range(0, len(h) - {window} + 1),
+          j -> list_min(h[j + 1 : j + {window}])))
+      WHEN len(h) > 0 THEN [list_min(h)]
+      ELSE [] END) AS fp
+  FROM hashed
+),
+te AS (SELECT doc_id AS test_doc_id, fp FROM fps WHERE test_doc_id % {probe_mod} = 0),
+tr AS (SELECT doc_id AS train_doc_id, fp FROM fps WHERE train_doc_id % {probe_mod} <> 0),
+te_sizes AS (SELECT test_doc_id, COUNT(*) AS n_test_fps FROM te GROUP BY test_doc_id),
+shared AS (
+  SELECT te.test_doc_id, tr.train_doc_id, COUNT(*) AS n_shared
+  FROM te JOIN tr ON te.fp = tr.fp
+  GROUP BY te.test_doc_id, tr.train_doc_id
+)
+SELECT s.test_doc_id, s.train_doc_id, s.n_shared,
+       floor(s.n_shared / z.n_test_fps * 1e6 + 0.5) / 1e6 AS containment
+FROM shared s JOIN te_sizes z USING (test_doc_id)
+WHERE floor(s.n_shared / z.n_test_fps * 1e6 + 0.5) / 1e6 >= {threshold}
+"""
+
+
+@register("winnow_containment", _winnow_oracle(threshold=0.5))
+def q_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (winnowing) containment contamination: test docs
+    (doc_id % 10 == 0) a >= 50% fraction of whose winnowed fingerprints
+    occur in some training doc — catches a test prompt EMBEDDED in a
+    longer training document, which symmetric Jaccard dilutes away."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return dedup.winnow_containment(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        threshold=0.5,
+    )
+
+
+def _clusters_oracle() -> str:
+    """Recursive-CTE twin of dedup_keep_list over the MinHash pair graph:
+    transitive closure by label reachability, cluster = min reachable id."""
+    minhash_pairs = _minhash_oracle()
+    return f"""
+WITH RECURSIVE pairs AS ({minhash_pairs}),
+edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION
+  SELECT doc2 AS a, doc1 AS b FROM pairs
+),
+reach(a, lbl) AS (
+  SELECT a, a AS lbl FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.a
+),
+comp AS (SELECT a AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY a)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       (d.doc_id = COALESCE(c.cluster_id, d.doc_id)) AS keep
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+
+@register("dedup_clusters_minhash", _clusters_oracle())
+def q_dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters → keep/drop list: connected components over the
+    MinHash near-dup pair graph (min-label propagation, one edge-list
+    shuffle per round, clique-ish clusters converge in 2-3 rounds), keeper
+    = minimum doc_id per cluster, unpaired docs kept. The materializable
+    decision a dedup job actually writes — pairwise output alone
+    over-deletes chained near-dups (A~B, B~C)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8)
+    return dedup.dedup_keep_list(docs, pairs)

@@ -266,3 +266,77 @@ def test_kmv_estimate_within_error_bound(spark, tables):
         assert est == exact
     else:
         assert abs(est - exact) / exact < 0.25
+
+
+def test_winnow_containment_guarantee(spark):
+    """Winnowing guarantee: any shared substring of length >= k + window - 1
+    yields at least one shared fingerprint — so a test doc embedded
+    verbatim inside a longer training doc is caught with containment ~1.0,
+    while unrelated docs share ~nothing."""
+    from market_flow_spark.extensions.dedup import (
+        winnow_containment,
+        winnow_fingerprints,
+    )
+
+    inner = "the quick brown fox jumps over the lazy dog near the river bank"
+    train = spark.createDataFrame(
+        [
+            (1, f"training document preamble text {inner} and a long trailer section"),
+            (2, "completely unrelated corpus entry about financial derivatives"),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame([(10, inner)], "doc_id long, text string")
+
+    out = winnow_containment(train, test, threshold=0.5).collect()
+    assert [(r.test_doc_id, r.train_doc_id) for r in out] == [(10, 1)]
+    assert out[0].containment >= 0.9  # near-total embedding
+
+    # short docs (fewer hashes than one window) still fingerprint: min hash
+    tiny = spark.createDataFrame([(5, "abcdefgh")], "doc_id long, text string")
+    fps = winnow_fingerprints(tiny).collect()
+    assert len(fps) == 1
+    # and empty/NULL docs produce none
+    empty = spark.createDataFrame([(6, None), (7, "   ")], "doc_id long, text string")
+    assert winnow_fingerprints(empty).count() == 0
+
+
+def test_token_counts_edges(spark):
+    """Pre-tokenizer counting: letter runs, digit runs, single punctuation;
+    whitespace tokens for the shingling unit."""
+    from market_flow_spark.extensions.text import token_counts
+
+    docs = spark.createDataFrame(
+        [(1, "Hello, world! 42 times"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_ws_tokens, r.n_pretokens, r.n_chars)
+           for r in token_counts(docs).collect()}
+    # Hello , world ! 42 times -> 6 pretokens; 4 ws tokens; 22 chars
+    assert got[1] == (4, 6, 22)
+    assert got[2] == (1, 0, 0)  # split('') yields [''] on both engines
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    """A~B and B~C must land in ONE cluster labeled min(A,B,C), with only
+    the minimum kept — pairwise keep-min-per-pair would wrongly keep C.
+    Also: a long chain (diameter > 2) converges within max_iter, and
+    unpaired docs keep themselves."""
+    from market_flow_spark.extensions.dedup import dedup_clusters, dedup_keep_list
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (10, 11), (11, 12), (12, 13), (13, 14)],
+        "doc1 long, doc2 long",
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7,
+                   10: 10, 11: 10, 12: 10, 13: 10, 14: 10}
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 16)], "doc_id long")
+    keep = {r.doc_id: r.keep for r in dedup_keep_list(docs, pairs).collect()}
+    # 2 drops in {1,2,3}, 1 in {7,9}, 4 in {10..14} -> 8 keepers
+    assert sum(keep.values()) == 15 - 7
+    assert keep[1] and not keep[2] and not keep[3]
+    assert keep[7] and not keep[9]
+    assert keep[10] and not any(keep[i] for i in (11, 12, 13, 14))
+    assert all(keep[i] for i in (4, 5, 6, 8, 15))  # unpaired
