@@ -196,3 +196,103 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ),
         F.length(t).alias("n_chars"),
     )
+
+
+# --- quality filters: repetition + PII -------------------------------------
+# Portable regexes: no lookaround/backrefs, so Java (Spark) and RE2 (DuckDB)
+# produce identical non-overlapping leftmost matches.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition features (the Gopher-style repetition
+    filters): duplicate-line fraction, duplicate-word fraction, and the
+    share of word bigrams taken by the single most frequent bigram. A doc
+    that fails any of the standard thresholds (dup lines > 30%, dup words
+    > 30%, top bigram > 20%) is flagged repetitive.
+
+    All row-wise higher-order functions — the top-bigram share is an
+    in-row frequency scan over the doc's own bigrams (quadratic in
+    DOCUMENT length, constant per corpus row), so the whole operator is
+    one map-only projection: no explode, no shuffle, 100 TB-safe."""
+    t = F.col(text_col)
+    lines = F.expr(f"filter(split({text_col}, '\\n'), x -> trim(x) <> '')")
+    toks = F.expr(
+        f"filter(split(trim(lower({text_col})), '\\\\s+'), x -> x <> '')"
+    )
+    bigrams = F.expr(
+        "CASE WHEN size(__toks) >= 2 THEN "
+        "transform(sequence(0, size(__toks) - 2), "
+        "i -> concat_ws(' ', __toks[i], __toks[i+1])) "
+        "ELSE cast(array() as array<string>) END"
+    )
+    top_bigram_cnt = F.expr(
+        "CASE WHEN size(__bg) > 0 THEN "
+        "array_max(transform(array_distinct(__bg), "
+        "x -> size(filter(__bg, y -> y = x)))) ELSE 0 END"
+    )
+    frac = lambda dup, tot: det_round(  # noqa: E731
+        F.when(tot > 0, dup / tot).otherwise(F.lit(0.0)), 4
+    )
+    base = spread_to_cores(docs).select(
+        "doc_id", t.alias(text_col), lines.alias("__lines"), toks.alias("__toks")
+    ).withColumn("__bg", bigrams)
+    n_lines = F.size("__lines")
+    n_toks = F.size("__toks")
+    n_bg = F.size("__bg")
+    out = base.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        frac(
+            (n_lines - F.size(F.array_distinct("__lines"))).cast("double"), n_lines
+        ).alias("dup_line_frac"),
+        frac(
+            (n_toks - F.size(F.array_distinct("__toks"))).cast("double"), n_toks
+        ).alias("dup_word_frac"),
+        frac(top_bigram_cnt.cast("double"), n_bg).alias("top_bigram_share"),
+    )
+    return out.withColumn(
+        "repetitive",
+        (F.col("dup_line_frac") > 0.3)
+        | (F.col("dup_word_frac") > 0.3)
+        | (F.col("top_bigram_share") > 0.2),
+    )
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Regex PII detection per document: email / IPv4 / phone-shaped match
+    counts and a has_pii flag — the scrub-or-drop gate of a training-data
+    pipeline. Pure regexp_extract_all column expressions (one codegen'd
+    scan); redaction is the same patterns via regexp_replace
+    (``redact_pii``)."""
+    t = F.col(text_col)
+
+    def n(pattern: str) -> F.Column:
+        return F.size(F.regexp_extract_all(t, F.lit(pattern), F.lit(0)))
+
+    return spread_to_cores(docs).select(
+        "doc_id",
+        n(EMAIL_RE).alias("n_emails"),
+        n(IPV4_RE).alias("n_ipv4"),
+        n(PHONE_RE).alias("n_phones"),
+    ).withColumn(
+        "has_pii",
+        (F.col("n_emails") > 0) | (F.col("n_ipv4") > 0) | (F.col("n_phones") > 0),
+    )
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace PII matches with typed placeholder tokens, preserving all
+    other content — the scrub path (vs pii_scan's drop path)."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), EMAIL_RE, "[EMAIL]"),
+            IPV4_RE,
+            "[IP]",
+        ),
+        PHONE_RE,
+        "[PHONE]",
+    )
+    return docs.withColumn(text_col, redacted)

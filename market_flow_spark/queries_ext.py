@@ -1816,3 +1816,68 @@ def q_dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8)
     return dedup.dedup_keep_list(docs, pairs)
+
+
+def _repetition_oracle() -> str:
+    fr = _floor_round_sql
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines,
+    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                x -> x <> '') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, lines, toks,
+    CASE WHEN len(toks) >= 2 THEN
+      list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+    ELSE [] END AS bigrams
+  FROM base
+),
+feats AS (
+  SELECT doc_id,
+    len(lines) AS n_lines,
+    CASE WHEN len(lines) > 0 THEN
+      {fr("(len(lines) - len(list_distinct(lines))) / len(lines)", 4)}
+      ELSE 0.0 END AS dup_line_frac,
+    CASE WHEN len(toks) > 0 THEN
+      {fr("(len(toks) - len(list_distinct(toks))) / len(toks)", 4)}
+      ELSE 0.0 END AS dup_word_frac,
+    CASE WHEN len(bigrams) > 0 THEN
+      {fr("list_max(list_transform(list_distinct(bigrams), x -> len(list_filter(bigrams, y -> y = x)))) / len(bigrams)", 4)}
+      ELSE 0.0 END AS top_bigram_share
+  FROM bg
+)
+SELECT doc_id, n_lines, dup_line_frac, dup_word_frac, top_bigram_share,
+  (dup_line_frac > 0.3 OR dup_word_frac > 0.3 OR top_bigram_share > 0.2)
+    AS repetitive
+FROM feats
+"""
+
+
+@register("repetition_stats", _repetition_oracle())
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition quality filter (Gopher-style): duplicate
+    line/word fractions + top-bigram share, map-only."""
+    return text.repetition_stats(load_tables(spark, sf_dir)["documents"])
+
+
+def _pii_oracle() -> str:
+    return f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{text.EMAIL_RE}')) AS n_emails,
+  len(regexp_extract_all(text, '{text.IPV4_RE}')) AS n_ipv4,
+  len(regexp_extract_all(text, '{text.PHONE_RE}')) AS n_phones,
+  (len(regexp_extract_all(text, '{text.EMAIL_RE}')) > 0
+   OR len(regexp_extract_all(text, '{text.IPV4_RE}')) > 0
+   OR len(regexp_extract_all(text, '{text.PHONE_RE}')) > 0) AS has_pii
+FROM documents
+"""
+
+
+@register("pii_scan", _pii_oracle())
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII detection (emails / IPv4 / phone-shaped runs): the
+    scrub-or-drop gate; patterns shared verbatim with the oracle."""
+    return text.pii_scan(load_tables(spark, sf_dir)["documents"])

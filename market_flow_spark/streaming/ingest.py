@@ -73,3 +73,68 @@ def start_ingest(
         .outputMode("update")
         .option("checkpointLocation", checkpoint)
     )
+
+
+def start_corpus_ingest_dedup(
+    doc_stream: DataFrame,
+    corpus_path: str,
+    checkpoint: str,
+    threshold: float = 0.8,
+):
+    """Continuously deduplicated corpus ingest — the streaming form of the
+    incremental MinHash operator: every micro-batch of documents is
+
+    1. deduped WITHIN the batch (pair graph → connected components → keep
+       minimum doc_id per cluster), then
+    2. banded AGAINST the accumulated corpus (``minhash_lsh_pairs_against``
+       — cross-side band joins only, cost scales with the batch), and
+    3. only novel survivors are appended to the corpus.
+
+    The heavy streaming machinery is exactly the batch operators — the
+    candidate/verify plans are identical — wrapped in ``foreachBatch``,
+    which is the production shape for stateful-against-external-store
+    logic Structured Streaming cannot express natively (the corpus index
+    lives in the warehouse, not in stream state). Delivery is
+    at-least-once on retry (append + checkpoint); the downstream exact
+    tier makes replays harmless."""
+    from pyspark.sql import functions as sf
+
+    from market_flow_spark.extensions.dedup import (
+        dedup_keep_list,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_against,
+    )
+
+    def dedup_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            within = minhash_lsh_pairs(batch_df, threshold=threshold)
+            keepers = dedup_keep_list(batch_df, within).filter("keep").select(
+                "doc_id"
+            )
+            batch_keep = batch_df.join(keepers, "doc_id", "left_semi")
+            try:
+                corpus = spark.read.parquet(corpus_path)
+            except Exception:  # first batch: corpus does not exist yet
+                corpus = None
+            if corpus is not None:
+                dups = (
+                    minhash_lsh_pairs_against(
+                        batch_keep, corpus, threshold=threshold
+                    )
+                    .select(sf.col("new_doc_id").alias("doc_id"))
+                    .distinct()
+                )
+                novel = batch_keep.join(dups, "doc_id", "left_anti")
+            else:
+                novel = batch_keep
+            novel.write.mode("append").parquet(corpus_path)
+        finally:
+            batch_df.unpersist()
+
+    return (
+        doc_stream.writeStream.foreachBatch(dedup_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )

@@ -340,3 +340,49 @@ def test_dedup_clusters_transitive_chain(spark):
     assert keep[7] and not keep[9]
     assert keep[10] and not any(keep[i] for i in (11, 12, 13, 14))
     assert all(keep[i] for i in (4, 5, 6, 8, 15))  # unpaired
+
+
+def test_repetition_stats_flags_repetitive_docs(spark):
+    from market_flow_spark.extensions.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now\nbuy now\nbuy now\nbuy now"),     # dup lines
+            (2, "spam spam spam spam spam ham"),            # dup words + top bigram
+            (3, "a perfectly normal sentence with varied content here"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert got[1].repetitive and got[1].dup_line_frac == 0.75
+    assert got[2].repetitive and got[2].dup_word_frac > 0.3
+    # "spam spam" is 4 of 5 bigrams
+    assert got[2].top_bigram_share == 0.8
+    assert not got[3].repetitive
+    assert not got[4].repetitive  # NULL text never flags
+
+
+def test_pii_scan_and_redact(spark):
+    from market_flow_spark.extensions.text import pii_scan, redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact alice@example.com or bob.smith@corp.co.uk today"),
+            (2, "server at 192.168.1.100 answered"),
+            (3, "call +1 (415) 555-0123 now"),
+            (4, "no personal data in this one"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pii_scan(docs).collect()}
+    assert got[1].n_emails == 2 and got[1].has_pii
+    assert got[2].n_ipv4 == 1 and got[2].has_pii
+    assert got[3].n_phones == 1 and got[3].has_pii
+    assert not got[4].has_pii
+
+    red = {r.doc_id: r.text for r in redact_pii(docs).collect()}
+    assert "[EMAIL]" in red[1] and "alice" not in red[1]
+    assert "[IP]" in red[2] and "192.168" not in red[2]
+    assert "[PHONE]" in red[3] and "555" not in red[3]
+    assert red[4] == "no personal data in this one"

@@ -70,3 +70,46 @@ def test_full_ingest_pipeline(spark, sf_dir, tmp_path):
     parts = [p.name for p in pathlib.Path(warehouse).iterdir()
              if p.name.startswith("window_date=")]
     assert parts
+
+
+def test_streaming_corpus_ingest_dedup(spark, tmp_path):
+    """Streaming incremental dedup: batch 1 lands {A, B~A} -> corpus keeps
+    only A; batch 2 lands {C~A, D novel} -> corpus gains only D. Each
+    micro-batch runs within-batch components + cross-corpus band joins —
+    the batch operators wrapped in foreachBatch."""
+    from market_flow_spark.streaming.ingest import start_corpus_ingest_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    other = ("completely different content about financial markets and "
+             "commodity price indices moving through seasonal cycles")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    corpus_path = str(tmp_path / "corpus")
+    ck = str(tmp_path / "ck_dedup")
+    schema = "doc_id long, text string"
+
+    def run_once():
+        # the landing batches arrive as subdirectories — glob them (the
+        # file stream source does not recurse by default)
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(str(landing) + "/*")
+        q = (
+            start_corpus_ingest_dedup(stream, corpus_path, ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    spark.createDataFrame(
+        [(1, base), (2, base + " extra")], schema
+    ).coalesce(1).write.parquet(str(landing / "b1"))
+    run_once()
+    assert {r.doc_id for r in spark.read.parquet(corpus_path).collect()} == {1}
+
+    spark.createDataFrame(
+        [(3, base), (4, other)], schema
+    ).coalesce(1).write.parquet(str(landing / "b2"))
+    run_once()
+    assert {r.doc_id for r in spark.read.parquet(corpus_path).collect()} == {1, 4}
