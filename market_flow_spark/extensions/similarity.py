@@ -371,3 +371,152 @@ def ann_lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# --- product quantization (PQ) ---------------------------------------------
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    train_rows: int = 2048,
+    max_iter: int = 8,
+):
+    """Train the PQ codebooks: split the (L2-normalized) embedding space
+    into ``m`` contiguous subspaces and k-means each independently
+    (``n_codes`` centroids per subspace) on a bounded sample — the
+    compression half of the FAISS IVF-PQ design. Returns an
+    (m, n_codes, dim/m) numpy tensor. Vectors compress from dim×4 bytes
+    to m bytes (dim=64, m=8, k=16 → 32×), which is what lets a 100 TB
+    embedding corpus's search structure fit a cluster's memory."""
+    import numpy as np
+
+    sample = (
+        embeddings.filter(F.col("vec_id") < train_rows).select("embedding").toPandas()
+    )
+    if sample.empty:
+        sample = (
+            embeddings.orderBy("vec_id").limit(train_rows).select("embedding").toPandas()
+        )
+    X = np.asarray(sample["embedding"].tolist(), dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    d = X.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    sub = d // m
+    books = [
+        train_kmeans_quantizer(X[:, j * sub : (j + 1) * sub], n_codes, seed + j, max_iter)
+        for j in range(m)
+    ]
+    return np.stack(books)
+
+
+def pq_encode(embeddings: DataFrame, codebooks) -> DataFrame:
+    """(vec_id, code): the m-byte PQ code per vector — argmin centroid per
+    subspace over the L2-normalized vector, one Arrow-batched vectorized
+    map over the corpus (broadcast codebooks, no shuffle)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.asarray(codebooks, dtype=np.float64)  # (m, k, sub)
+    m, _, sub = B.shape
+
+    @pandas_udf("array<int>")
+    def encode(emb: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        X = _np.asarray(emb.tolist(), dtype=_np.float64)
+        X = X / _np.maximum(_np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        codes = _np.empty((len(X), m), dtype=_np.int32)
+        for j in range(m):
+            Xj = X[:, j * sub : (j + 1) * sub]
+            # argmin ||x-c||² == argmin ||c||² - 2 x·c
+            d2 = (B[j] ** 2).sum(1)[None, :] - 2.0 * (Xj @ B[j].T)
+            codes[:, j] = d2.argmin(1)
+        return pd.Series(list(codes))
+
+    return embeddings.select("vec_id", encode("embedding").alias("code"))
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    train_rows: int = 2048,
+    codebooks=None,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k by cosine: corpus vectors are
+    m-byte codes; each query builds an (m × n_codes) inner-product lookup
+    table against the codebooks, and a candidate's score is m table
+    gathers — never a full-precision distance against the corpus.
+
+    Plan shape: encode = one Arrow map over the corpus (the only pass that
+    touches raw vectors); scoring = one Arrow map over the CODES with the
+    tiny LUT tensor in the closure, emitting (query_id, vec_id, score);
+    ranking = per-query TakeOrdered-style window. Query vectors are a
+    driver-collected bounded set (same contract as the IVF quantizer
+    sample). ``codebooks`` accepts a pre-trained tensor (the
+    build-once/query-many path, pairing with
+    save/load via plain numpy files or a parquet table)."""
+    import numpy as np
+
+    B = (
+        np.asarray(codebooks, dtype=np.float64)
+        if codebooks is not None
+        else train_pq_codebooks(embeddings, m, n_codes, seed, train_rows)
+    )
+    m = B.shape[0]
+    sub = B.shape[2]
+
+    qrows = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    Q = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    qids = np.asarray([r["vec_id"] for r in qrows], dtype=np.int64)
+    # LUT[q, j, c] = <Q[q] subvector j, codebook j centroid c>
+    lut = np.stack(
+        [Q[:, j * sub : (j + 1) * sub] @ B[j].T for j in range(m)], axis=1
+    )
+
+    codes = pq_encode(embeddings, B)
+
+    def score_batches(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            C = _np.asarray(pdf["code"].tolist(), dtype=_np.int64)  # (n, m)
+            out = []
+            for qi, qid in enumerate(qids):
+                # gather: sum over subspaces of LUT[qi, j, C[:, j]]
+                s = _np.zeros(len(C))
+                for j in range(m):
+                    s += lut[qi, j, C[:, j]]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": _np.full(len(C), qid),
+                            "neighbor_id": pdf["vec_id"].to_numpy(),
+                            "score": _np.round(s, 6),
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "score": []}
+            )
+
+    scored = codes.mapInPandas(
+        score_batches, "query_id long, neighbor_id long, score double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

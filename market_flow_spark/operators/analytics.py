@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from market_flow_spark.functions.aggregates import det_avg, det_avg_over
+from market_flow_spark.functions.aggregates import det_avg, det_avg_over, det_round
 
 
 # ---- filters (P3-P6) -------------------------------------------------------
@@ -154,3 +154,26 @@ def last_n(df: DataFrame, order_col: str, n: int, tiebreak: list[str]) -> DataFr
     """O5: pandas tail(n) analog — last n rows by a sort column
     (single_product_forecasting.py:177-180)."""
     return df.orderBy(F.col(order_col).desc(), *[F.col(c).desc() for c in tiebreak]).limit(n)
+
+
+def group_percentiles(
+    df: DataFrame,
+    group: str,
+    value: str,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group quantiles of a measure. ``approx=False`` uses the exact
+    interpolated `percentile` aggregate ((n-1)·p linear interpolation —
+    the same definition as ANSI PERCENTILE_CONT / DuckDB quantile_cont, so
+    it is oracle-checkable); ``approx=True`` switches to
+    `approx_percentile` (t-digest-style bounded-memory sketch) — the
+    100 TB path, where an exact per-group sort of a fact-table measure is
+    the thing you avoid. Same schema either way, so callers flip the flag
+    by data size."""
+    fn = "approx_percentile" if approx else "percentile"
+    aggs = [
+        det_round(F.expr(f"{fn}({value}, {p})"), 4).alias(f"p{str(p)[2:]}")
+        for p in ps
+    ]
+    return df.groupBy(group).agg(*aggs, F.count(F.lit(1)).alias("n_rows"))

@@ -1881,3 +1881,23 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex PII detection (emails / IPv4 / phone-shaped runs): the
     scrub-or-drop gate; patterns shared verbatim with the oracle."""
     return text.pii_scan(load_tables(spark, sf_dir)["documents"])
+
+
+@register(
+    "price_percentiles",
+    f"""
+SELECT l_returnflag,
+  {_floor_round_sql("quantile_cont(l_extendedprice, 0.5)", 4)} AS p5,
+  {_floor_round_sql("quantile_cont(l_extendedprice, 0.9)", 4)} AS p9,
+  {_floor_round_sql("quantile_cont(l_extendedprice, 0.99)", 4)} AS p99,
+  COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated per-group quantiles (ANSI PERCENTILE_CONT
+    semantics on both engines); the operator's approx=True flag swaps in
+    approx_percentile for fact-scale measures."""
+    return an.group_percentiles(
+        load_tables(spark, sf_dir)["lineitem"], "l_returnflag", "l_extendedprice"
+    )
