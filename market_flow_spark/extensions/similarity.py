@@ -520,3 +520,148 @@ def pq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    train_rows: int = 2048,
+    centroids=None,
+    codebooks=None,
+    refine: bool = True,
+) -> DataFrame:
+    """The full FAISS IVF-PQ composition: the coarse quantizer prunes the
+    corpus to each query's ``nprobe`` cells (equi-join on cell id — the
+    IVF half), PQ ADC scores only those candidates from their m-byte codes
+    (LUT gathers — the PQ half), and with ``refine=True`` the PQ top-3k
+    shortlist is re-scored at full precision so the final ranking costs
+    exact distances on a bounded candidate set only.
+
+    At 100 TB: raw vectors are read once (assignment + encoding in ONE
+    Arrow pass), the search structure that actually joins is
+    (vec_id, cell, code) — m bytes + 4 per vector — and the refine join
+    touches full vectors for ~3k rows per query. Both quantizers accept
+    pre-trained artifacts (build-once/query-many)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else train_ivf_centroids(embeddings, n_cells, seed, train_rows)
+    )
+    B = (
+        np.asarray(codebooks, dtype=np.float64)
+        if codebooks is not None
+        else train_pq_codebooks(embeddings, m, n_codes, seed, train_rows)
+    )
+    n_cells = len(C)
+    m, _, sub = B.shape
+    cnorm2 = (C * C).sum(1)
+
+    @pandas_udf("struct<cell:int, code:array<int>>")
+    def assign_and_encode(emb: pd.Series) -> pd.DataFrame:
+        import numpy as _np
+
+        X = _np.asarray(emb.tolist(), dtype=_np.float64)
+        cell = (cnorm2 - 2.0 * (X @ C.T)).argmin(1).astype("int32")
+        Xn = X / _np.maximum(_np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        codes = _np.empty((len(X), m), dtype=_np.int32)
+        for j in range(m):
+            d2 = (B[j] ** 2).sum(1)[None, :] - 2.0 * (Xn[:, j * sub:(j + 1) * sub] @ B[j].T)
+            codes[:, j] = d2.argmin(1)
+        return pd.DataFrame({"cell": cell, "code": list(codes)})
+
+    index = embeddings.select(
+        "vec_id", assign_and_encode("embedding").alias("ac")
+    ).select("vec_id", F.col("ac.cell").alias("cell"), F.col("ac.code").alias("code"))
+
+    qrows = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    Q = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    qids = np.asarray([r["vec_id"] for r in qrows], dtype=np.int64)
+    # nprobe nearest cells per query (tiny, driver-side numpy)
+    qcell_d2 = cnorm2[None, :] - 2.0 * (Q @ C.T)
+    probe_cells = np.argsort(qcell_d2, axis=1, kind="stable")[:, :nprobe]
+    lut = np.stack([Qn[:, j * sub:(j + 1) * sub] @ B[j].T for j in range(m)], axis=1)
+
+    spark = embeddings.sparkSession
+    probes = spark.createDataFrame(
+        [
+            (int(qids[qi]), int(c))
+            for qi in range(len(qids))
+            for c in probe_cells[qi]
+        ],
+        "query_id long, cell int",
+    )
+    cand = index.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+
+    qpos = {int(q): i for i, q in enumerate(qids)}
+
+    def adc(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Cd = _np.asarray(pdf["code"].tolist(), dtype=_np.int64)
+            qi = pdf["query_id"].map(qpos).to_numpy()
+            s = _np.zeros(len(Cd))
+            for j in range(m):
+                s += lut[qi, j, Cd[:, j]]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["vec_id"].to_numpy(),
+                    "score": _np.round(s, 6),
+                }
+            )
+
+    scored = cand.select("query_id", "vec_id", "code").mapInPandas(
+        adc, "query_id long, neighbor_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    if not refine:
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+    shortlist = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 3 * k
+    ).drop("rank", "score")
+    # exact re-rank of the bounded shortlist: join back to raw vectors once
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in Qn[i]]) for i, q in enumerate(qids)],
+        "query_id long, qe array<double>",
+    )
+    full = (
+        shortlist.join(
+            embeddings.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qdf), "query_id")
+    )
+    nrm = F.sqrt(_norm_sq(F.col("embedding")))
+    cos = _dot(F.col("embedding"), F.col("qe")) / nrm  # qe pre-normalized
+    exact = full.select(
+        "query_id", "neighbor_id", det_round(cos, 6).alias("cosine")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return exact.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )

