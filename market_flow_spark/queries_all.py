@@ -38,7 +38,13 @@ incremental-MinHash operators, per the round-3 brief):
 - dedup_clusters_minhash (pairs->components->keep list over the in-window
                        dedup_minhash_lsh pair graph; recursive-CTE oracle
                        in pytest)
-All three r4 additions are full-oracle-checked in tests/test_oracle_parity.
+- repetition_stats    (row-wise quality features  -> text_profile covers
+                       the map-only quality-scan shape)
+- pii_scan            (regexp_extract_all counts  -> text_profile /
+                       token_counts cover the regex-scan shape)
+- price_percentiles   (exact PERCENTILE_CONT agg  -> price_summary_stats
+                       covers the per-group multi-stat aggregate shape)
+All r4 additions are full-oracle-checked in tests/test_oracle_parity.
 """
 
 from __future__ import annotations

@@ -47,3 +47,18 @@ def test_checks_detect_violations(spark):
     rel = check_relationship(bad, "k", parent, "k")
     assert rel.violations == 1
     assert not rel.passed and check_not_null(bad, "v").passed
+
+
+def test_pipeline_run_is_json_serializable_path_mapping(spark, sf_dir, tmp_path):
+    """The Makefile pipes run_pipeline's return through json.dumps — the
+    PipelineRun must serialize as a plain {table: path} object with the
+    quality results out-of-band."""
+    import json
+
+    from market_flow_spark.plans.pipeline import run_pipeline
+
+    run = run_pipeline(spark, sf_dir, str(tmp_path / "wh_json"))
+    blob = json.loads(json.dumps(run))
+    assert blob == dict(run)
+    assert all(isinstance(v, str) for v in blob.values())
+    assert "quality" not in blob and run.quality
