@@ -113,6 +113,11 @@ def main() -> None:
             d.filter(F.col("doc_id") % 10 == 0),
             threshold=0.8,
         ),
+        "winnow_containment": lambda d: dedup.winnow_containment(
+            d.filter(F.col("doc_id") % 10 != 0),
+            d.filter(F.col("doc_id") % 10 == 0),
+            threshold=0.5,
+        ),
     }
     scaling: dict[str, list[dict[str, float]]] = {}
     for tier_name, build in tiers.items():
@@ -128,6 +133,20 @@ def main() -> None:
             )
         scaling[tier_name] = curve
 
+    # library-only ANN ops (no SQL oracle, so not registered queries):
+    # steady-state timings so the compressed tiers have recorded perf too
+    from market_flow_spark.extensions import similarity  # noqa: E402
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    library_ops = {
+        "pq_topk": steady(
+            similarity.pq_topk(emb, n_queries=5, k=5, m=16, n_codes=32)
+        ),
+        "ivf_pq_topk": steady(
+            similarity.ivf_pq_topk(emb, n_queries=5, k=5, nprobe=4, m=16, n_codes=32)
+        ),
+    }
+
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
         "cold_queries": cold,
@@ -138,6 +157,7 @@ def main() -> None:
         "warm_total": round(sum(warm.values()), 3),
         "word_jaccard_strategies": strategies,
         "scaling": scaling,
+        "library_ops": library_ops,
         "sf": sf_val,
     }
     Path(__file__).resolve().parent.joinpath("bench_detail.json").write_text(

@@ -269,7 +269,7 @@ def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
     (``redact_pii``)."""
     t = F.col(text_col)
 
-    def n(pattern: str) -> F.Column:
+    def n(pattern: str) -> Column:
         return F.size(F.regexp_extract_all(t, F.lit(pattern), F.lit(0)))
 
     return spread_to_cores(docs).select(

@@ -107,3 +107,44 @@ def test_simhash_twos_complement_assembly(sums):
     expected = unsigned - 2**64 if bits[63] else unsigned
     assert assembled == expected
     assert -(2**63) <= assembled < 2**63
+
+
+def test_winnow_guarantee_property(spark):
+    """MOSS winnowing guarantee, property-tested: two texts sharing ANY
+    substring of length >= k + window - 1 (after normalization) must share
+    at least one winnowed fingerprint."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from market_flow_spark.extensions.dedup import winnow_fingerprints
+
+    k, w = 8, 4
+    need = k + w - 1  # guaranteed-shared substring length
+    rng = random.Random(1234)
+    alphabet = "abcdefghij "
+    cases = []
+    for i in range(12):
+        shared = "".join(rng.choice("abcdefghij") for _ in range(need + rng.randrange(6)))
+        left = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40))) + shared
+        right = shared + "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+        cases.append((2 * i, left, 2 * i + 1, right))
+    docs = spark.createDataFrame(
+        [(a, lt) for a, lt, _, _ in cases] + [(b, rt) for _, _, b, rt in cases],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=k, window=w)
+    by_doc: dict[int, set] = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    for a, _, b, _ in cases:
+        assert by_doc[a] & by_doc[b], f"docs {a},{b} share no fingerprint"
+
+
+def test_dedup_clusters_empty_and_self_pairs(spark):
+    from market_flow_spark.extensions.dedup import dedup_keep_list
+
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    empty = spark.createDataFrame([], "doc1 long, doc2 long")
+    out = dedup_keep_list(docs, empty).collect()
+    assert len(out) == 5 and all(r.keep and r.cluster_id == r.doc_id for r in out)
