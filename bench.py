@@ -118,12 +118,56 @@ def main() -> None:
             d.filter(F.col("doc_id") % 10 == 0),
             threshold=0.5,
         ),
+        # the boilerplate-suppressed variant — the 100 TB shape: fps seen
+        # in > 64 docs never enter the join (or the denominator)
+        "winnow_containment_capped": lambda d: dedup.winnow_containment(
+            d.filter(F.col("doc_id") % 10 != 0),
+            d.filter(F.col("doc_id") % 10 == 0),
+            threshold=0.5,
+            max_fp_df=64,
+        ),
     }
+    def inflate(k: int):
+        """k perturbed copies of the corpus: every 3rd token (offset by the
+        copy index) gets a copy-specific suffix, so copies of one doc share
+        <=2/3 of their words (below the 0.7 word threshold) and almost no
+        3-gram shingles — cross-copy pairs stay out of every tier's output
+        and the output scales linearly with the inflation factor."""
+        copies = []
+        for c in range(k):
+            copies.append(
+                docs.select(
+                    (F.col("doc_id") + F.lit(c * 10_000_000)).alias("doc_id"),
+                    F.expr(
+                        "concat_ws(' ', transform("
+                        "  filter(split(trim(lower(text)), '\\\\s+'), t -> t <> ''),"
+                        f"  (t, i) -> CASE WHEN (i + {c}) % 3 = 0"
+                        f"    THEN concat(t, '_{c}') ELSE t END))"
+                    ).alias("text"),
+                    *[c2 for c2 in docs.columns if c2 not in ("doc_id", "text")],
+                )
+            )
+        out = copies[0]
+        for extra in copies[1:]:
+            out = out.unionByName(extra)
+        return out
+
     scaling: dict[str, list[dict[str, float]]] = {}
+    # the 100 TB-path tiers additionally run on 2x/4x inflated corpora
+    scale_safe = {
+        "dedup_exact", "dedup_minhash_lsh", "contamination_ngram",
+        "winnow_containment", "winnow_containment_capped",
+    }
     for tier_name, build in tiers.items():
         curve = []
-        for frac_name, subset in (("quarter", docs.filter(F.col("doc_id") % 4 == 0)),
-                                  ("half", half), ("full", docs)):
+        points = [
+            ("quarter", docs.filter(F.col("doc_id") % 4 == 0)),
+            ("half", half),
+            ("full", docs),
+        ]
+        if tier_name in scale_safe:
+            points += [("x2", inflate(2)), ("x4", inflate(4))]
+        for frac_name, subset in points:
             curve.append(
                 {
                     "subset": frac_name,

@@ -386,3 +386,33 @@ def test_pii_scan_and_redact(spark):
     assert "[IP]" in red[2] and "192.168" not in red[2]
     assert "[PHONE]" in red[3] and "555" not in red[3]
     assert red[4] == "no personal data in this one"
+
+
+def test_winnow_containment_boilerplate_cap(spark):
+    """max_fp_df (the MOSS noise threshold): a license header shared by
+    EVERY training doc must not make every probe doc look contained, and
+    a genuinely embedded probe doc is still detected — boilerplate fps
+    leave both the join and the denominator."""
+    from market_flow_spark.extensions.dedup import winnow_containment
+
+    header = ("this content is licensed under the creative commons "
+              "attribution share alike international license terms")
+    unique = "the migratory patterns of arctic terns span both hemispheres"
+    train = spark.createDataFrame(
+        [(i, f"{header} filler{i}a filler{i}b filler{i}c") for i in range(1, 9)]
+        + [(9, f"{header} {unique} plus trailing commentary text")],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(100, f"{header} probefiller one two three"), (101, unique)],
+        "doc_id long, text string",
+    )
+    # uncapped: the shared header makes probe 100 'contained' in many docs
+    raw = winnow_containment(train, probe, threshold=0.5).collect()
+    assert len({r.train_doc_id for r in raw if r.test_doc_id == 100}) > 1
+    # capped at df<=4: header fps (df ~10) vanish; only the real embedding
+    # of probe 101 inside train doc 9 survives
+    capped = winnow_containment(train, probe, threshold=0.5, max_fp_df=4).collect()
+    pairs = {(r.test_doc_id, r.train_doc_id) for r in capped}
+    assert (101, 9) in pairs
+    assert not any(t == 100 for t, _ in pairs)
