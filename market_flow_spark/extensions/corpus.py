@@ -1,0 +1,91 @@
+"""End-to-end corpus cleaning — the composition a training-data pipeline
+actually ships (north-star extension; no reference analogue, the reference
+is numeric price analytics).
+
+``clean_corpus`` wires the individually-tested operators into the standard
+cleaning ladder and labels every document with its fate:
+
+    quality gate → repetition gate → PII gate        (ONE fused corpus scan)
+      → exact dedup keeper                            (one shuffle)
+      → MinHash+LSH near-dup → connected components   (band equi-joins)
+      → (doc_id, keep, drop_reason)
+
+Stage order is semantic, not incidental: cheap row-local gates run first so
+junk never enters a shuffle; exact dedup halves the near-dup tier's input;
+near-dup clustering runs over exact keepers only. ``drop_reason`` is the
+FIRST failing stage (low_quality | repetitive | pii | exact_dup |
+near_dup), which makes per-reason audits additive.
+
+At 100 TB: one full corpus scan (the fused gate projection), one hash
+exchange on the exact fingerprint, then the MinHash band joins whose cost
+scales with the surviving near-dup neighborhoods — there is no stage that
+re-reads the raw corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from market_flow_spark.extensions import dedup
+from market_flow_spark.extensions.text import quality_flags
+
+
+def clean_corpus(
+    docs: DataFrame,
+    min_quality: float = 1.0,
+    sim_threshold: float = 0.8,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, keep, drop_reason) for every input document — the
+    materializable decision table of the cleaning pipeline (the cleaned
+    corpus is ``docs.join(result.filter("keep"), "doc_id", "left_semi")``).
+    """
+    flags = quality_flags(docs, text_col)
+    gated = flags.withColumn(
+        "early_reason",
+        F.when(F.col("quality_score") < min_quality, F.lit("low_quality"))
+        .when(F.col("repetitive"), F.lit("repetitive"))
+        .when(F.col("has_pii"), F.lit("pii")),
+    )
+    surv1 = gated.filter(F.col("early_reason").isNull()).select("doc_id", text_col)
+
+    # exact dedup among gate survivors: window on the normalized fingerprint
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    w = Window.partitionBy("fingerprint")
+    ex = (
+        surv1.withColumn("fingerprint", F.md5(norm))
+        .withColumn("ex_keep", F.min("doc_id").over(w))
+    )
+    surv2 = ex.filter(F.col("doc_id") == F.col("ex_keep")).select(
+        "doc_id", text_col
+    )
+
+    # near-dup clustering among exact keepers
+    pairs = dedup.minhash_lsh_pairs(surv2, threshold=sim_threshold,
+                                    text_col=text_col)
+    clusters = dedup.dedup_clusters(pairs)
+
+    labeled = (
+        gated.select("doc_id", "early_reason")
+        .join(
+            ex.select("doc_id", (F.col("doc_id") != F.col("ex_keep")).alias("__exdup")),
+            "doc_id",
+            "left",
+        )
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("early_reason").isNotNull(), F.col("early_reason"))
+            .when(F.col("__exdup"), F.lit("exact_dup"))
+            .when(
+                F.col("cluster_id").isNotNull()
+                & (F.col("cluster_id") != F.col("doc_id")),
+                F.lit("near_dup"),
+            )
+            .alias("drop_reason"),
+        )
+    )
+    return labeled.withColumn("keep", F.col("drop_reason").isNull()).select(
+        "doc_id", "keep", "drop_reason"
+    )

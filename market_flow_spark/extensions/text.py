@@ -217,6 +217,14 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     in-row frequency scan over the doc's own bigrams (quadratic in
     DOCUMENT length, constant per corpus row), so the whole operator is
     one map-only projection: no explode, no shuffle, 100 TB-safe."""
+    out = _rep_base(docs, text_col).select("doc_id", *_rep_feature_cols())
+    return out.withColumn("repetitive", _repetitive_flag())
+
+
+def _rep_base(docs: DataFrame, text_col: str) -> DataFrame:
+    """Base projection carrying the row-wise repetition intermediates
+    (__lines, __toks, __bg) alongside doc_id and the text column — shared
+    by repetition_stats and the fused clean-corpus flag scan."""
     t = F.col(text_col)
     lines = F.expr(f"filter(split({text_col}, '\\n'), x -> trim(x) <> '')")
     toks = F.expr(
@@ -228,22 +236,26 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "i -> concat_ws(' ', __toks[i], __toks[i+1])) "
         "ELSE cast(array() as array<string>) END"
     )
+    return spread_to_cores(docs).select(
+        "doc_id", t.alias(text_col), lines.alias("__lines"), toks.alias("__toks")
+    ).withColumn("__bg", bigrams)
+
+
+def _rep_feature_cols() -> list[Column]:
+    """The four repetition feature columns over a ``_rep_base`` frame."""
     top_bigram_cnt = F.expr(
         "CASE WHEN size(__bg) > 0 THEN "
         "array_max(transform(array_distinct(__bg), "
         "x -> size(filter(__bg, y -> y = x)))) ELSE 0 END"
     )
-    frac = lambda dup, tot: det_round(  # noqa: E731
-        F.when(tot > 0, dup / tot).otherwise(F.lit(0.0)), 4
-    )
-    base = spread_to_cores(docs).select(
-        "doc_id", t.alias(text_col), lines.alias("__lines"), toks.alias("__toks")
-    ).withColumn("__bg", bigrams)
+
+    def frac(dup: Column, tot: Column) -> Column:
+        return det_round(F.when(tot > 0, dup / tot).otherwise(F.lit(0.0)), 4)
+
     n_lines = F.size("__lines")
     n_toks = F.size("__toks")
     n_bg = F.size("__bg")
-    out = base.select(
-        "doc_id",
+    return [
         n_lines.alias("n_lines"),
         frac(
             (n_lines - F.size(F.array_distinct("__lines"))).cast("double"), n_lines
@@ -252,12 +264,16 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             (n_toks - F.size(F.array_distinct("__toks"))).cast("double"), n_toks
         ).alias("dup_word_frac"),
         frac(top_bigram_cnt.cast("double"), n_bg).alias("top_bigram_share"),
-    )
-    return out.withColumn(
-        "repetitive",
+    ]
+
+
+def _repetitive_flag() -> Column:
+    # built lazily: Column operators need an active SparkContext, so this
+    # cannot be a module-level constant (imports happen before the session)
+    return (
         (F.col("dup_line_frac") > 0.3)
         | (F.col("dup_word_frac") > 0.3)
-        | (F.col("top_bigram_share") > 0.2),
+        | (F.col("top_bigram_share") > 0.2)
     )
 
 
@@ -296,3 +312,38 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "[PHONE]",
     )
     return docs.withColumn(text_col, redacted)
+
+
+def quality_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The fused per-document gate scan of a corpus-cleaning pipeline:
+    quality score, repetition flag, and PII flag computed in ONE
+    projection over ONE corpus scan (running text_stats + repetition_stats
+    + pii_scan separately and joining would scan a 100 TB corpus three
+    times and shuffle twice). Returns (doc_id, <text_col>, quality_score,
+    repetitive, has_pii); semantics are bit-identical to the standalone
+    operators (shared column builders)."""
+    t = F.col(text_col)
+    stats = _stats_cols(text_col)
+
+    def pii_count(pattern: str) -> Column:
+        return F.size(F.regexp_extract_all(t, F.lit(pattern), F.lit(0)))
+
+    base = _rep_base(docs, text_col)
+    feats = base.select(
+        "doc_id",
+        text_col,
+        stats["quality_score"].alias("quality_score"),
+        *_rep_feature_cols(),
+        (
+            (pii_count(EMAIL_RE) > 0)
+            | (pii_count(IPV4_RE) > 0)
+            | (pii_count(PHONE_RE) > 0)
+        ).alias("has_pii"),
+    )
+    return feats.select(
+        "doc_id",
+        text_col,
+        "quality_score",
+        _repetitive_flag().alias("repetitive"),
+        "has_pii",
+    )

@@ -1901,3 +1901,122 @@ def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.group_percentiles(
         load_tables(spark, sf_dir)["lineitem"], "l_returnflag", "l_extendedprice"
     )
+
+
+def _clean_corpus_oracle(min_quality: float = 1.0) -> str:
+    """DuckDB twin of extensions.corpus.clean_corpus: the same five-stage
+    ladder assembled from the already-oracle-checked fragments (quality
+    chain, repetition chain, PII counts, exact-fingerprint window, MinHash
+    pair CTEs re-sourced to the survivor set, recursive-CTE components)."""
+    minhash_inner = _minhash_oracle().replace("FROM documents", "FROM surv2")
+    return f"""
+WITH RECURSIVE tq AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+bq AS (
+  SELECT doc_id, toks,
+    CAST(len(toks) AS INT) AS n_tokens,
+    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS INT) AS n_nonspace
+  FROM tq
+),
+cq AS (
+  SELECT doc_id, n_tokens,
+    {_floor_round_sql("n_nonspace / n_tokens", 4)} AS avg_token_len
+  FROM bq
+),
+qq AS (
+  SELECT doc_id,
+    {_floor_round_sql(
+        "(CASE WHEN n_tokens BETWEEN 5 AND 10000 THEN 0.5 ELSE 0.0 END)"
+        " + (CASE WHEN avg_token_len BETWEEN 2 AND 12 THEN 0.5 ELSE 0.0 END)",
+        2,
+    )} AS quality_score
+  FROM cq
+),
+rb AS (
+  SELECT doc_id,
+    list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines,
+    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                x -> x <> '') AS toks
+  FROM documents
+),
+rg AS (
+  SELECT doc_id, lines, toks,
+    CASE WHEN len(toks) >= 2 THEN
+      list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+    ELSE [] END AS bigrams
+  FROM rb
+),
+rf AS (
+  SELECT doc_id,
+    (CASE WHEN len(lines) > 0 THEN
+       {_floor_round_sql("(len(lines) - len(list_distinct(lines))) / len(lines)", 4)}
+       ELSE 0.0 END > 0.3
+     OR CASE WHEN len(toks) > 0 THEN
+       {_floor_round_sql("(len(toks) - len(list_distinct(toks))) / len(toks)", 4)}
+       ELSE 0.0 END > 0.3
+     OR CASE WHEN len(bigrams) > 0 THEN
+       {_floor_round_sql("list_max(list_transform(list_distinct(bigrams), x -> len(list_filter(bigrams, y -> y = x)))) / len(bigrams)", 4)}
+       ELSE 0.0 END > 0.2) AS repetitive
+  FROM rg
+),
+pp AS (
+  SELECT doc_id,
+    (len(regexp_extract_all(text, '{text.EMAIL_RE}')) > 0
+     OR len(regexp_extract_all(text, '{text.IPV4_RE}')) > 0
+     OR len(regexp_extract_all(text, '{text.PHONE_RE}')) > 0) AS has_pii
+  FROM documents
+),
+gated AS (
+  SELECT d.doc_id, d.text,
+    CASE WHEN qq.quality_score < {min_quality} THEN 'low_quality'
+         WHEN rf.repetitive THEN 'repetitive'
+         WHEN pp.has_pii THEN 'pii' END AS early_reason
+  FROM documents d
+  JOIN qq USING (doc_id) JOIN rf USING (doc_id) JOIN pp USING (doc_id)
+),
+surv1 AS (SELECT doc_id, text FROM gated WHERE early_reason IS NULL),
+ex AS (
+  SELECT doc_id, text,
+    MIN(doc_id) OVER (
+      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    ) AS ex_keep
+  FROM surv1
+),
+surv2 AS (SELECT doc_id, text FROM ex WHERE doc_id = ex_keep),
+mpairs AS (SELECT doc1, doc2 FROM ({minhash_inner})),
+edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM mpairs
+  UNION
+  SELECT doc2 AS a, doc1 AS b FROM mpairs
+),
+reach(a, lbl) AS (
+  SELECT a, a AS lbl FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.a
+),
+comp AS (SELECT a AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY a)
+SELECT g.doc_id,
+  (CASE WHEN g.early_reason IS NOT NULL THEN g.early_reason
+        WHEN e.doc_id IS NOT NULL AND e.doc_id <> e.ex_keep THEN 'exact_dup'
+        WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> g.doc_id
+          THEN 'near_dup' END) IS NULL AS keep,
+  CASE WHEN g.early_reason IS NOT NULL THEN g.early_reason
+       WHEN e.doc_id IS NOT NULL AND e.doc_id <> e.ex_keep THEN 'exact_dup'
+       WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> g.doc_id
+         THEN 'near_dup' END AS drop_reason
+FROM gated g
+LEFT JOIN ex e USING (doc_id)
+LEFT JOIN comp c USING (doc_id)
+"""
+
+
+@register("corpus_clean", _clean_corpus_oracle())
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full cleaning ladder as one decision table: quality →
+    repetition → PII → exact dedup → MinHash near-dup components, every
+    document labeled with keep + first-failing-stage drop_reason."""
+    from market_flow_spark.extensions.corpus import clean_corpus
+
+    return clean_corpus(load_tables(spark, sf_dir)["documents"])

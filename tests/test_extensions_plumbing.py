@@ -416,3 +416,34 @@ def test_winnow_containment_boilerplate_cap(spark):
     pairs = {(r.test_doc_id, r.train_doc_id) for r in capped}
     assert (101, 9) in pairs
     assert not any(t == 100 for t, _ in pairs)
+
+
+def test_clean_corpus_all_reasons(spark):
+    """Every stage of the cleaning ladder fires, in priority order: the
+    first failing stage names the reason."""
+    from market_flow_spark.extensions.corpus import clean_corpus
+
+    good = ("the arctic tern travels between hemispheres every single year "
+            "covering enormous distances over open ocean water")
+    near = good + " indeed"  # one extra word: shingle jaccard 14/15 >= 0.8
+    docs = spark.createDataFrame(
+        [
+            (1, "too short"),                               # low_quality
+            (2, "spam spam spam spam spam spam spam spam"), # repetitive
+            (3, f"{good} contact me at alice@example.com"), # pii
+            (4, good),                                      # keep (exact keeper)
+            (5, good),                                      # exact_dup of 4
+            (6, near),                                      # near_dup of 4
+            (7, "a completely different and unrelated document about "
+                "financial derivatives trading on commodity exchanges"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.keep, r.drop_reason) for r in clean_corpus(docs).collect()}
+    assert got[1] == (False, "low_quality")
+    assert got[2] == (False, "repetitive")
+    assert got[3] == (False, "pii")
+    assert got[4] == (True, None)
+    assert got[5] == (False, "exact_dup")
+    assert got[6] == (False, "near_dup")
+    assert got[7] == (True, None)
