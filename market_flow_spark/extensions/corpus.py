@@ -41,50 +41,49 @@ def clean_corpus(
     materializable decision table of the cleaning pipeline (the cleaned
     corpus is ``docs.join(result.filter("keep"), "doc_id", "left_semi")``).
     """
-    flags = quality_flags(docs, text_col)
-    gated = flags.withColumn(
-        "early_reason",
-        F.when(F.col("quality_score") < min_quality, F.lit("low_quality"))
-        .when(F.col("repetitive"), F.lit("repetitive"))
-        .when(F.col("has_pii"), F.lit("pii")),
-    )
-    surv1 = gated.filter(F.col("early_reason").isNull()).select("doc_id", text_col)
-
-    # exact dedup among gate survivors: window on the normalized fingerprint
+    # ONE pass computes gate flags AND the exact fingerprint; the exact
+    # keeper is a min-over-survivors window on the SAME frame (no surv1
+    # self-branch — a branched plan would re-run the expensive gate
+    # expressions once per consumer at execution time)
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    w = Window.partitionBy("fingerprint")
-    ex = (
-        surv1.withColumn("fingerprint", F.md5(norm))
-        .withColumn("ex_keep", F.min("doc_id").over(w))
+    base = (
+        quality_flags(docs, text_col)
+        .withColumn(
+            "early_reason",
+            F.when(F.col("quality_score") < min_quality, F.lit("low_quality"))
+            .when(F.col("repetitive"), F.lit("repetitive"))
+            .when(F.col("has_pii"), F.lit("pii")),
+        )
+        .withColumn("fingerprint", F.md5(norm))
     )
-    surv2 = ex.filter(F.col("doc_id") == F.col("ex_keep")).select(
-        "doc_id", text_col
+    w = Window.partitionBy("fingerprint")
+    base = base.withColumn(
+        "ex_keep",
+        F.min(
+            F.when(F.col("early_reason").isNull(), F.col("doc_id"))
+        ).over(w),
     )
 
-    # near-dup clustering among exact keepers
+    # near-dup clustering among exact keepers (consumed at construction by
+    # the component loop; the returned labels are lineage-truncated, so
+    # materializing the result does NOT re-run the pair search)
+    surv2 = base.filter(
+        F.col("early_reason").isNull() & (F.col("doc_id") == F.col("ex_keep"))
+    ).select("doc_id", text_col)
     pairs = dedup.minhash_lsh_pairs(surv2, threshold=sim_threshold,
                                     text_col=text_col)
     clusters = dedup.dedup_clusters(pairs)
 
-    labeled = (
-        gated.select("doc_id", "early_reason")
-        .join(
-            ex.select("doc_id", (F.col("doc_id") != F.col("ex_keep")).alias("__exdup")),
-            "doc_id",
-            "left",
+    labeled = base.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("early_reason").isNotNull(), F.col("early_reason"))
+        .when(F.col("doc_id") != F.col("ex_keep"), F.lit("exact_dup"))
+        .when(
+            F.col("cluster_id").isNotNull()
+            & (F.col("cluster_id") != F.col("doc_id")),
+            F.lit("near_dup"),
         )
-        .join(clusters, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.when(F.col("early_reason").isNotNull(), F.col("early_reason"))
-            .when(F.col("__exdup"), F.lit("exact_dup"))
-            .when(
-                F.col("cluster_id").isNotNull()
-                & (F.col("cluster_id") != F.col("doc_id")),
-                F.lit("near_dup"),
-            )
-            .alias("drop_reason"),
-        )
+        .alias("drop_reason"),
     )
     return labeled.withColumn("keep", F.col("drop_reason").isNull()).select(
         "doc_id", "keep", "drop_reason"

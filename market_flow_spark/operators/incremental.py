@@ -45,3 +45,38 @@ def backup_then_replace(
             spark_table + backup_suffix
         )
     new_df.write.mode("overwrite").saveAsTable(spark_table)
+
+
+def merge_aggregate(
+    agg: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Incremental aggregate maintenance: fold a delta batch's partial
+    aggregates into an existing (keys, sums, count) aggregate table
+    WITHOUT re-scanning history — the update step of a sum/count
+    materialized view (means derive as sum/count downstream).
+
+    new = full-outer on keys, coalesced sums added. One shuffle on the
+    keys over |agg| + |delta| rows; at 100 TB the aggregate table is
+    orders of magnitude smaller than the fact history this replaces
+    re-aggregating. Only works for algebraic aggregates (sum, count, min,
+    max — here sums + count); holistic ones (exact distinct, median) need
+    the sketch tier (see extensions.sketches) or a re-scan."""
+    d = delta.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols],
+        F.count(F.lit(1)).alias(count_col),
+    )
+    a = agg.alias("a")
+    dd = d.alias("d")
+    merged = a.join(dd, on=keys, how="full_outer")
+    out_cols = [
+        (
+            F.coalesce(F.col(f"a.{c}"), F.lit(0))
+            + F.coalesce(F.col(f"d.{c}"), F.lit(0))
+        ).alias(c)
+        for c in [*sum_cols, count_col]
+    ]
+    return merged.select(*keys, *out_cols)

@@ -44,6 +44,11 @@ incremental-MinHash operators, per the round-3 brief):
                        token_counts cover the regex-scan shape)
 - price_percentiles   (exact PERCENTILE_CONT agg  -> price_summary_stats
                        covers the per-group multi-stat aggregate shape)
+- corpus_clean        (composition of in-window stages: corpus_prefilter
+                       gates + dedup_exact + dedup_minhash_lsh machinery)
+- merge_aggregate_returnflag (full-outer fold of delta partials; the
+                       underlying join/agg shapes are in-window via
+                       upsert_plan and sales_agg_profile)
 All r4 additions are full-oracle-checked in tests/test_oracle_parity.
 """
 

@@ -2020,3 +2020,45 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from market_flow_spark.extensions.corpus import clean_corpus
 
     return clean_corpus(load_tables(spark, sf_dir)["documents"])
+
+
+@register(
+    "merge_aggregate_returnflag",
+    """
+SELECT l_returnflag,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price,
+  COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_merge_aggregate_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance, self-checking: the historical
+    90% of lineitem is pre-aggregated, the remaining 10% arrives as a raw
+    delta, and merge_aggregate folds the delta's partials in — the result
+    must equal aggregating the full table directly (the oracle). Decimal
+    sums keep the fold exact and engine-identical."""
+    from market_flow_spark.operators.incremental import merge_aggregate
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    cast = lambda df: df.select(  # noqa: E731
+        "l_returnflag", "l_orderkey",
+        F.col("l_quantity").cast("decimal(27,6)").alias("sum_qty"),
+        F.col("l_extendedprice").cast("decimal(27,6)").alias("sum_price"),
+    )
+    hist = cast(li.filter(F.col("l_orderkey") % 10 != 0))
+    delta = cast(li.filter(F.col("l_orderkey") % 10 == 0))
+    hist_agg = hist.groupBy("l_returnflag").agg(
+        F.sum("sum_qty").alias("sum_qty"),
+        F.sum("sum_price").alias("sum_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    merged = merge_aggregate(
+        hist_agg, delta, ["l_returnflag"], ["sum_qty", "sum_price"]
+    )
+    return merged.select(
+        "l_returnflag",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )

@@ -447,3 +447,31 @@ def test_clean_corpus_all_reasons(spark):
     assert got[5] == (False, "exact_dup")
     assert got[6] == (False, "near_dup")
     assert got[7] == (True, None)
+
+
+def test_merge_aggregate_equals_full_rebuild(spark):
+    """Folding a delta's partial aggregates into the aggregate table must
+    equal re-aggregating everything — including keys only in the delta,
+    keys only in history, and overlapping keys."""
+    from market_flow_spark.operators.incremental import merge_aggregate
+
+    hist_rows = [("a", 1.0), ("a", 2.0), ("b", 5.0)]
+    delta_rows = [("a", 10.0), ("c", 7.0)]
+    schema = "k string, v double"
+    hist = spark.createDataFrame(hist_rows, schema)
+    delta = spark.createDataFrame(delta_rows, schema)
+    hist_agg = hist.groupBy("k").agg(
+        F.sum("v").alias("v"), F.count(F.lit(1)).alias("n_rows")
+    )
+    merged = {
+        r.k: (r.v, r.n_rows)
+        for r in merge_aggregate(hist_agg, delta, ["k"], ["v"]).collect()
+    }
+    full = {
+        r.k: (r.v, r.n_rows)
+        for r in spark.createDataFrame(hist_rows + delta_rows, schema)
+        .groupBy("k")
+        .agg(F.sum("v").alias("v"), F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    }
+    assert merged == full == {"a": (13.0, 3), "b": (5.0, 1), "c": (7.0, 1)}
