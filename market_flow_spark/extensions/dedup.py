@@ -578,6 +578,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     min_sig_matches: int = NUM_MINHASHES // 2,
     narrow_verification: bool = False,
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs in three narrowing stages — the shape that survives
     100 TB:
@@ -591,6 +592,16 @@ def minhash_lsh_pairs(
        expensive exact verification only runs on pairs the signature
        already says are close;
     3. exact shingle-Jaccard verification of the survivors.
+
+    ``max_band_size`` is the degenerate-bucket guard (opt-in, like the
+    winnow tier's ``max_fp_df``): a band bucket holding k copies of a
+    near-identical document emits k² candidate rows before any screen can
+    help, so buckets larger than the cap are dropped from the join
+    entirely — computed as ONE count-window over the banded frame, which
+    shares the exact hash partitioning the self-join needs (no extra
+    exchange). Clusters that big belong to the exact-dedup tier (the
+    ladder in ``corpus.clean_corpus`` runs it first for precisely this
+    reason); everything below the cap is untouched.
     """
     arrs = doc_shingle_arrays(docs, text_col=text_col)
     words = arrs.select("doc_id", F.explode("sh").alias("word"))
@@ -605,6 +616,15 @@ def minhash_lsh_pairs(
     banded = lsh_bands(sigs.withColumn("sig", sig_arr)).select(
         "doc_id", "sig", "band_idx", "band_hash"
     )
+    if max_band_size is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band_idx", "band_hash")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bsz") <= max_band_size)
+            .drop("__bsz")
+        )
     # Alias self-join on the identical subtree: the shuffle on the band key
     # canonicalizes the same for both sides, so the shingle explosion +
     # signature aggregation + banding runs ONCE (ReusedExchange), not twice.

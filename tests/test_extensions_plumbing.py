@@ -475,3 +475,27 @@ def test_merge_aggregate_equals_full_rebuild(spark):
         .collect()
     }
     assert merged == full == {"a": (13.0, 3), "b": (5.0, 1), "c": (7.0, 1)}
+
+
+def test_minhash_max_band_size_guard(spark):
+    """Degenerate-bucket guard: 40 identical docs form one band bucket that
+    would emit 40*39/2 pairs; with max_band_size they emit none, while a
+    normal near-dup pair in a small bucket is still found."""
+    from market_flow_spark.extensions.dedup import minhash_lsh_pairs
+
+    boiler = ("identical boilerplate document body repeated verbatim "
+              "across the entire ingest batch without any change")
+    good = ("the arctic tern travels between hemispheres every year "
+            "covering enormous distances over open ocean")
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(40)]
+        + [(100, good), (101, good + " indeed")],
+        "doc_id long, text string",
+    )
+    uncapped = minhash_lsh_pairs(docs, threshold=0.8).count()
+    assert uncapped >= 40 * 39 // 2
+    capped = sorted(
+        (r.doc1, r.doc2)
+        for r in minhash_lsh_pairs(docs, threshold=0.8, max_band_size=10).collect()
+    )
+    assert capped == [(100, 101)]
