@@ -665,3 +665,32 @@ def ivf_pq_topk(
     return exact.withColumn("rank", F.row_number().over(w2)).filter(
         F.col("rank") <= k
     )
+
+
+def save_pq_codebooks(spark, codebooks, path: str) -> None:
+    """Persist PQ codebooks as a tiny (subspace, code, centroid) parquet
+    table — with ``save_ivf_centroids`` these two artifacts are the whole
+    IVF-PQ index metadata; the corpus-side codes live with the corpus."""
+    rows = [
+        (j, c, [float(x) for x in codebooks[j][c]])
+        for j in range(len(codebooks))
+        for c in range(len(codebooks[j]))
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_pq_codebooks(spark, path: str):
+    """Load codebooks saved by ``save_pq_codebooks`` back into the
+    (m, n_codes, sub_dim) numpy tensor the PQ operators consume."""
+    import numpy as np
+
+    rows = spark.read.parquet(path).orderBy("subspace", "code").collect()
+    m = rows[-1]["subspace"] + 1
+    k = rows[-1]["code"] + 1
+    sub = len(rows[0]["centroid"])
+    B = np.empty((m, k, sub), dtype=np.float64)
+    for r in rows:
+        B[r["subspace"], r["code"]] = r["centroid"]
+    return B

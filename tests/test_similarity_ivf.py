@@ -271,3 +271,24 @@ def test_ivf_pq_composition(spark, tables):
         emb, n_queries=5, k=5, n_cells=16, nprobe=4, m=16, n_codes=32
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_pq_codebooks_persist_and_reuse(spark, tables, tmp_path):
+    import numpy as np
+
+    from market_flow_spark.extensions.similarity import (
+        load_pq_codebooks,
+        pq_topk,
+        save_pq_codebooks,
+        train_pq_codebooks,
+    )
+
+    emb = tables["embeddings"]
+    B = train_pq_codebooks(emb, m=8, n_codes=16)
+    path = str(tmp_path / "pq_books")
+    save_pq_codebooks(spark, B, path)
+    loaded = load_pq_codebooks(spark, path)
+    assert np.array_equal(B, loaded)
+    inline = sorted(map(tuple, pq_topk(emb, n_queries=3, k=3, m=8, n_codes=16).collect()))
+    reused = sorted(map(tuple, pq_topk(emb, n_queries=3, k=3, codebooks=loaded).collect()))
+    assert inline == reused and len(reused) > 0
