@@ -67,3 +67,103 @@ SELECT CAST(CASE WHEN COUNT(h) < {k} THEN COUNT(h)
        AS est_distinct
 FROM kth
 """
+
+
+def kmv_sketch(df: DataFrame, column: str, k: int = DEFAULT_K) -> DataFrame:
+    """The k smallest distinct hash values of a column — the mergeable
+    sketch itself (one TakeOrdered over map-side-deduped hashes)."""
+    return (
+        df.filter(F.col(column).isNotNull())
+        .select(kmv_hash(F.col(column)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_overlap(
+    df_a: DataFrame, df_b: DataFrame, column: str, k: int = DEFAULT_K
+) -> DataFrame:
+    """Set-operation estimates from two KMV sketches — the dataset-
+    governance question ("how much does corpus B overlap corpus A?")
+    answered WITHOUT joining the raw sets: sketch each side (k smallest
+    distinct hashes), merge to the union's k smallest, and read off
+
+    - est_union       = (k-1)/h_(k) over the merged sketch (exact if < k)
+    - est_jaccard     = fraction of merged-sketch hashes present in BOTH
+                        side sketches (the standard KMV combinator)
+    - est_intersection = jaccard · union
+
+    Everything is md5-order deterministic, so the DuckDB oracle reproduces
+    the estimates bit-for-bit — an *estimator* with an exact oracle. At
+    100 TB each side reduces to k values before anything crosses sides."""
+    sa = kmv_sketch(df_a, column, k).select(
+        "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    sb = kmv_sketch(df_b, column, k).select(
+        "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    merged = (
+        sa.unionByName(sb)
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        .orderBy("h")
+        .limit(k)
+    )
+    n = F.count("h")
+    union_est = (
+        F.when(n < k, n)
+        .otherwise(F.floor((F.lit(float(k - 1)) / F.max("h")) + F.lit(0.5)))
+        .cast("bigint")
+    )
+    both = F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("int"))
+    agg = merged.agg(
+        union_est.alias("est_union"),
+        (F.floor(both / n * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "est_jaccard"
+        ),
+    )
+    return agg.select(
+        "est_union",
+        "est_jaccard",
+        F.floor(F.col("est_jaccard") * F.col("est_union") + F.lit(0.5))
+        .cast("bigint")
+        .alias("est_intersection"),
+    )
+
+
+def kmv_overlap_oracle_sql(
+    table_a_sql: str, table_b_sql: str, column: str, k: int = DEFAULT_K
+) -> str:
+    """DuckDB SQL computing the identical overlap estimates; the two table
+    arguments are subquery texts (e.g. filtered halves of a view)."""
+    def side(src: str, a: int, b: int) -> str:
+        return f"""
+  SELECT h, {a} AS in_a, {b} AS in_b FROM (
+    SELECT DISTINCT
+      (CAST(('0x' || substr(md5(CAST({column} AS VARCHAR)), 1, 8)) AS UBIGINT)
+       + 1.0) / 4294967296.0 AS h
+    FROM ({src}) WHERE {column} IS NOT NULL
+    ORDER BY h LIMIT {k})
+"""
+
+    return f"""
+WITH sa AS ({side(table_a_sql, 1, 0)}),
+sb AS ({side(table_b_sql, 0, 1)}),
+merged AS (
+  SELECT h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb)
+  GROUP BY h ORDER BY h LIMIT {k}
+),
+agg AS (
+  SELECT
+    CAST(CASE WHEN COUNT(h) < {k} THEN COUNT(h)
+         ELSE FLOOR(({k} - 1.0) / MAX(h) + 0.5) END AS BIGINT) AS est_union,
+    FLOOR(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+          / COUNT(h) * 1e6 + 0.5) / 1e6 AS est_jaccard
+  FROM merged
+)
+SELECT est_union, est_jaccard,
+       CAST(FLOOR(est_jaccard * est_union + 0.5) AS BIGINT) AS est_intersection
+FROM agg
+"""

@@ -49,6 +49,8 @@ incremental-MinHash operators, per the round-3 brief):
 - merge_aggregate_returnflag (full-outer fold of delta partials; the
                        underlying join/agg shapes are in-window via
                        upsert_plan and sales_agg_profile)
+- kmv_overlap_parts   (KMV set algebra -> kmv_distinct_parts covers the
+                       sketch-construction machinery in-window)
 All r4 additions are full-oracle-checked in tests/test_oracle_parity.
 """
 

@@ -2062,3 +2062,24 @@ def q_merge_aggregate_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_price").cast("double").alias("sum_price"),
         F.col("n_rows").cast("long").alias("n_rows"),
     )
+
+
+@register(
+    "kmv_overlap_parts",
+    sketches.kmv_overlap_oracle_sql(
+        "SELECT l_partkey FROM lineitem WHERE l_orderkey % 2 = 0",
+        "SELECT l_partkey FROM lineitem WHERE l_orderkey % 2 = 1",
+        "l_partkey",
+    ),
+)
+def q_kmv_overlap_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set algebra: union / Jaccard / intersection estimates of
+    the part-key sets referenced by two halves of lineitem — corpus
+    overlap governance without a raw-set join, deterministic md5 ordering
+    so even the ESTIMATES are oracle-checked."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return sketches.kmv_overlap(
+        li.filter(F.col("l_orderkey") % 2 == 0),
+        li.filter(F.col("l_orderkey") % 2 == 1),
+        "l_partkey",
+    )

@@ -499,3 +499,29 @@ def test_minhash_max_band_size_guard(spark):
         for r in minhash_lsh_pairs(docs, threshold=0.8, max_band_size=10).collect()
     )
     assert capped == [(100, 101)]
+
+
+def test_kmv_overlap_estimates(spark):
+    """KMV set algebra: union/Jaccard/intersection estimates land within
+    the k=256 error bounds for controlled overlaps, and disjoint sets
+    report ~zero intersection."""
+    from market_flow_spark.extensions.sketches import kmv_overlap
+
+    a = spark.range(0, 4000).select(F.col("id").alias("v"))       # [0, 4000)
+    b = spark.range(2000, 6000).select(F.col("id").alias("v"))    # [2000, 6000)
+    r = kmv_overlap(a, b, "v").collect()[0]
+    # true union 6000, jaccard 2000/6000 = 0.333, intersection 2000
+    assert abs(r.est_union - 6000) / 6000 < 0.2
+    assert abs(r.est_jaccard - 1 / 3) < 0.1
+    assert abs(r.est_intersection - 2000) / 2000 < 0.35
+    disjoint = kmv_overlap(
+        a, spark.range(10_000, 14_000).select(F.col("id").alias("v")), "v"
+    ).collect()[0]
+    assert disjoint.est_jaccard < 0.05 and disjoint.est_intersection < 400
+    # fewer than k distinct on both sides: exact
+    small = kmv_overlap(
+        spark.range(0, 100).select(F.col("id").alias("v")),
+        spark.range(50, 150).select(F.col("id").alias("v")),
+        "v",
+    ).collect()[0]
+    assert small.est_union == 150 and small.est_intersection == 50
