@@ -344,19 +344,29 @@ def choose_word_jaccard_strategy(
     One small Spark job over ≤ sample_docs documents — negligible next to
     the dedup itself, and the 100 TB-safe choice is the fallback on any
     ambiguity."""
+    # the bounded sampled index is persisted so the two stat grains (per-
+    # word dfs, distinct doc count) share one shingle build instead of
+    # re-tokenizing the sample per action; docs with empty token sets are
+    # invisible to countDistinct, which is fine — they contribute no
+    # posting lists, so they are irrelevant to the strategy choice
     sample = doc_shingle_arrays(docs.limit(sample_docs), 1, text_col)
-    exploded = sample.select(F.col("doc_id"), F.explode("sh").alias("word"))
-    row = (
-        exploded.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .agg(
-            F.max("df").alias("max_df"),
-            F.sum("df").alias("total"),
-            F.count(F.lit(1)).alias("vocab"),
+    exploded = sample.select(
+        F.col("doc_id"), F.explode("sh").alias("word")
+    ).persist()
+    try:
+        row = (
+            exploded.groupBy("word")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(
+                F.max("df").alias("max_df"),
+                F.sum("df").alias("total"),
+                F.count(F.lit(1)).alias("vocab"),
+            )
+            .first()
         )
-        .first()
-    )
-    n_docs = sample.count()
+        n_docs = exploded.agg(F.countDistinct("doc_id").alias("n")).first()["n"] or 0
+    finally:
+        exploded.unpersist()
     vocab = row["vocab"] or 0
     top_share = (row["max_df"] or 0) / max(row["total"] or 0, 1)
     if vocab < 0.5 * n_docs:
@@ -973,6 +983,7 @@ def dedup_clusters(
         .persist()
     )
     try:
+        converged = False
         for _ in range(max_iter):
             neighbor_min = (
                 edges.join(
@@ -1002,7 +1013,18 @@ def dedup_clusters(
             labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            # silently-wrong labels would let duplicates survive — fail
+            # loudly; chains longer than max_iter need a bigger budget
+            # (rounds = graph diameter; near-dup clusters are clique-ish,
+            # so hitting this means pathological chained drift)
+            raise RuntimeError(
+                f"dedup_clusters did not converge within max_iter={max_iter} "
+                "rounds (pair-graph diameter exceeds the budget); raise "
+                "max_iter"
+            )
         # truncate the iterative lineage: without this the returned plan
         # replays every propagation round on each downstream action
         final = labels.localCheckpoint(eager=True)

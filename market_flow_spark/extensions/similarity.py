@@ -477,6 +477,11 @@ def pq_topk(
         .select("vec_id", "embedding")
         .collect()
     )
+    spark = embeddings.sparkSession
+    if not qrows:  # sparse/offset id space: no queries -> empty result
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, score double, rank int"
+        )
     Q = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
     Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     qids = np.asarray([r["vec_id"] for r in qrows], dtype=np.int64)
@@ -491,6 +496,8 @@ def pq_topk(
         import numpy as _np
 
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             C = _np.asarray(pdf["code"].tolist(), dtype=_np.int64)  # (n, m)
             out = []
             for qi, qid in enumerate(qids):
@@ -587,6 +594,12 @@ def ivf_pq_topk(
         .select("vec_id", "embedding")
         .collect()
     )
+    if not qrows:  # sparse/offset id space: no queries -> empty result
+        return embeddings.sparkSession.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, "
+            + ("cosine double, rank int" if refine else "score double, rank int"),
+        )
     Q = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     qids = np.asarray([r["vec_id"] for r in qrows], dtype=np.int64)

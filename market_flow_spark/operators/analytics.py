@@ -183,9 +183,19 @@ def group_percentiles(
         .select(
             group,
             *[
-                det_round(F.col("__ps").getItem(i), 4).alias(f"p{str(p)[2:]}")
+                det_round(F.col("__ps").getItem(i), 4).alias(percentile_name(p))
                 for i, p in enumerate(ps)
             ],
             "n_rows",
         )
     )
+
+
+def percentile_name(p: float) -> str:
+    """Stable column name for a quantile: p50, p90, p99, p99_9, p100 —
+    valid for any p in [0, 1] (naive str(p) slicing mislabels 1.0 as 'p0'
+    and breaks on scientific notation)."""
+    scaled = p * 100
+    if float(scaled).is_integer():
+        return f"p{int(scaled)}"
+    return "p" + f"{scaled:.6f}".rstrip("0").replace(".", "_")

@@ -172,6 +172,17 @@ def run_pipeline_metastore(
     for db in ("raw", "staging", "analytics"):
         loc = f" LOCATION '{location_root}/{db}.db'" if location_root else ""
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}{loc}")
+        if location_root is not None:
+            # CREATE ... IF NOT EXISTS silently keeps a pre-existing
+            # database's OLD location; writing "to" a new root while tables
+            # actually land under the old one must be an error, not a shrug
+            actual = spark.catalog.getDatabase(db).locationUri
+            expected = f"{location_root}/{db}.db"
+            if expected.split("://")[-1].rstrip("/") not in actual:
+                raise ValueError(
+                    f"database {db} already exists at {actual}, not the "
+                    f"requested {expected}; drop it or pass its current root"
+                )
 
     tables = load_tables(spark, sf_dir)
     written: dict[str, str] = {}

@@ -1887,8 +1887,8 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "price_percentiles",
     f"""
 SELECT l_returnflag,
-  {_floor_round_sql("quantile_cont(l_extendedprice, 0.5)", 4)} AS p5,
-  {_floor_round_sql("quantile_cont(l_extendedprice, 0.9)", 4)} AS p9,
+  {_floor_round_sql("quantile_cont(l_extendedprice, 0.5)", 4)} AS p50,
+  {_floor_round_sql("quantile_cont(l_extendedprice, 0.9)", 4)} AS p90,
   {_floor_round_sql("quantile_cont(l_extendedprice, 0.99)", 4)} AS p99,
   COUNT(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag

@@ -44,7 +44,11 @@ def spread_to_cores(df: DataFrame) -> DataFrame:
     DataFrames (where it would raise — and the microbatch engine owns
     partitioning anyway) and (b) memoized per (semantic plan, target): the
     dedup/contamination builders call this several times per query on the
-    same input, which must cost one probe, not four."""
+    same input, which must cost one probe, not four. The memo is
+    intentionally never invalidated: the decision only affects
+    parallelism, not results, and a stale entry costs at most one
+    suboptimal stage for plans whose underlying files changed mid-process
+    (clear ``_SPREAD_DECISIONS`` manually in that rare case)."""
     if df.isStreaming:
         return df
     sc = df.sparkSession.sparkContext

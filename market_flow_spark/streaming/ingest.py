@@ -114,9 +114,17 @@ def start_corpus_ingest_dedup(
                 "doc_id"
             )
             batch_keep = batch_df.join(keepers, "doc_id", "left_semi")
+            # only a MISSING corpus means "first batch" — any other read
+            # failure (corrupt footer, storage fault) must fail the batch
+            # loudly rather than silently skip the cross-corpus dedup and
+            # append near-duplicates forever
+            from pyspark.errors import AnalysisException
+
             try:
                 corpus = spark.read.parquet(corpus_path)
-            except Exception:  # first batch: corpus does not exist yet
+            except AnalysisException as ex:
+                if "PATH_NOT_FOUND" not in str(ex) and "Path does not exist" not in str(ex):
+                    raise
                 corpus = None
             if corpus is not None:
                 dups = (

@@ -69,3 +69,15 @@ def test_approx_distinct_within_tolerance(spark, tables):
         F.approx_count_distinct("l_partkey", rsd=0.02)
     ).collect()[0][0]
     assert abs(approx - exact) / exact < 0.06  # 3x rsd safety margin
+
+
+def test_percentile_name_edge_cases():
+    from market_flow_spark.operators.analytics import percentile_name
+
+    assert percentile_name(0.5) == "p50"
+    assert percentile_name(0.9) == "p90"
+    assert percentile_name(0.99) == "p99"
+    assert percentile_name(1.0) == "p100"
+    assert percentile_name(0.0) == "p0"
+    assert percentile_name(0.999) == "p99_9"
+    assert percentile_name(0.00001) == "p0_001"

@@ -152,6 +152,15 @@ def test_run_pipeline_metastore(spark, sf_dir, tmp_path, monkeypatch):
     )
     with pytest.raises(pl.QualityCheckError):
         pl.run_pipeline_metastore(
+            spark, sf_dir, location_root=str(tmp_path / "meta_wh")
+        )
+
+    # and asking for a DIFFERENT root while the databases already exist at
+    # the old one must fail loudly instead of silently writing to the old
+    # location
+    monkeypatch.undo()
+    with pytest.raises(ValueError, match="already exists at"):
+        pl.run_pipeline_metastore(
             spark, sf_dir, location_root=str(tmp_path / "meta_wh2")
         )
 
