@@ -1,0 +1,137 @@
+"""Context-window sequence packing for LLM training-data builds
+(north-star extension; no counterpart in the reference, which never
+prepares model inputs — its ML surface is per-group Prophet fits,
+server/forecast_utils.py:21-34).
+
+The GPT-style packing semantic: documents are concatenated in a fixed
+deterministic order and the token stream is cut into fixed-size context
+windows, so a document may straddle a window boundary. That semantic is a
+pure prefix-sum — exactly expressible as a window cumulative sum, no
+stateful loop — which is what makes it (a) one shuffle+sort per shard on a
+cluster and (b) bit-exactly oracle-checkable (all-integer arithmetic).
+
+Scale shape: documents are hash-sharded (content-addressed, so the layout
+is stable under re-runs and appends) and the cumulative sum runs PER
+SHARD — each shard is an independent sort, so a 100 TB corpus packs with
+`n_shards`-way parallelism and no global sort. The shard count is the
+parallelism knob; packs never cross shards (each shard yields its own
+pack sequence), matching how real pipelines write one packed output file
+per shard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    docs: DataFrame,
+    context_len: int = 256,
+    n_shards: int = 8,
+    text_col: str = "text",
+    chars_per_token: int = 4,
+) -> DataFrame:
+    """Assign every document its position in the packed token stream.
+
+    Token counts use the chars/4 heuristic (ceil(len/4), min 1 for
+    non-empty text; the same estimator as `text.approx_bpe_tokens`) so the
+    operator is a pure scan — swap in a real tokenizer column upstream
+    when exact counts are available.
+
+    Returns one row per document:
+      (doc_id, shard, n_tokens, start_pack, end_pack, start_offset)
+    where `start_pack`/`end_pack` are the first/last context windows the
+    document's tokens land in and `start_offset` is the position of its
+    first token inside `start_pack`. Documents with zero tokens (NULL/empty
+    text) get end_pack = start_pack and occupy no stream positions.
+    """
+    n_tokens = F.ceil(
+        F.length(F.coalesce(F.col(text_col), F.lit(""))) / F.lit(float(chars_per_token))
+    ).cast("bigint")
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10).cast("bigint"),
+        F.lit(n_shards),
+    ).cast("int")
+    base = docs.select(
+        "doc_id", shard.alias("shard"), n_tokens.alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        base.withColumn("cum_before", cum_before)
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            F.floor(F.col("cum_before") / context_len)
+            .cast("bigint")
+            .alias("start_pack"),
+            F.floor(
+                (
+                    F.col("cum_before")
+                    + F.greatest(F.col("n_tokens"), F.lit(1))
+                    - F.lit(1)
+                )
+                / context_len
+            )
+            .cast("bigint")
+            .alias("end_pack"),
+            F.pmod(F.col("cum_before"), F.lit(context_len))
+            .cast("bigint")
+            .alias("start_offset"),
+        )
+    )
+
+
+def pack_utilization(packed: DataFrame, context_len: int = 256) -> DataFrame:
+    """Per-shard packing summary from :func:`pack_sequences` output:
+    document and token totals, number of context windows consumed, and the
+    fill ratio of the final (only partially filled) window's stream —
+    the waste metric packing exists to minimize."""
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "total_tokens",
+            F.ceil(F.col("total_tokens") / F.lit(float(context_len)))
+            .cast("bigint")
+            .alias("n_packs"),
+        )
+    )
+
+
+def pack_sequences_oracle_sql(
+    context_len: int = 256, n_shards: int = 8, chars_per_token: int = 4
+) -> str:
+    """DuckDB twin of :func:`pack_sequences` over the `documents` view —
+    all-integer arithmetic, so the match is exact, not tolerance-based."""
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substring(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % {n_shards} AS INT) AS shard,
+         CAST(CEIL(length(COALESCE(text, '')) / {float(chars_per_token)}) AS BIGINT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM base
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(FLOOR(cum_before / {context_len}) AS BIGINT) AS start_pack,
+       CAST(FLOOR((cum_before + GREATEST(n_tokens, 1) - 1) / {context_len}) AS BIGINT) AS end_pack,
+       CAST(cum_before % {context_len} AS BIGINT) AS start_offset
+FROM cum
+"""

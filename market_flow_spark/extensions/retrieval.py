@@ -1,0 +1,189 @@
+"""Full-text retrieval scoring over a document corpus (north-star
+extension; the reference has no text search — its only text handling is
+equality/contains filtering, server/data_loader.py:13-16).
+
+BM25 (Robertson/Spärck Jones, the Okapi weighting) is THE standard
+lexical-retrieval baseline a training-data pipeline runs for corpus
+exploration, eval-set mining, and RAG-candidate generation. The plan here
+is the classic distributed inverted-index shape:
+
+- one corpus scan → exploded (doc_id, term) postings with multiplicity;
+- term frequencies per (doc, term) and document lengths by map-side
+  combinable aggregates;
+- document frequencies ONLY for the query's terms (the postings are
+  semi-joined against the — tiny, broadcast — query-term set before the
+  df aggregate, so the per-query cost scales with the matched postings,
+  not the corpus vocabulary);
+- a corpus-stats singleton (N, avgdl) broadcast into the scorer;
+- per (query, doc) score = Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)),
+  with idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) — non-negative for all df;
+- top-k per query via a rank window over (score desc, doc_id) — the
+  tiebreak makes the cut line total-ordered and the result deterministic.
+
+Everything is built-in Column expressions (JVM, codegen); scores are
+deterministically rounded before ranking so Spark and the DuckDB oracle
+rank identical values. At 100 TB: one corpus scan, two map-side-combined
+aggregates, broadcast joins for query terms and corpus stats — no shuffle
+larger than the postings of the queried terms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from market_flow_spark.functions.aggregates import det_round
+from market_flow_spark.sources.layout import spread_to_cores
+
+# Default query set for the registered query/oracle pair: terms drawn from
+# the synthetic corpus vocabulary so scores are non-trivial.
+DEFAULT_QUERIES: list[tuple[int, str]] = [
+    (0, "hash join table"),
+    (1, "sort merge spark"),
+    (2, "window agg scan"),
+]
+
+K1 = 1.2
+B = 0.75
+
+
+def corpus_postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, term) postings WITH multiplicity: lowercase, trim,
+    whitespace-split. NULL/empty text contributes no postings (split of
+    NULL explodes to nothing; the '' artifact of empty text is filtered),
+    mirroring the oracle's `term <> ''` guard."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return (
+        spread_to_cores(docs)
+        .select("doc_id", F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+    )
+
+
+def query_terms_df(
+    spark: SparkSession, queries: list[tuple[int, str]]
+) -> DataFrame:
+    """(query_id, term) distinct pairs from literal (id, text) queries —
+    driver-sized by definition (a query set is human-scale), broadcast into
+    every join that touches corpus-sized data."""
+    rows = []
+    for qid, qtext in queries:
+        for term in sorted({t for t in qtext.lower().split() if t}):
+            rows.append((qid, term))
+    return spark.createDataFrame(rows, "query_id INT, term STRING")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = K1,
+    b: float = B,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents per query by BM25. `queries` is a (query_id, term)
+    DataFrame (distinct pairs). Returns (query_id, doc_id, score, rank).
+
+    Scores are rounded (det_round, 4 digits) BEFORE the rank window so the
+    ordering is reproducible across engines; rank ties broken by doc_id.
+    """
+    words = corpus_postings(docs, text_col)
+    # tf over all terms once; dl derives from tf (sum of multiplicities) so
+    # the corpus explode feeds exactly one wide aggregate.
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    # restrict postings to query terms BEFORE the df aggregate: per-query
+    # cost tracks matched postings, not corpus vocabulary
+    term_set = queries.select("term").distinct()
+    tfq = tf.join(F.broadcast(term_set), "term")
+    dfq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    weight = idf * (
+        F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(tfq, "term")
+        .join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(det_round(F.sum(weight), 4).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def bm25_oracle_sql(
+    queries: list[tuple[int, str]] | None = None,
+    k: int = 5,
+    k1: float = K1,
+    b: float = B,
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` over the `documents` view, with the
+    same literal query set and deterministic rounding."""
+    queries = queries if queries is not None else DEFAULT_QUERIES
+    qvals = []
+    for qid, qtext in queries:
+        for term in sorted({t for t in qtext.lower().split() if t}):
+            qvals.append(f"({qid}, '{term}')")
+    values = ", ".join(qvals)
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), postings AS (
+  SELECT doc_id, term FROM words WHERE term <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM postings GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+), q(query_id, term) AS (
+  VALUES {values}
+), dfq AS (
+  SELECT tf.term, COUNT(*) AS df
+  FROM tf JOIN (SELECT DISTINCT term FROM q) qt ON tf.term = qt.term
+  GROUP BY tf.term
+), scored AS (
+  SELECT q.query_id, tf.doc_id,
+         FLOOR(SUM(
+           ln(1 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+           * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / stats.avgdl))
+         ) * 10000 + 0.5) / 10000 AS score
+  FROM q
+  JOIN tf  ON q.term = tf.term
+  JOIN dfq ON q.term = dfq.term
+  JOIN dl  ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id, doc_id, score, CAST(rn AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id
+  ) AS rn
+  FROM scored
+)
+WHERE rn <= {k}
+"""

@@ -135,3 +135,98 @@ def cap_per_group(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= quota)
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-weighted domain mixture sampling — the multilingual /
+    multi-domain rebalancing rule (sampling share of domain d ∝ n_d^alpha,
+    the exponent every large-model data recipe tunes: alpha=1 keeps natural
+    proportions, alpha→0 flattens toward uniform across domains).
+
+    Per-domain keep rate: with Z = Σ_d n_d^alpha and N = Σ_d n_d,
+      rate_d = min(1, target_frac · N · n_d^alpha / (Z · n_d))
+    so the expected output size is ≤ target_frac·N and domain shares follow
+    the tempered distribution (exactly, until small domains saturate at
+    rate 1 — the standard behavior).
+
+    The draw is content-addressed (md5 of salt:key mapped to a uniform in
+    [0,1)), so membership is a pure row function given the domain-count
+    table: reproducible across runs, engines, and partitionings. Plan
+    shape: one tiny domain-count aggregate broadcast back onto the scan —
+    no corpus-sized shuffle. The per-row uniform and rate ride on the
+    output (`mix_u` exact-integer, `mix_rate` deterministically rounded)
+    so samples are auditable.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n_d"))
+    totals = counts.agg(
+        F.sum("__n_d").alias("__n_total"),
+        F.sum(F.pow(F.col("__n_d").cast("double"), F.lit(alpha))).alias("__z"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(target_frac)
+        * F.col("__n_total")
+        * F.pow(F.col("__n_d").cast("double"), F.lit(alpha))
+        / (F.col("__z") * F.col("__n_d")),
+    )
+    # floor-round the rate before comparing so the cut line is the same
+    # double on every engine (pow/accumulation may differ in final ulps)
+    rate_r = F.floor(rate * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    u_int = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        df.join(F.broadcast(counts), stratum_col)
+        .crossJoin(F.broadcast(totals))
+        .withColumn("mix_u", u_int)
+        .withColumn("mix_rate", rate_r)
+        .filter(F.col("mix_u") < F.col("mix_rate") * F.lit(float(HEX_SPACE)))
+        .drop("__n_d", "__n_total", "__z")
+    )
+
+
+def temperature_mixture_oracle_sql(
+    table: str,
+    stratum_col: str,
+    key_col: str,
+    select_cols: list[str],
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    salt: str = "mix",
+) -> str:
+    """DuckDB twin of :func:`temperature_mixture_sample`: identical md5
+    uniform (hex prefix parsed via the 0x cast), identical tempered-rate
+    formula with the same pre-compare floor-rounding."""
+    cols = ", ".join(select_cols)
+    return f"""
+WITH counts AS (
+  SELECT {stratum_col}, COUNT(*) AS n_d FROM {table} GROUP BY {stratum_col}
+), totals AS (
+  SELECT SUM(n_d) AS n_total, SUM(pow(CAST(n_d AS DOUBLE), {alpha})) AS z
+  FROM counts
+), rated AS (
+  SELECT t.*,
+         CAST(CAST('0x' || substring(md5('{salt}:' || CAST(t.{key_col} AS VARCHAR)), 1, 8) AS BIGINT) AS BIGINT) AS mix_u,
+         FLOOR(LEAST(1.0,
+           {target_frac} * totals.n_total
+             * pow(CAST(counts.n_d AS DOUBLE), {alpha})
+             / (totals.z * counts.n_d)) * 1000000.0 + 0.5) / 1000000.0 AS mix_rate
+  FROM {table} t
+  JOIN counts USING ({stratum_col})
+  CROSS JOIN totals
+)
+SELECT {cols}, mix_u, mix_rate
+FROM rated
+WHERE mix_u < mix_rate * {float(16**8)}
+"""

@@ -347,3 +347,82 @@ def quality_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
         _repetitive_flag().alias("repetitive"),
         "has_pii",
     )
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — the CCNet-style fluency/quality signal (docs far
+    below the corpus mean are gibberish or boilerplate-heavy; far above are
+    repetitive). A cheap stand-in for LM perplexity that stays entirely
+    JVM-side.
+
+    score(d) = avg over token occurrences t∈d of ln(count(t) / total) —
+    no smoothing needed because every scored token is by construction in
+    the vocabulary it is scored against.
+
+    Plan shape at 100 TB: one corpus explode feeding a map-side-combined
+    vocabulary aggregate, then the postings re-join the (vocab-sized,
+    typically broadcastable) count table and fold back to one row per doc —
+    two shuffles total, both on bounded keys (term, doc_id). Returns
+    (doc_id, n_tokens, avg_logprob) with NULL avg_logprob for docs with no
+    tokens."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    words = (
+        spread_to_cores(docs)
+        .select("doc_id", F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    vocab = words.groupBy("term").agg(F.count(F.lit(1)).alias("c_term"))
+    totals = vocab.agg(F.sum("c_term").alias("c_total"))
+    scored = (
+        words.join(vocab, "term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            det_round(
+                F.avg(F.log(F.col("c_term") / F.col("c_total"))), 4
+            ).alias("avg_logprob"),
+        )
+    )
+    # keep every document (empty/NULL text rows score NULL, n_tokens 0)
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            "avg_logprob",
+        )
+    )
+
+
+def unigram_logprob_oracle_sql() -> str:
+    """DuckDB twin of :func:`unigram_logprob` over the `documents` view."""
+    return """
+WITH words AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), postings AS (
+  SELECT doc_id, term FROM words WHERE term <> ''
+), vocab AS (
+  SELECT term, COUNT(*) AS c_term FROM postings GROUP BY term
+), totals AS (
+  SELECT SUM(c_term) AS c_total FROM vocab
+), scored AS (
+  SELECT p.doc_id,
+         COUNT(*) AS n_tokens,
+         FLOOR(AVG(ln(CAST(v.c_term AS DOUBLE) / t.c_total)) * 10000 + 0.5)
+           / 10000 AS avg_logprob
+  FROM postings p
+  JOIN vocab v ON p.term = v.term
+  CROSS JOIN totals t
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_tokens, 0) AS n_tokens,
+       s.avg_logprob
+FROM documents d
+LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""

@@ -51,6 +51,15 @@ incremental-MinHash operators, per the round-3 brief):
                        upsert_plan and sales_agg_profile)
 - kmv_overlap_parts   (KMV set algebra -> kmv_distinct_parts covers the
                        sketch-construction machinery in-window)
+- bm25_topk           (inverted-index scoring -> text_profile/token_counts
+                       cover the scan; the postings join shape is in-window
+                       via dedup_word_jaccard's inverted index)
+- sequence_packing    (hash-shard + windowed prefix sum -> rolling_ma30 /
+                       ffill_bfill_impute cover the window-frame machinery)
+- mixture_sample      (content-addressed sampling -> stratified_sample /
+                       train_test_split cover the hash-draw machinery)
+- unigram_logprob     (corpus-frequency join-back -> text_profile covers
+                       the scan; dedup_word_jaccard the vocabulary agg)
 All r4 additions are full-oracle-checked in tests/test_oracle_parity.
 """
 

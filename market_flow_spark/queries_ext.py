@@ -2083,3 +2083,51 @@ def q_kmv_overlap_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_orderkey") % 2 == 1),
         "l_partkey",
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval / packing / mixture / LM-score extensions (round 4)
+# ---------------------------------------------------------------------------
+
+from market_flow_spark.extensions import packing, retrieval  # noqa: E402
+
+
+@register("bm25_topk", retrieval.bm25_oracle_sql())
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval: top-5 documents per query for a literal
+    3-query set over the documents corpus — inverted-index shape with the
+    postings semi-joined to the (broadcast) query terms before scoring."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    qs = retrieval.query_terms_df(spark, retrieval.DEFAULT_QUERIES)
+    return retrieval.bm25_topk(docs, qs, k=5)
+
+
+@register("sequence_packing", packing.pack_sequences_oracle_sql())
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style context-window packing positions per document: hash-shard,
+    order by doc_id, prefix-sum token counts — one sort per shard, exact
+    integer arithmetic end to end."""
+    return packing.pack_sequences(load_tables(spark, sf_dir)["documents"])
+
+
+@register(
+    "mixture_sample",
+    sampling.temperature_mixture_oracle_sql(
+        "documents", "source", "doc_id", ["doc_id", "source"]
+    ),
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixture sample (share ∝ n_d^0.5,
+    target half the corpus): content-addressed membership with the rate
+    and uniform riding on the output for auditability."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return sampling.temperature_mixture_sample(
+        docs, "source", "doc_id"
+    ).select("doc_id", "source", "mix_u", "mix_rate")
+
+
+@register("unigram_logprob", text.unigram_logprob_oracle_sql())
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document under the corpus's own
+    unigram model — the CCNet-style fluency score, fully JVM-side."""
+    return text.unigram_logprob(load_tables(spark, sf_dir)["documents"])

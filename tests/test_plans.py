@@ -79,6 +79,9 @@ INTENTIONAL_TINY_CROSSJOIN = {
     "cosine_topk",     # corpus × 5-row query set (by design)
     "ivf_topk",        # 5 queries × 16-row cell table
     "seasonal_forecast",  # brands × 12-row horizon
+    "bm25_topk",       # one-row (N, avgdl) corpus-stats singleton
+    "mixture_sample",  # one-row (N_total, Z) mixture-normalizer singleton
+    "unigram_logprob", # one-row vocabulary-total singleton
 }
 
 
