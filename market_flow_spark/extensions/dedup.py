@@ -1053,3 +1053,122 @@ def dedup_keep_list(
         )
         .withColumn("keep", (F.col("doc_id") == F.col("cluster_id")))
     )
+
+
+def build_lsh_index(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Materializable MinHash-LSH index over a corpus: the build-once half
+    of the build-once/query-many shape a production dedup service runs
+    (mirroring ``similarity.save_ivf_centroids`` for the ANN tier).
+
+    Returns ``(banded, arrays)``:
+    - ``banded``: (doc_id, sig array<bigint>, band_idx, band_hash) — the
+      LSH join side, one row per (doc, band);
+    - ``arrays``: (doc_id, sh array<string>, sz) — the shingle sets the
+      exact-verify stage intersects.
+
+    Both are plain DataFrames; persist them with :func:`save_lsh_index`
+    and every nightly batch dedups against the stored index without
+    re-shingling the corpus."""
+    arrs = doc_shingle_arrays(docs, text_col=text_col)
+    words = arrs.select("doc_id", F.explode("sh").alias("word"))
+    sigs = minhash_signatures(words)
+    n = len([c for c in sigs.columns if c.startswith("mh")])
+    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(n)])
+    banded = lsh_bands(sigs.withColumn("sig", sig_arr)).select(
+        "doc_id", "sig", "band_idx", "band_hash"
+    )
+    return banded, arrs
+
+
+def save_lsh_index(
+    docs: DataFrame, path: str, text_col: str = "text"
+) -> None:
+    """Build and persist the LSH index for `docs` under `path` (two
+    parquet tables: banded/, arrays/). The band table is written
+    partitioned by band_idx so a band-restricted probe prunes files."""
+    banded, arrs = build_lsh_index(docs, text_col)
+    banded.write.mode("overwrite").partitionBy("band_idx").parquet(
+        f"{path}/banded"
+    )
+    arrs.write.mode("overwrite").parquet(f"{path}/arrays")
+
+
+def load_lsh_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load an index written by :func:`save_lsh_index`."""
+    return (
+        spark.read.parquet(f"{path}/banded"),
+        spark.read.parquet(f"{path}/arrays"),
+    )
+
+
+def minhash_lsh_pairs_against_index(
+    new_docs: DataFrame,
+    index: tuple[DataFrame, DataFrame],
+    threshold: float = 0.8,
+    text_col: str = "text",
+    min_sig_matches: int = NUM_MINHASHES // 2,
+) -> DataFrame:
+    """Incremental MinHash+LSH dedup of a NEW batch against a PREBUILT
+    corpus index (``build_lsh_index`` / ``load_lsh_index``): identical
+    three-stage narrowing and identical results to
+    :func:`minhash_lsh_pairs_against`, but the corpus side is read from
+    the stored signatures/shingles instead of being re-derived — the per-
+    batch cost drops to shingling the batch plus the (pruned) band join.
+    Returns (new_doc_id, corpus_doc_id, jaccard)."""
+    corpus_banded, corpus_arrs = index
+    new_arrs = doc_shingle_arrays(new_docs, text_col=text_col)
+    words = new_arrs.select("doc_id", F.explode("sh").alias("word"))
+    sigs = minhash_signatures(words)
+    n = len([c for c in sigs.columns if c.startswith("mh")])
+    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(n)])
+    b_new = lsh_bands(sigs.withColumn("sig", sig_arr)).select(
+        F.col("doc_id").alias("new_doc_id"),
+        F.col("sig").alias("sig_new"),
+        "band_idx",
+        "band_hash",
+    )
+    b_cor = corpus_banded.select(
+        F.col("doc_id").alias("corpus_doc_id"),
+        F.col("sig").alias("sig_corpus"),
+        "band_idx",
+        "band_hash",
+    )
+    matches = F.aggregate(
+        F.zip_with("sig_new", "sig_corpus", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    screened = (
+        b_new.join(b_cor, ["band_idx", "band_hash"])
+        .filter(matches >= F.lit(min_sig_matches))
+        .select("new_doc_id", "corpus_doc_id")
+        .distinct()
+    )
+    ne = new_arrs.select(
+        F.col("doc_id").alias("new_doc_id"),
+        F.col("sh").alias("sh_new"),
+        F.col("sz").alias("n_new"),
+    )
+    co = corpus_arrs.select(
+        F.col("doc_id").alias("corpus_doc_id"),
+        F.col("sh").alias("sh_corpus"),
+        F.col("sz").alias("n_corpus"),
+    )
+    common = F.size(F.array_intersect("sh_new", "sh_corpus"))
+    return (
+        screened.join(ne, "new_doc_id")
+        .join(co, "corpus_doc_id")
+        .withColumn("common", common)
+        .withColumn(
+            "jaccard",
+            det_round(
+                F.col("common")
+                / (F.col("n_new") + F.col("n_corpus") - F.col("common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_doc_id", "corpus_doc_id", "jaccard")
+    )

@@ -707,3 +707,47 @@ def load_pq_codebooks(spark, path: str):
     for r in rows:
         B[r["subspace"], r["code"]] = r["centroid"]
     return B
+
+
+def knn_label_vote(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification — the standard end-use of a
+    vector index (label propagation, eval-set auto-labeling, weak
+    supervision): each query vector (vec_id < n_queries) takes the modal
+    label of its k exact-cosine nearest neighbors.
+
+    Composition over :func:`cosine_topk` (the brute-force tier; swap in an
+    ANN tier upstream at scale — any (query_id, neighbor_id) pair source
+    works): neighbor labels join onto the top-k pairs (k·n_queries rows —
+    tiny), votes aggregate per (query, label), and the winner is the
+    vote-count maximum with ties broken by the smaller label so the
+    decision is total-ordered. Returns (query_id, predicted_label, votes,
+    n_neighbors)."""
+    topk = cosine_topk(embeddings, n_queries, k)
+    labels = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col(label_col).alias("nbr_label")
+    )
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("query_id", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("nbr_label").asc()
+    )
+    totals = Window.partitionBy("query_id")
+    return (
+        votes.withColumn("__r", F.row_number().over(w))
+        .withColumn("n_neighbors", F.sum("votes").over(totals))
+        .filter(F.col("__r") == 1)
+        .select(
+            "query_id",
+            F.col("nbr_label").alias("predicted_label"),
+            "votes",
+            "n_neighbors",
+        )
+    )

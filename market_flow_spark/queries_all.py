@@ -60,6 +60,8 @@ incremental-MinHash operators, per the round-3 brief):
                        train_test_split cover the hash-draw machinery)
 - unigram_logprob     (corpus-frequency join-back -> text_profile covers
                        the scan; dedup_word_jaccard the vocabulary agg)
+- knn_label_vote      (majority vote over exact-cosine top-k ->
+                       cosine_topk covers the scoring machinery in-window)
 All r4 additions are full-oracle-checked in tests/test_oracle_parity.
 """
 

@@ -2131,3 +2131,53 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean unigram log-probability per document under the corpus's own
     unigram model — the CCNet-style fluency score, fully JVM-side."""
     return text.unigram_logprob(load_tables(spark, sf_dir)["documents"])
+
+
+def _knn_vote_oracle(n_queries: int = 5, k: int = 10) -> str:
+    dot = _COSINE_SQL.format(a="e.embedding", b="q.qe")
+    n1 = _COSINE_SQL.format(a="e.embedding", b="e.embedding")
+    n2 = _COSINE_SQL.format(a="q.qe", b="q.qe")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id < {n_queries}
+),
+p AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS nbr_label,
+         {dot} AS dot, {n1} AS nsq1, {n2} AS nsq2
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+c AS (
+  SELECT query_id, neighbor_id, nbr_label,
+         {_floor_round_sql("dot / (sqrt(nsq1) * sqrt(nsq2))", 6)} AS cosine
+  FROM p
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM c) WHERE rnk <= {k}
+),
+votes AS (
+  SELECT query_id, nbr_label, COUNT(*) AS votes
+  FROM topk GROUP BY query_id, nbr_label
+)
+SELECT query_id, nbr_label AS predicted_label, votes, n_neighbors
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY votes DESC, nbr_label) AS r,
+         SUM(votes) OVER (PARTITION BY query_id) AS n_neighbors
+  FROM votes) v
+WHERE r = 1
+"""
+
+
+@register("knn_label_vote", _knn_vote_oracle())
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification over the embeddings table: each
+    query vector takes the modal label of its 10 exact-cosine nearest
+    neighbors — the end-use composition of the vector-search tier."""
+    return similarity.knn_label_vote(
+        load_tables(spark, sf_dir)["embeddings"], n_queries=5, k=10
+    )

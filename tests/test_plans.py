@@ -77,6 +77,7 @@ INTENTIONAL_TINY_CROSSJOIN = {
     "table_audit",     # fused one-row audit panels
     "mean_impute",     # one-row global mean
     "cosine_topk",     # corpus × 5-row query set (by design)
+    "knn_label_vote",  # same corpus × 5-row query crossJoin via cosine_topk
     "ivf_topk",        # 5 queries × 16-row cell table
     "seasonal_forecast",  # brands × 12-row horizon
     "bm25_topk",       # one-row (N, avgdl) corpus-stats singleton
