@@ -135,3 +135,65 @@ SELECT doc_id, shard, n_tokens,
        CAST(cum_before % {context_len} AS BIGINT) AS start_offset
 FROM cum
 """
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_chars: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-width overlapping character chunks — the
+    RAG-indexing / long-document-training prep step. Chunk i covers
+    [i·step, i·step + chunk_chars) with step = chunk_chars - overlap;
+    starts are emitted while they fall inside the text, so every character
+    lands in ≥ 1 chunk and consecutive chunks share `overlap` characters.
+
+    Pure row-wise explode (sequence/transform/substring): no shuffle, no
+    UDF — a map-only pass at any corpus size. NULL/empty documents emit no
+    chunks. Returns (doc_id, chunk_idx, start_char, chunk_text)."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+    t = F.col(text_col)
+    n_chunks = F.when(
+        t.isNull() | (F.length(t) == 0), F.lit(0)
+    ).otherwise(F.ceil(F.length(t) / F.lit(float(step))).cast("int"))
+    starts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1), lambda i: i * step
+    )
+    exploded = docs.select(
+        "doc_id",
+        t.alias("__t"),
+        F.explode(
+            F.when(n_chunks > 0, starts).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("start_char"),
+    )
+    return exploded.select(
+        "doc_id",
+        (F.col("start_char") / step).cast("int").alias("chunk_idx"),
+        "start_char",
+        F.substring(F.col("__t"), F.col("start_char") + 1, chunk_chars).alias(
+            "chunk_text"
+        ),
+    )
+
+
+def chunk_documents_oracle_sql(chunk_chars: int = 512, overlap: int = 64) -> str:
+    """DuckDB twin of :func:`chunk_documents` over the `documents` view."""
+    step = chunk_chars - overlap
+    return f"""
+WITH n AS (
+  SELECT doc_id, text,
+         CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+              ELSE CAST(CEIL(length(text) / {float(step)}) AS INT) END AS n_chunks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       CAST(i * {step} AS INT) AS start_char,
+       substr(text, CAST(i * {step} + 1 AS INT), {chunk_chars}) AS chunk_text
+FROM n, unnest(range(0, n_chunks)) AS u(i)
+"""

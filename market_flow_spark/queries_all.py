@@ -62,6 +62,8 @@ incremental-MinHash operators, per the round-3 brief):
                        the scan; dedup_word_jaccard the vocabulary agg)
 - knn_label_vote      (majority vote over exact-cosine top-k ->
                        cosine_topk covers the scoring machinery in-window)
+- chunk_documents     (map-only overlapping-chunk explode -> multimodal_
+                       frames covers the row-wise explode machinery)
 All r4 additions are full-oracle-checked in tests/test_oracle_parity.
 """
 

@@ -2181,3 +2181,12 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_label_vote(
         load_tables(spark, sf_dir)["embeddings"], n_queries=5, k=10
     )
+
+
+@register("chunk_documents", packing.chunk_documents_oracle_sql(128, 32))
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width overlapping character chunking (RAG/long-doc prep):
+    128-char chunks with 32-char overlap, map-only explode."""
+    return packing.chunk_documents(
+        load_tables(spark, sf_dir)["documents"], chunk_chars=128, overlap=32
+    )

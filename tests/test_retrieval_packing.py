@@ -204,3 +204,40 @@ def test_unigram_logprob_prefers_common_tokens(spark):
     assert out[1].avg_logprob == pytest.approx(
         math.floor(math.log(4 / 6) * 10000 + 0.5) / 10000, abs=1e-9
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_covers_text_with_overlap(spark):
+    txt = "abcdefghijklmnopqrstuvwxyz" * 10  # 260 chars
+    out = packing.chunk_documents(
+        _docs(spark, [(1, txt)]), chunk_chars=100, overlap=20
+    ).collect()
+    out.sort(key=lambda r: r.chunk_idx)
+    # step 80: starts 0,80,160,240 -> 4 chunks
+    assert [r.start_char for r in out] == [0, 80, 160, 240]
+    # consecutive chunks overlap by exactly 20 chars
+    for a, b in zip(out, out[1:]):
+        assert a.chunk_text[-20:] == b.chunk_text[:20]
+    # reassembling the de-overlapped chunks restores the text
+    rebuilt = out[0].chunk_text + "".join(r.chunk_text[20:] for r in out[1:])
+    assert rebuilt == txt
+    # last chunk is the tail remainder
+    assert out[-1].chunk_text == txt[240:]
+
+
+def test_chunk_documents_edge_cases(spark):
+    out = packing.chunk_documents(
+        _docs(spark, [(1, None), (2, ""), (3, "short")]),
+        chunk_chars=100,
+        overlap=20,
+    ).collect()
+    # null/empty emit nothing; short doc emits exactly one whole-text chunk
+    assert [(r.doc_id, r.chunk_idx, r.chunk_text) for r in out] == [
+        (3, 0, "short")
+    ]
+    with pytest.raises(ValueError):
+        packing.chunk_documents(_docs(spark, [(1, "x")]), 10, 10)
