@@ -48,15 +48,19 @@ B = 0.75
 
 
 def corpus_postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, term) postings WITH multiplicity: lowercase, trim,
+    """(doc_id, dl, term) postings WITH multiplicity: lowercase, trim,
     whitespace-split. NULL/empty text contributes no postings (split of
     NULL explodes to nothing; the '' artifact of empty text is filtered),
-    mirroring the oracle's `term <> ''` guard."""
+    mirroring the oracle's `term <> ''` guard.
+
+    The document length ``dl`` is computed ROW-WISE (array size before the
+    explode) and rides every posting — this is what lets the scorer avoid
+    a separate corpus pass + join just to recover document lengths."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    clean = F.filter(toks, lambda t: t != F.lit(""))
     return (
         spread_to_cores(docs)
-        .select("doc_id", F.explode(toks).alias("term"))
-        .filter(F.col("term") != "")
+        .select("doc_id", F.size(clean).alias("dl"), F.explode(clean).alias("term"))
     )
 
 
@@ -87,19 +91,32 @@ def bm25_topk(
     Scores are rounded (det_round, 4 digits) BEFORE the rank window so the
     ordering is reproducible across engines; rank ties broken by doc_id.
     """
+    # Corpus pass 1 (explode): postings carrying their doc length, cut to
+    # query terms BEFORE the tf aggregate — per-query cost tracks matched
+    # postings, not corpus vocabulary. Corpus pass 2 (map-only, no
+    # explode): the (N, avgdl) singleton from row-wise token counts. Two
+    # scans total; the r0 shape (df/dl/stats each re-deriving the postings
+    # subtree) scanned the corpus four times.
     words = corpus_postings(docs, text_col)
-    # tf over all terms once; dl derives from tf (sum of multiplicities) so
-    # the corpus explode feeds exactly one wide aggregate.
-    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    # restrict postings to query terms BEFORE the df aggregate: per-query
-    # cost tracks matched postings, not corpus vocabulary
     term_set = queries.select("term").distinct()
-    tfq = tf.join(F.broadcast(term_set), "term")
-    dfq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tfq = (
+        words.join(F.broadcast(term_set), "term")
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # document frequency as a count-window over the tf rows (one exchange
+    # on term) instead of a separate aggregate joined back — tf rows are
+    # per (doc, term), so the partition count IS the df
+    tfq = tfq.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ntok = F.size(F.filter(toks, lambda t: t != F.lit("")))
+    stats = (
+        docs.select(ntok.alias("__dl"))
+        .filter(F.col("__dl") > 0)
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("__dl").alias("avgdl"))
+    )
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
@@ -115,8 +132,6 @@ def bm25_topk(
     scored = (
         F.broadcast(queries)
         .join(tfq, "term")
-        .join(F.broadcast(dfq), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(det_round(F.sum(weight), 4).alias("score"))

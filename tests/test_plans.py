@@ -264,3 +264,34 @@ def test_corpus_clean_single_scan(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_two_corpus_scans(spark, sf_dir):
+    """BM25's plan reads the corpus exactly twice — the postings explode
+    and a map-only (N, avgdl) stats pass. The naive shape (df/dl/stats
+    each re-deriving the postings subtree) costs four corpus scans; this
+    pins the restructured one. Query terms and corpus stats broadcast;
+    document frequency is a count-window over the tf rows, never a
+    re-aggregated join."""
+    import re
+
+    plan = _executed_plan(QUERIES["bm25_topk"](spark, sf_dir))
+    assert len(re.findall(r"Scan parquet|FileScan", plan)) == 2
+    # doc-frequency via window, not a join back onto an extra aggregate:
+    # exchanges stay bounded (tf agg, df window, score agg, rank window +
+    # AQE-coalesced final)
+    assert plan.count("Exchange hashpartitioning") <= 5
+
+
+def test_sequence_packing_single_exchange(spark, sf_dir):
+    """Packing is ONE shuffle (the per-shard sort window) over row-wise
+    token counts — no joins, no second corpus pass."""
+    plan = _executed_plan(QUERIES["sequence_packing"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_chunk_documents_map_only(spark, sf_dir):
+    """Chunking is a pure map-side explode: zero exchanges of any kind."""
+    plan = _executed_plan(QUERIES["chunk_documents"](spark, sf_dir))
+    assert "Exchange" not in plan
