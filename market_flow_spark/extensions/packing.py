@@ -31,13 +31,14 @@ def pack_sequences(
     n_shards: int = 8,
     text_col: str = "text",
     chars_per_token: int = 4,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Assign every document its position in the packed token stream.
 
-    Token counts use the chars/4 heuristic (ceil(len/4), min 1 for
-    non-empty text; the same estimator as `text.approx_bpe_tokens`) so the
-    operator is a pure scan — swap in a real tokenizer column upstream
-    when exact counts are available.
+    Token counts use the chars/4 heuristic (ceil(len/4); the same
+    estimator as `text.approx_bpe_tokens`) so the operator is a pure
+    scan; pass ``tokens_col`` to pack by an exact per-document token
+    count computed upstream (a real tokenizer's output) instead.
 
     Returns one row per document:
       (doc_id, shard, n_tokens, start_pack, end_pack, start_offset)
@@ -46,9 +47,13 @@ def pack_sequences(
     first token inside `start_pack`. Documents with zero tokens (NULL/empty
     text) get end_pack = start_pack and occupy no stream positions.
     """
-    n_tokens = F.ceil(
-        F.length(F.coalesce(F.col(text_col), F.lit(""))) / F.lit(float(chars_per_token))
-    ).cast("bigint")
+    if tokens_col is not None:
+        n_tokens = F.coalesce(F.col(tokens_col), F.lit(0)).cast("bigint")
+    else:
+        n_tokens = F.ceil(
+            F.length(F.coalesce(F.col(text_col), F.lit("")))
+            / F.lit(float(chars_per_token))
+        ).cast("bigint")
     shard = F.pmod(
         F.conv(F.substring(F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10).cast("bigint"),
         F.lit(n_shards),

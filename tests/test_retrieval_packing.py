@@ -241,3 +241,20 @@ def test_chunk_documents_edge_cases(spark):
     ]
     with pytest.raises(ValueError):
         packing.chunk_documents(_docs(spark, [(1, "x")]), 10, 10)
+
+
+def test_pack_sequences_with_exact_token_column(spark):
+    df = spark.createDataFrame(
+        [(1, "ignored", 100), (2, "ignored", 60), (3, "ignored", None)],
+        "doc_id BIGINT, text STRING, n_tok INT",
+    )
+    out = {
+        r.doc_id: r
+        for r in packing.pack_sequences(
+            df, context_len=64, n_shards=1, tokens_col="n_tok"
+        ).collect()
+    }
+    # single shard, doc order 1,2,3: cum 0,100,160
+    assert out[1].n_tokens == 100 and out[1].start_pack == 0 and out[1].end_pack == 1
+    assert out[2].start_offset == 100 % 64 and out[2].start_pack == 1
+    assert out[3].n_tokens == 0  # NULL count packs as empty
