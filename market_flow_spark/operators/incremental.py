@@ -80,3 +80,122 @@ def merge_aggregate(
         for c in [*sum_cols, count_col]
     ]
     return merged.select(*keys, *out_cols)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Reconciliation diff between two snapshots of a keyed table: one row
+    per key present in either side, tagged 'added' / 'removed' /
+    'changed' / 'unchanged' — the audit every backup-then-replace (S9)
+    or upsert (S10) deployment should run before swapping tables.
+
+    Null-safe value compare (a change TO or FROM NULL is a change). Plan:
+    one full-outer shuffle join on the keys; change detection is row-wise.
+    At 100 TB both sides are key-partitioned tables — this is the same
+    single-shuffle shape as the upsert it audits, and the usual consumer
+    aggregates it straight down to per-status counts."""
+    o = old.select(*keys, *[F.col(c).alias(f"__o_{c}") for c in compare_cols])
+    n = new.select(*keys, *[F.col(c).alias(f"__n_{c}") for c in compare_cols])
+    in_old = F.lit(True)
+    joined = (
+        o.withColumn("__in_old", in_old)
+        .join(n.withColumn("__in_new", in_old), on=keys, how="full_outer")
+    )
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        *keys,
+        status.alias("diff_status"),
+        *[F.col(f"__o_{c}").alias(f"old_{c}") for c in compare_cols],
+        *[F.col(f"__n_{c}").alias(f"new_{c}") for c in compare_cols],
+    )
+
+
+def scd2_merge(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    tracked_cols: list[str],
+    batch_id: int,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge: apply an update batch to a
+    versioned dimension, closing out rows whose tracked attributes changed
+    and appending the new versions — the history-preserving alternative to
+    the reference's overwrite-in-place dim rebuilds (dbt `+materialized:
+    table`, profiles.yml:24-27, which silently loses attribute history).
+
+    `current` rows carry (keys, tracked_cols, valid_from, valid_to,
+    is_current); `updates` carries (keys, tracked_cols). Versioning is by
+    integer ``batch_id`` (a run sequence number — deterministic and
+    oracle-checkable, where a wall-clock stamp would not be). Per batch:
+
+    - unchanged keys and keys absent from the batch pass through;
+    - changed keys: the open row closes (valid_to = batch_id,
+      is_current = false) and a new open row appends;
+    - brand-new keys insert as open rows.
+
+    Plan: updates anti/semi-join the OPEN slice only (history rows never
+    join), then one union — two shuffles on the natural key regardless of
+    history depth."""
+    null_safe_same = F.lit(True)
+    for c in tracked_cols:
+        null_safe_same = null_safe_same & F.col(f"c.{c}").eqNullSafe(
+            F.col(f"u.{c}")
+        )
+    open_rows = current.filter(F.col(current_col)).alias("c")
+    u = updates.alias("u")
+    key_cond = [F.col(f"c.{k}") == F.col(f"u.{k}") for k in keys]
+    and_cond = key_cond[0]
+    for extra in key_cond[1:]:
+        and_cond = and_cond & extra
+
+    # open rows whose batch twin carries identical tracked values (or that
+    # have no twin) survive untouched
+    matched = open_rows.join(u, and_cond, "left").select(
+        *[F.col(f"c.{c}") for c in current.columns],
+        F.when(
+            F.col(f"u.{keys[0]}").isNull() | null_safe_same, F.lit("keep")
+        )
+        .otherwise(F.lit("close"))
+        .alias("__action"),
+    )
+    kept_open = matched.filter(F.col("__action") == "keep").drop("__action")
+    closed = (
+        matched.filter(F.col("__action") == "close")
+        .drop("__action")
+        .withColumn(valid_to_col, F.lit(batch_id))
+        .withColumn(current_col, F.lit(False))
+    )
+    # new open versions: batch rows that differ from (or lack) an open twin
+    same_and_open = open_rows.join(u, and_cond & null_safe_same, "left_semi")
+    changed_or_new = u.join(
+        same_and_open.select(*[F.col(k) for k in keys]), on=keys, how="left_anti"
+    )
+    inserted = (
+        changed_or_new.select(*keys, *tracked_cols)
+        .withColumn(valid_from_col, F.lit(batch_id))
+        .withColumn(valid_to_col, F.lit(None).cast("int"))
+        .withColumn(current_col, F.lit(True))
+    )
+    history = current.filter(~F.col(current_col))
+    cols = current.columns
+    return (
+        history.select(*cols)
+        .unionByName(kept_open.select(*cols))
+        .unionByName(closed.select(*cols))
+        .unionByName(inserted.select(*cols))
+    )

@@ -64,6 +64,11 @@ incremental-MinHash operators, per the round-3 brief):
                        cosine_topk covers the scoring machinery in-window)
 - chunk_documents     (map-only overlapping-chunk explode -> multimodal_
                        frames covers the row-wise explode machinery)
+- snapshot_diff_orders (full-outer reconciliation -> upsert_plan /
+                       merge_aggregate_returnflag cover the keyed
+                       outer-join machinery in-window)
+- scd2_part_prices    (versioned-dim merge -> upsert_plan covers the
+                       anti/semi-join slicing machinery in-window)
 All r4 additions are full-oracle-checked in tests/test_oracle_parity.
 """
 

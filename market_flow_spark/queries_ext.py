@@ -2190,3 +2190,129 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.chunk_documents(
         load_tables(spark, sf_dir)["documents"], chunk_chars=128, overlap=32
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental-warehouse audits: snapshot diff + SCD2 versioning (round 4)
+# ---------------------------------------------------------------------------
+
+from market_flow_spark.operators import incremental as inc  # noqa: E402
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 11 <> 0
+), new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2 ELSE o_totalprice END
+           AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 13 <> 0
+)
+SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+       CASE WHEN old.o_orderkey IS NULL THEN 'added'
+            WHEN new.o_orderkey IS NULL THEN 'removed'
+            WHEN old.o_totalprice IS DISTINCT FROM new.o_totalprice
+              OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+              THEN 'changed'
+            ELSE 'unchanged' END AS diff_status,
+       old.o_totalprice AS old_o_totalprice,
+       old.o_orderstatus AS old_o_orderstatus,
+       new.o_totalprice AS new_o_totalprice,
+       new.o_orderstatus AS new_o_orderstatus
+FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+"""
+
+
+@register("snapshot_diff_orders", _SNAPSHOT_DIFF_ORACLE)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation diff between two deterministic snapshots of orders
+    (rows dropped per side by modular key slices; every third price
+    doubled in the new snapshot) — the audit a backup-then-replace swap
+    runs. One full-outer shuffle on the key."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    old = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 2
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return inc.snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+
+
+_SCD2_ORACLE = """
+WITH cur AS (
+  SELECT p_partkey, p_retailprice, p_brand,
+         0 AS valid_from, CAST(NULL AS INT) AS valid_to, TRUE AS is_current
+  FROM part
+), upd AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 4 = 0 THEN p_retailprice + 1.0
+              ELSE p_retailprice END AS p_retailprice,
+         p_brand
+  FROM part WHERE p_partkey % 2 = 0
+)
+SELECT p_partkey, p_retailprice, p_brand, valid_from, valid_to, is_current
+FROM (
+  -- open rows that survive: no twin in the batch, or identical twin
+  SELECT c.* FROM cur c LEFT JOIN upd u ON c.p_partkey = u.p_partkey
+  WHERE u.p_partkey IS NULL
+     OR (c.p_retailprice IS NOT DISTINCT FROM u.p_retailprice
+         AND c.p_brand IS NOT DISTINCT FROM u.p_brand)
+  UNION ALL
+  -- closed-out versions of changed keys
+  SELECT c.p_partkey, c.p_retailprice, c.p_brand,
+         c.valid_from, 1 AS valid_to, FALSE AS is_current
+  FROM cur c JOIN upd u ON c.p_partkey = u.p_partkey
+  WHERE c.p_retailprice IS DISTINCT FROM u.p_retailprice
+     OR c.p_brand IS DISTINCT FROM u.p_brand
+  UNION ALL
+  -- new open versions from the batch
+  SELECT u.p_partkey, u.p_retailprice, u.p_brand,
+         1 AS valid_from, CAST(NULL AS INT) AS valid_to, TRUE AS is_current
+  FROM upd u LEFT JOIN cur c ON u.p_partkey = c.p_partkey
+         AND c.p_retailprice IS NOT DISTINCT FROM u.p_retailprice
+         AND c.p_brand IS NOT DISTINCT FROM u.p_brand
+  WHERE c.p_partkey IS NULL
+)
+"""
+
+
+@register("scd2_part_prices", _SCD2_ORACLE)
+def q_scd2_part_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge of a price-update batch into a versioned part dimension:
+    every 4th part's retail price bumps (closing its open row and opening
+    a new version at batch 1), even-keyed unchanged parts pass through
+    untouched. Versioning by integer batch id keeps it oracle-exact."""
+    part = load_tables(spark, sf_dir)["part"].select(
+        "p_partkey", "p_retailprice", "p_brand"
+    )
+    current = (
+        part.withColumn("valid_from", F.lit(0))
+        .withColumn("valid_to", F.lit(None).cast("int"))
+        .withColumn("is_current", F.lit(True))
+    )
+    updates = part.filter(F.col("p_partkey") % 2 == 0).select(
+        "p_partkey",
+        F.when(
+            F.col("p_partkey") % 4 == 0, F.col("p_retailprice") + 1.0
+        )
+        .otherwise(F.col("p_retailprice"))
+        .alias("p_retailprice"),
+        "p_brand",
+    )
+    return inc.scd2_merge(
+        current,
+        updates,
+        keys=["p_partkey"],
+        tracked_cols=["p_retailprice", "p_brand"],
+        batch_id=1,
+    )
