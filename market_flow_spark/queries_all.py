@@ -69,6 +69,10 @@ incremental-MinHash operators, per the round-3 brief):
                        outer-join machinery in-window)
 - scd2_part_prices    (versioned-dim merge -> upsert_plan covers the
                        anti/semi-join slicing machinery in-window)
+- funnel_view_click_purchase (staged filtered aggregates -> sales_agg_
+                       profile / monthly_event_stats cover the machinery)
+- cohort_retention    (first-touch cohorting -> asof_last_view /
+                       country_month_avg cover the join+agg machinery)
 All r4 additions are full-oracle-checked in tests/test_oracle_parity.
 """
 

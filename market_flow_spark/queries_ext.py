@@ -2316,3 +2316,85 @@ def q_scd2_part_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         tracked_cols=["p_retailprice", "p_brand"],
         batch_id=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence analytics: funnel + cohort retention (round 4)
+# ---------------------------------------------------------------------------
+
+from market_flow_spark.operators import funnel as fun  # noqa: E402
+
+_FUNNEL_ORACLE = """
+WITH s0 AS (
+  SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+), s1 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s0 ON e.user_id = s0.user_id
+  WHERE e.event_type = 'click' AND e.ts > s0.t
+  GROUP BY e.user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t
+  GROUP BY e.user_id
+), counts AS (
+  SELECT 0 AS step_idx, 'view' AS step, (SELECT COUNT(*) FROM s0) AS n_users
+  UNION ALL
+  SELECT 1, 'click', (SELECT COUNT(*) FROM s1)
+  UNION ALL
+  SELECT 2, 'purchase', (SELECT COUNT(*) FROM s2)
+)
+SELECT step_idx, step, n_users,
+       FLOOR(n_users * 1.0
+         / FIRST_VALUE(n_users) OVER (ORDER BY step_idx) * 10000 + 0.5) / 10000
+         AS conversion_from_first,
+       FLOOR(n_users * 1.0
+         / COALESCE(LAG(n_users) OVER (ORDER BY step_idx), n_users)
+         * 10000 + 0.5) / 10000 AS conversion_from_prev
+FROM counts
+"""
+
+
+@register("funnel_view_click_purchase", _FUNNEL_ORACLE)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order view→click→purchase funnel over the event stream:
+    per-step user counts with first-touch ordering semantics and
+    deterministic conversion rates."""
+    return fun.funnel_conversion(
+        load_tables(spark, sf_dir)["events"], ["view", "click", "purchase"]
+    )
+
+
+_COHORT_ORACLE = """
+WITH m AS (
+  SELECT user_id, (year(ts) * 12 + month(ts) - 1) AS midx FROM events
+), firsts AS (
+  SELECT user_id, MIN(midx) AS cohort_idx FROM m GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, midx AS active_idx FROM m
+), sizes AS (
+  SELECT cohort_idx, COUNT(*) AS n_cohort FROM firsts GROUP BY cohort_idx
+), grid AS (
+  SELECT f.cohort_idx, a.active_idx - f.cohort_idx AS month_offset,
+         COUNT(*) AS n_active
+  FROM activity a JOIN firsts f ON a.user_id = f.user_id
+  WHERE a.active_idx - f.cohort_idx BETWEEN 0 AND 5
+  GROUP BY f.cohort_idx, a.active_idx - f.cohort_idx
+)
+SELECT CAST(CAST(FLOOR(g.cohort_idx / 12) AS INT) AS VARCHAR) || '-' ||
+         lpad(CAST(g.cohort_idx % 12 + 1 AS VARCHAR), 2, '0') AS cohort_month,
+       CAST(g.month_offset AS INT) AS month_offset,
+       g.n_active, s.n_cohort,
+       FLOOR(g.n_active * 1.0 / s.n_cohort * 10000 + 0.5) / 10000
+         AS retention_rate
+FROM grid g JOIN sizes s ON g.cohort_idx = s.cohort_idx
+"""
+
+
+@register("cohort_retention", _COHORT_ORACLE)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly cohort retention matrix (offsets 0-5): cohort by month of
+    first event, activity by distinct (user, month) — exact integer month
+    arithmetic on both engines."""
+    return fun.cohort_retention(load_tables(spark, sf_dir)["events"])

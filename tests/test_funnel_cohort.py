@@ -1,0 +1,70 @@
+"""Funnel/cohort behavior: strict-order first-touch semantics and exact
+month-offset cohorting, on hand-built event streams."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from market_flow_spark.operators import funnel as fun
+
+SCHEMA = "user_id BIGINT, ts TIMESTAMP, event_type STRING"
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, datetime(2024, m, d, h), t) for (u, m, d, h, t) in rows], SCHEMA
+    )
+
+
+def test_funnel_requires_strict_order(spark):
+    rows = [
+        # user 1: full ordered funnel
+        (1, 1, 1, 0, "view"), (1, 1, 2, 0, "click"), (1, 1, 3, 0, "purchase"),
+        # user 2: clicked BEFORE viewing — click must not count
+        (2, 1, 2, 0, "click"), (2, 1, 3, 0, "view"),
+        # user 3: view+click but purchase before click — purchase must not count
+        (3, 1, 1, 0, "view"), (3, 1, 3, 0, "click"), (3, 1, 2, 0, "purchase"),
+        # user 4: only purchase
+        (4, 1, 1, 0, "purchase"),
+    ]
+    out = {
+        r.step: r
+        for r in fun.funnel_conversion(
+            _ev(spark, rows), ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert out["view"].n_users == 3        # users 1,2,3
+    assert out["click"].n_users == 2       # users 1,3 (user 2 clicked early)
+    assert out["purchase"].n_users == 1    # user 1 only
+    assert out["view"].conversion_from_first == 1.0
+    assert out["purchase"].conversion_from_prev == 0.5
+
+
+def test_funnel_same_timestamp_is_not_after(spark):
+    rows = [(1, 1, 1, 0, "view"), (1, 1, 1, 0, "click")]
+    out = {
+        r.step: r.n_users
+        for r in fun.funnel_conversion(_ev(spark, rows), ["view", "click"]).collect()
+    }
+    assert out == {"view": 1, "click": 0}
+
+
+def test_cohort_retention_offsets(spark):
+    rows = [
+        # user 1: first in Jan, active Jan+Feb+Apr
+        (1, 1, 5, 0, "view"), (1, 2, 5, 0, "view"), (1, 4, 5, 0, "view"),
+        # user 2: first in Jan, active Jan only
+        (2, 1, 9, 0, "click"),
+        # user 3: first in Feb, active Feb+Mar
+        (3, 2, 1, 0, "view"), (3, 3, 1, 0, "view"),
+    ]
+    out = {
+        (r.cohort_month, r.month_offset): (r.n_active, r.n_cohort, r.retention_rate)
+        for r in fun.cohort_retention(_ev(spark, rows)).collect()
+    }
+    assert out[("2024-01", 0)] == (2, 2, 1.0)
+    assert out[("2024-01", 1)] == (1, 2, 0.5)   # only user 1 in Feb
+    assert out[("2024-01", 3)] == (1, 2, 0.5)   # user 1 in Apr
+    assert ("2024-01", 2) not in out            # nobody active in Mar
+    assert out[("2024-02", 0)] == (1, 1, 1.0)
+    assert out[("2024-02", 1)] == (1, 1, 1.0)
