@@ -199,3 +199,56 @@ def percentile_name(p: float) -> str:
     if float(scaled).is_integer():
         return f"p{int(scaled)}"
     return "p" + f"{scaled:.6f}".rstrip("0").replace(".", "_")
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    partition: str,
+    order_cols: list[str],
+    value: str,
+    lookback: int = 12,
+    min_periods: int = 6,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-group rolling z-score anomaly detection: each point is compared
+    against the mean/stddev of its TRAILING window (current row excluded,
+    so an outlier cannot dilute its own baseline). Rows with fewer than
+    `min_periods` trailing points get NULL stats — not silently z=0.
+
+    Cross-engine determinism: Σx and Σx² accumulate in DECIMAL (exact,
+    order-independent), so mean/variance derive from identical doubles on
+    every engine; variance is clamped at 0 before the sqrt to absorb the
+    cancellation dust of (Σx² - n·mean²). Appends (roll_mean, roll_std, z,
+    is_anomaly); `z` is det-rounded BEFORE the threshold compare so the
+    anomaly flag is reproducible too.
+
+    One window shuffle per call — the same exchange the rolling-mean panel
+    already pays; at scale the partition key keeps groups independent."""
+    w = (
+        Window.partitionBy(partition)
+        .orderBy(*order_cols)
+        .rowsBetween(-lookback, -1)
+    )
+    dec = "decimal(27,6)"
+    x = F.col(value)
+    n = F.count(value).over(w)
+    s1 = F.sum(x.cast(dec)).over(w).cast("double")
+    s2 = F.sum((x.cast(dec) * x.cast(dec)).cast("decimal(38,12)")).over(w).cast(
+        "double"
+    )
+    mean = s1 / n
+    var = F.greatest(
+        (s2 - n * mean * mean) / (n - 1), F.lit(0.0)
+    )
+    std = F.sqrt(var)
+    guard = n >= min_periods
+    z = F.when(guard & (std > 0), det_round((x - mean) / std, 4))
+    return (
+        df.withColumn("roll_mean", F.when(guard, det_round(mean, 4)))
+        .withColumn("roll_std", F.when(guard, det_round(std, 4)))
+        .withColumn("z", z)
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(F.col("z")) > threshold, F.lit(False)),
+        )
+    )

@@ -73,6 +73,8 @@ incremental-MinHash operators, per the round-3 brief):
                        profile / monthly_event_stats cover the machinery)
 - cohort_retention    (first-touch cohorting -> asof_last_view /
                        country_month_avg cover the join+agg machinery)
+- price_anomalies     (trailing-window z-score -> rolling_ma30 covers the
+                       window-frame machinery in-window)
 All r4 additions are full-oracle-checked in tests/test_oracle_parity.
 """
 

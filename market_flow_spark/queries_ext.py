@@ -2398,3 +2398,72 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     first event, activity by distinct (user, month) — exact integer month
     arithmetic on both engines."""
     return fun.cohort_retention(load_tables(spark, sf_dir)["events"])
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly panel (round 4)
+# ---------------------------------------------------------------------------
+
+_ANOMALY_ORACLE = """
+WITH m AS (
+  SELECT p_brand AS brand,
+         CAST(year(o_orderdate) AS INT) AS year,
+         CAST(month(o_orderdate) AS INT) AS month,
+         FLOOR((CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+               / COUNT(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS avg_price
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2, 3
+), s AS (
+  SELECT brand, year, month, avg_price,
+         COUNT(avg_price) OVER w AS n,
+         CAST(SUM(CAST(avg_price AS DECIMAL(27,6))) OVER w AS DOUBLE) AS s1,
+         CAST(SUM(CAST(CAST(avg_price AS DECIMAL(27,6))
+                       * CAST(avg_price AS DECIMAL(27,6)) AS DECIMAL(38,12)))
+              OVER w AS DOUBLE) AS s2
+  FROM m
+  WINDOW w AS (PARTITION BY brand ORDER BY year, month
+               ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+), zc AS (
+  SELECT brand, year, month, avg_price, n,
+         s1 / n AS mean,
+         sqrt(GREATEST((s2 - n * (s1/n) * (s1/n)) / (n - 1), 0.0)) AS std
+  FROM s
+)
+SELECT brand, year, month, avg_price,
+       CASE WHEN n >= 6 THEN FLOOR(mean * 10000 + 0.5) / 10000 END AS roll_mean,
+       CASE WHEN n >= 6 THEN FLOOR(std * 10000 + 0.5) / 10000 END AS roll_std,
+       CASE WHEN n >= 6 AND std > 0
+            THEN FLOOR((avg_price - mean) / std * 10000 + 0.5) / 10000
+       END AS z,
+       COALESCE(ABS(CASE WHEN n >= 6 AND std > 0
+                         THEN FLOOR((avg_price - mean) / std * 10000 + 0.5) / 10000
+                    END) > 2.5, FALSE) AS is_anomaly
+FROM zc
+"""
+
+
+@register("price_anomalies", _ANOMALY_ORACLE)
+def q_price_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly panel over the monthly brand price series:
+    each month scored against the trailing 12 months (current excluded,
+    >= 6 trailing points required), |z| > 2.5 flagged. Decimal-exact
+    accumulators keep the stats bit-identical across engines."""
+    from market_flow_spark.functions.aggregates import det_avg
+
+    t = load_tables(spark, sf_dir)
+    m = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+        )
+        .agg(det_avg("l_extendedprice").alias("avg_price"))
+    )
+    return an.rolling_zscore_anomalies(
+        m, "brand", ["year", "month"], "avg_price", threshold=2.5
+    )

@@ -68,3 +68,25 @@ def test_cohort_retention_offsets(spark):
     assert ("2024-01", 2) not in out            # nobody active in Mar
     assert out[("2024-02", 0)] == (1, 1, 1.0)
     assert out[("2024-02", 1)] == (1, 1, 1.0)
+
+
+def test_rolling_zscore_flags_injected_spike(spark):
+    """A flat series with one injected spike: only the spike is anomalous,
+    and rows with < min_periods trailing points carry NULL stats."""
+    from market_flow_spark.operators.analytics import rolling_zscore_anomalies
+
+    vals = [100.0 + (i % 3) for i in range(12)] + [500.0] + [101.0, 102.0]
+    rows = [("b", i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g STRING, t INT, x DOUBLE")
+    out = {r.t: r for r in rolling_zscore_anomalies(
+        df, "g", ["t"], "x", lookback=12, min_periods=6, threshold=3.0
+    ).collect()}
+    # warm-up rows: no stats, never anomalous
+    for t in range(6):
+        assert out[t].z is None and out[t].is_anomaly is False
+    # the spike at t=12 is flagged; its neighbors are not
+    assert out[12].is_anomaly and out[12].z > 3.0
+    assert not out[11].is_anomaly
+    # t=13 compares against a window CONTAINING the spike -> inflated std
+    # swallows the return to normal: not anomalous
+    assert not out[13].is_anomaly
