@@ -69,16 +69,22 @@ def main() -> None:
     # EXECUTION cost, which is what scales with data. The steady number per
     # query is the MIN of the two warm passes — the least-noise estimator
     # on a shared box (GC pauses and scheduler jitter only ever add time).
+    # All three passes run back-to-back PER QUERY and the DataFrame is
+    # released before the next query starts: keeping every plan alive for
+    # suite-wide passes (the old layout) held ~80 query plans plus their
+    # broadcast/shuffle state live in the one local-mode JVM, and the heap
+    # pressure inflated heavy queries' "warm" numbers up to 4x (measured:
+    # bm25 0.95 s isolated vs 4.1 s under the old layout at 78 queries).
     # All passes land in bench_detail.json (keeping the printed line small
     # enough for the driver's capture buffer — metric/value/sf lead it).
-    cold, built = {}, {}
+    cold, warm1, warm2 = {}, {}, {}
     for name in names:
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
-        built[name] = df
         cold[name] = round(time.perf_counter() - t0 + run(df), 3)
-    warm1 = {name: run(built[name]) for name in names}
-    warm2 = {name: run(built[name]) for name in names}
+        warm1[name] = run(df)
+        warm2[name] = run(df)
+        del df
     warm = {name: min(warm1[name], warm2[name]) for name in names}
 
     # --- word-jaccard strategy A/B + dedup-ladder scaling curve ----------

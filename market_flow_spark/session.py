@@ -57,7 +57,11 @@ def get_spark(
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local-mode note: driver == executors == one JVM, so this bounds
+        # the WHOLE engine's heap; 16g keeps long many-query sessions (the
+        # bench, the full pytest suite) out of GC-pressure territory on the
+        # 128 GiB test box. A real cluster sets executor memory separately.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         # the whole-stage-codegen class cache defaults to 100 entries; a
         # session running the full query suite compiles >100 unique plans,
         # so steady-state runs would re-pay compilation after eviction
