@@ -88,3 +88,37 @@ def clean_corpus(
     return labeled.withColumn("keep", F.col("drop_reason").isNull()).select(
         "doc_id", "keep", "drop_reason"
     )
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    train_frac: float = 0.8,
+    salt: str = "split",
+    id1: str = "doc1",
+    id2: str = "doc2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Leakage-safe train/test split: assign splits per NEAR-DUP CLUSTER,
+    not per document, so no near-duplicate pair ever straddles the
+    boundary — the eval-integrity property a per-doc hash split silently
+    violates (a test doc's near-twin in train is train/test contamination
+    by construction).
+
+    ``pairs`` is any near-dup pair frame (MinHash, n-gram Jaccard,
+    embedding cosine — columns ``id1``/``id2``); documents are clustered
+    by connected components and the whole cluster draws one
+    content-addressed split from its cluster id. Unpaired docs are their
+    own cluster, so the split stays ~``train_frac`` overall. Returns
+    (doc_id, cluster_id, split) over ALL docs."""
+    from market_flow_spark.extensions.sampling import assign_split
+
+    keep = dedup.dedup_keep_list(
+        docs, pairs, max_iter=max_iter, id1=id1, id2=id2
+    )
+    return assign_split(
+        keep.select("doc_id", "cluster_id"),
+        "cluster_id",
+        train_frac=train_frac,
+        salt=salt,
+    )

@@ -1038,12 +1038,15 @@ def dedup_keep_list(
     docs: DataFrame,
     pairs: DataFrame,
     max_iter: int = 20,
+    id1: str = "doc1",
+    id2: str = "doc2",
 ) -> DataFrame:
     """Keep/drop decision per document from near-dup pairs: cluster the
     pair graph, keep the minimum doc_id of each cluster, keep every
     unpaired document. Returns (doc_id, cluster_id, keep) over ALL docs —
-    the materializable output a dedup job actually writes."""
-    clusters = dedup_clusters(pairs, max_iter)
+    the materializable output a dedup job actually writes. ``id1``/``id2``
+    name the pair frame's id columns (``docs`` must carry ``doc_id``)."""
+    clusters = dedup_clusters(pairs, max_iter, id1=id1, id2=id2)
     return (
         docs.select("doc_id")
         .join(clusters, "doc_id", "left")

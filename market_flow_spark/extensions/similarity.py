@@ -751,3 +751,78 @@ def knn_label_vote(
             "n_neighbors",
         )
     )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.25,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(vec1, vec2, cosine): embedding-space near-duplicate pairs —
+    sign-bucket LSH blocking (an equi-join on the bucket, never a cross
+    join) then exact cosine >= threshold within blocks. The recall
+    contract is the sign-LSH one: pairs straddling a hyperplane sign flip
+    are missed, which is the standard trade for corpus-scale semantic
+    dedup (raise n_bits for precision blocks, lower for recall).
+
+    The blocked frame is an alias self-join of one subtree, so the
+    embedding scan + bucket projection computes once (ReusedExchange)."""
+    wb = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(emb_col).alias("emb"),
+        sign_bucket(F.col(emb_col), n_bits).alias("bucket"),
+    )
+    a, b = wb.alias("a"), wb.alias("b")
+    cos = det_round(
+        _dot(F.col("a.emb"), F.col("b.emb"))
+        / (
+            F.sqrt(_norm_sq(F.col("a.emb")))
+            * F.sqrt(_norm_sq(F.col("b.emb")))
+        ),
+        6,
+    )
+    return (
+        a.join(b, F.col("a.bucket") == F.col("b.bucket"))
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("vec1"),
+            F.col("b.vid").alias("vec2"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup_keep(
+    embeddings: DataFrame,
+    threshold: float = 0.25,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_iter: int = 20,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) keep-list: cluster
+    the embedding near-dup pair graph into connected components and keep
+    one representative (the minimum id) per semantic cluster — the
+    embedding-tier analogue of ``dedup.dedup_keep_list``, catching
+    paraphrases and re-renderings that share no surface n-grams.
+
+    Stages: sign-bucket-blocked cosine pairs (equi-join), min-label
+    propagation over the pair edge list (rounds = cluster diameter,
+    clique-ish in practice), keep = id == cluster minimum. Returns
+    (vec_id, cluster_id, keep) over ALL vectors — unpaired vectors keep
+    themselves."""
+    from market_flow_spark.extensions.dedup import dedup_keep_list
+
+    pairs = embedding_neardup_pairs(
+        embeddings, threshold, n_bits, id_col, emb_col
+    )
+    ids = embeddings.select(F.col(id_col).alias("doc_id"))
+    keep = dedup_keep_list(
+        ids, pairs, max_iter=max_iter, id1="vec1", id2="vec2"
+    )
+    return keep.select(
+        F.col("doc_id").alias(id_col), "cluster_id", "keep"
+    )

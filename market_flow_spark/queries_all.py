@@ -75,6 +75,18 @@ incremental-MinHash operators, per the round-3 brief):
                        country_month_avg cover the join+agg machinery)
 - price_anomalies     (trailing-window z-score -> rolling_ma30 covers the
                        window-frame machinery in-window)
+- corpus_shuffle      (two-phase total-order rank -> quota_cap /
+                       train_test_split cover the hash-draw machinery; the
+                       rank plan shape is pinned in test_ranking_selection)
+- curriculum_stages   (same two-phase rank + one-row count singleton)
+- dsir_weights        (bucket-bounded model aggregates + broadcast scoring
+                       -> unigram_logprob covers the corpus-frequency
+                       join-back shape in-window)
+- semantic_dedup_keep (embedding pair graph -> components ->
+                       embedding_near_dup covers the pair machinery
+                       in-window; recursive-CTE oracle in pytest)
+- leakage_safe_split  (cluster-grain hash split over the same components
+                       -> train_test_split covers the split machinery)
 All r4 additions are full-oracle-checked in tests/test_oracle_parity.
 """
 

@@ -1304,31 +1304,8 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≈ 0.49), and a production-grade 0.9 would make the checked result the
     empty set; 0.25 keeps tens-to-hundreds of pairs flowing through the
     driver's value-hash comparison at every SF."""
-    from market_flow_spark.extensions.similarity import _dot, sign_bucket
-
     emb = load_tables(spark, sf_dir)["embeddings"]
-    wb = emb.withColumn("bucket", sign_bucket(F.col("embedding"), 8))
-    a = wb.select(
-        F.col("vec_id").alias("vec1"), F.col("embedding").alias("e1"), "bucket"
-    )
-    b = wb.select(
-        F.col("vec_id").alias("vec2"), F.col("embedding").alias("e2"), "bucket"
-    )
-    pairs = a.join(b, "bucket").filter(F.col("vec1") < F.col("vec2"))
-    from market_flow_spark.functions.aggregates import det_round
-
-    cos = det_round(
-        _dot(F.col("e1"), F.col("e2"))
-        / (
-            F.sqrt(_dot(F.col("e1"), F.col("e1")))
-            * F.sqrt(_dot(F.col("e2"), F.col("e2")))
-        ),
-        6,
-    )
-    return (
-        pairs.select("vec1", "vec2", cos.alias("cosine"))
-        .filter(F.col("cosine") >= 0.25)
-    )
+    return similarity.embedding_neardup_pairs(emb, threshold=0.25, n_bits=8)
 
 
 @register(
@@ -2466,4 +2443,163 @@ def q_price_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return an.rolling_zscore_anomalies(
         m, "brand", ["year", "month"], "avg_price", threshold=2.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data export & selection (round 4): deterministic shuffle,
+# curriculum staging, DSIR importance weighting, semantic dedup keep-list,
+# leakage-safe cluster split
+# ---------------------------------------------------------------------------
+
+from market_flow_spark.extensions import selection as sel  # noqa: E402
+from market_flow_spark.extensions.corpus import cluster_safe_split  # noqa: E402
+from market_flow_spark.extensions.sampling import rate_threshold  # noqa: E402
+from market_flow_spark.operators import ranking  # noqa: E402
+
+
+@register(
+    "corpus_shuffle",
+    """
+SELECT doc_id,
+       ROW_NUMBER() OVER (
+         ORDER BY substring(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 8),
+                  doc_id) AS shuffle_rank
+FROM documents
+""",
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle of the corpus: every doc gets a global
+    pseudo-random position (pure function of doc_id + seed). Plans as the
+    two-phase total sort (range partition + per-partition rank + offset
+    join), NEVER a single-partition window — the scale difference between
+    this and the naive ROW_NUMBER() OVER (ORDER BY ...) the oracle runs."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return ranking.deterministic_shuffle(
+        docs.select("doc_id"), "doc_id", seed="shuffle"
+    )
+
+
+@register(
+    "curriculum_stages",
+    """
+WITH r AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY COALESCE(length(text), 0), doc_id)
+           AS curriculum_rank,
+         COUNT(*) OVER () AS n
+  FROM documents
+)
+SELECT doc_id, curriculum_rank,
+       CAST(FLOOR((curriculum_rank - 1) * 4.0 / n) AS INT) AS stage
+FROM r
+""",
+)
+def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule: rank docs easiest-first (here: by length, the
+    classic short-to-long curriculum) and cut into 4 equal stages from the
+    EXACT global rank — engine-reproducible stage assignment, scale-safe
+    two-phase ranking underneath."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return ranking.curriculum_stages(
+        docs.select("doc_id", "text"),
+        F.coalesce(F.length("text"), F.lit(0)),
+        key_col="doc_id",
+        n_stages=4,
+    ).select("doc_id", "curriculum_rank", "stage")
+
+
+@register(
+    "dsir_weights",
+    sel.dsir_oracle_sql(n_buckets=256, target_pred="doc_id % 7 = 0"),
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: score every raw doc (doc_id % 7 != 0) by
+    how target-like (doc_id % 7 == 0) its hashed unigram+bigram profile is
+    — the published data-selection recipe as two bucket-bounded model
+    aggregates plus a broadcast-join scoring pass. 256 buckets keeps the
+    oracle cheap; production uses DEFAULT_BUCKETS."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return sel.dsir_logweights(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+        n_buckets=256,
+    )
+
+
+def _semantic_keep_oracle() -> str:
+    """Recursive-CTE twin of semantic_dedup_keep over the sign-bucket
+    cosine pair graph (same pairs as embedding_near_dup's oracle)."""
+    return f"""
+WITH RECURSIVE p AS ({_near_dup_oracle()}),
+edges AS (
+  SELECT vec1 AS a, vec2 AS b FROM p
+  UNION
+  SELECT vec2 AS a, vec1 AS b FROM p
+),
+reach(a, lbl) AS (
+  SELECT a, a AS lbl FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.a
+),
+comp AS (SELECT a AS vec_id, MIN(lbl) AS cluster_id FROM reach GROUP BY a)
+SELECT e.vec_id,
+       COALESCE(c.cluster_id, e.vec_id) AS cluster_id,
+       (e.vec_id = COALESCE(c.cluster_id, e.vec_id)) AS keep
+FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id
+"""
+
+
+@register("semantic_dedup_keep", _semantic_keep_oracle())
+def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-list: embedding near-dup pairs (sign-bucket blocked
+    cosine) -> connected components -> one keeper per semantic cluster.
+    The embedding-tier analogue of dedup_clusters_minhash, catching
+    paraphrase-level duplicates that share no surface n-grams."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return similarity.semantic_dedup_keep(emb, threshold=0.25, n_bits=8)
+
+
+def _leakage_split_oracle(train_frac: float = 0.8) -> str:
+    thr = rate_threshold(train_frac)
+    return f"""
+WITH RECURSIVE p AS ({_near_dup_oracle()}),
+edges AS (
+  SELECT vec1 AS a, vec2 AS b FROM p
+  UNION
+  SELECT vec2 AS a, vec1 AS b FROM p
+),
+reach(a, lbl) AS (
+  SELECT a, a AS lbl FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.a
+),
+comp AS (SELECT a AS vec_id, MIN(lbl) AS cluster_id FROM reach GROUP BY a),
+labeled AS (
+  SELECT e.vec_id AS doc_id,
+         COALESCE(c.cluster_id, e.vec_id) AS cluster_id
+  FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN substring(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 8)
+                 < '{thr}'
+            THEN 'train' ELSE 'test' END AS split
+FROM labeled
+"""
+
+
+@register("leakage_safe_split", _leakage_split_oracle())
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: near-dup clusters (embedding tier)
+    draw ONE content-addressed split from the cluster id, so a test doc's
+    near-twin can never land in train. Unpaired docs are their own
+    cluster; overall proportions stay ~train_frac."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    pairs = similarity.embedding_neardup_pairs(emb, threshold=0.25, n_bits=8)
+    return cluster_safe_split(
+        emb.select(F.col("vec_id").alias("doc_id")),
+        pairs,
+        train_frac=0.8,
+        id1="vec1",
+        id2="vec2",
     )

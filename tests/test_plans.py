@@ -83,6 +83,8 @@ INTENTIONAL_TINY_CROSSJOIN = {
     "bm25_topk",       # one-row (N, avgdl) corpus-stats singleton
     "mixture_sample",  # one-row (N_total, Z) mixture-normalizer singleton
     "unigram_logprob", # one-row vocabulary-total singleton
+    "dsir_weights",    # two one-row corpus-total singletons
+    "curriculum_stages",  # one-row global-count singleton
 }
 
 

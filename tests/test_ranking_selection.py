@@ -1,0 +1,218 @@
+"""Behavioral tests for the export/selection operators: scale-safe global
+ranking, deterministic shuffle, curriculum staging, DSIR importance
+weighting, semantic dedup, and the leakage-safe cluster split. (Oracle
+parity for the registered queries is covered by test_oracle_parity.)"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+
+from market_flow_spark.extensions import selection as sel
+from market_flow_spark.extensions.corpus import cluster_safe_split
+from market_flow_spark.extensions.similarity import (
+    embedding_neardup_pairs,
+    semantic_dedup_keep,
+)
+from market_flow_spark.operators import ranking
+
+
+# ---------------------------------------------------------------------------
+# global_sort_rank / deterministic_shuffle / curriculum_stages
+# ---------------------------------------------------------------------------
+
+
+def test_global_sort_rank_matches_naive_window(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") * 2654435761 % 997).alias("k")
+    ).repartition(7)
+    # total order: (k, id)
+    got = {
+        r["id"]: r["rank"]
+        for r in ranking.global_sort_rank(df, ["k", "id"]).collect()
+    }
+    want = {
+        r["id"]: r["rank"]
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy("k", "id"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_sort_rank_plans_two_phase(spark):
+    df = spark.range(0, 100).select(F.col("id"))
+    plan = (
+        ranking.global_sort_rank(df, ["id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the data pass must be range-partitioned, not funneled through a
+    # single-partition global-sort window
+    assert "rangepartitioning" in plan
+    # offsets join back by partition id as a broadcast equi-join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_deterministic_shuffle_is_stable_permutation(spark):
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    a = ranking.deterministic_shuffle(df, "doc_id")
+    b = ranking.deterministic_shuffle(df.repartition(13), "doc_id")
+    ra = {r["doc_id"]: r["shuffle_rank"] for r in a.collect()}
+    rb = {r["doc_id"]: r["shuffle_rank"] for r in b.collect()}
+    assert ra == rb, "shuffle order must not depend on input partitioning"
+    assert sorted(ra.values()) == list(range(1, 501))
+    # actually mixed: the identity order would be astronomically unlikely
+    first_ten = [d for d, _ in sorted(ra.items(), key=lambda kv: kv[1])][:10]
+    assert first_ten != list(range(10))
+
+
+def test_deterministic_shuffle_seed_changes_order(spark):
+    df = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    e1 = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in ranking.deterministic_shuffle(df, "doc_id", seed="ep1").collect()
+    }
+    e2 = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in ranking.deterministic_shuffle(df, "doc_id", seed="ep2").collect()
+    }
+    assert e1 != e2
+
+
+def test_curriculum_stage_sizes_and_monotonicity(spark):
+    rows = [Row(doc_id=i, score=1000 - i) for i in range(103)]
+    df = spark.createDataFrame(rows)
+    out = ranking.curriculum_stages(
+        df, "score", key_col="doc_id", n_stages=4
+    ).collect()
+    sizes = {}
+    for r in out:
+        sizes[r["stage"]] = sizes.get(r["stage"], 0) + 1
+    assert set(sizes) == {0, 1, 2, 3}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # stage is monotone in score
+    by_rank = sorted(out, key=lambda r: r["curriculum_rank"])
+    stages = [r["stage"] for r in by_rank]
+    assert stages == sorted(stages)
+    assert by_rank[0]["score"] == min(r["score"] for r in out)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    target = _docs(spark, ["quantum physics lattice gauge theory"] * 6)
+    raw = _docs(
+        spark,
+        [
+            "quantum physics lattice gauge theory applied",  # target-like
+            "cheap shoes buy now discount sale",  # not target-like
+            "cheap shoes discount offer",  # not target-like
+        ],
+    )
+    w = {
+        r["doc_id"]: r["logweight"]
+        for r in sel.dsir_logweights(raw, target, n_buckets=512).collect()
+    }
+    assert w[0] > w[1] and w[0] > w[2]
+
+
+def test_dsir_empty_and_null_text_scores_zero(spark):
+    target = _docs(spark, ["alpha beta"])
+    raw = spark.createDataFrame(
+        [Row(doc_id=0, text=None), Row(doc_id=1, text="   "), Row(doc_id=2, text="alpha")]
+    )
+    out = {r["doc_id"]: r for r in sel.dsir_logweights(raw, target).collect()}
+    assert out[0]["n_feats"] == 0 and out[0]["logweight"] == 0.0
+    assert out[1]["n_feats"] == 0 and out[1]["logweight"] == 0.0
+    assert out[2]["n_feats"] == 1
+
+
+def test_dsir_topk_is_take_ordered(spark):
+    target = _docs(spark, ["a b c"])
+    raw = _docs(spark, ["a b", "c d", "e f", "a c"])
+    df = sel.dsir_topk(raw, target, k=2, n_buckets=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert len(df.collect()) == 2
+
+
+def test_hashed_feature_counts_include_bigrams(spark):
+    docs = _docs(spark, ["x y"])
+    n_uni_bi = sel.hashed_feature_counts(docs, n_buckets=1 << 20)
+    # "x", "y", "x y" -> 3 features (distinct buckets w.h.p.)
+    assert n_uni_bi.agg(F.sum("c")).first()[0] == 3
+    uni = sel.hashed_feature_counts(docs, n_buckets=1 << 20, bigrams=False)
+    assert uni.agg(F.sum("c")).first()[0] == 2
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup + leakage-safe split
+# ---------------------------------------------------------------------------
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+
+
+def test_semantic_dedup_keeps_one_per_chain(spark):
+    # 0~1 and 1~2 are near-dups (same sign bucket, cosine ~1); 3 is far
+    emb = _emb(
+        spark,
+        [
+            [1.0, 1.0, 1.0, 1.0, 0.5, 0.5, 0.5, 0.5],
+            [1.0, 1.0, 1.0, 1.0, 0.5, 0.5, 0.5, 0.51],
+            [1.0, 1.0, 1.0, 1.0, 0.5, 0.5, 0.51, 0.5],
+            [1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0],
+        ],
+    )
+    out = {r["vec_id"]: r for r in semantic_dedup_keep(emb, threshold=0.9).collect()}
+    assert out[0]["keep"] and out[0]["cluster_id"] == 0
+    assert not out[1]["keep"] and out[1]["cluster_id"] == 0
+    assert not out[2]["keep"] and out[2]["cluster_id"] == 0
+    assert out[3]["keep"] and out[3]["cluster_id"] == 3
+
+
+def test_cluster_safe_split_never_straddles_pairs(spark, tables):
+    emb = tables["embeddings"]
+    pairs = embedding_neardup_pairs(emb, threshold=0.25, n_bits=8)
+    split = cluster_safe_split(
+        emb.select(F.col("vec_id").alias("doc_id")),
+        pairs,
+        train_frac=0.8,
+        id1="vec1",
+        id2="vec2",
+    )
+    s = {r["doc_id"]: r["split"] for r in split.collect()}
+    straddle = [
+        (r["vec1"], r["vec2"])
+        for r in pairs.collect()
+        if s[r["vec1"]] != s[r["vec2"]]
+    ]
+    assert straddle == []
+    # both splits populated (sanity on proportions)
+    vals = list(s.values())
+    assert 0 < vals.count("train") < len(vals)
+
+
+def test_cluster_safe_split_unpaired_docs_use_own_id(spark):
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(10)])
+    pairs = spark.createDataFrame([Row(doc1=1, doc2=2)])
+    out = {r["doc_id"]: r for r in cluster_safe_split(docs, pairs).collect()}
+    assert out[2]["cluster_id"] == 1 and out[1]["cluster_id"] == 1
+    assert out[1]["split"] == out[2]["split"]
+    for i in (0, 3, 4):
+        assert out[i]["cluster_id"] == i
