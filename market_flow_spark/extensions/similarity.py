@@ -759,6 +759,7 @@ def embedding_neardup_pairs(
     n_bits: int = 8,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """(vec1, vec2, cosine): embedding-space near-duplicate pairs —
     sign-bucket LSH blocking (an equi-join on the bucket, never a cross
@@ -768,12 +769,26 @@ def embedding_neardup_pairs(
     dedup (raise n_bits for precision blocks, lower for recall).
 
     The blocked frame is an alias self-join of one subtree, so the
-    embedding scan + bucket projection computes once (ReusedExchange)."""
+    embedding scan + bucket projection computes once (ReusedExchange).
+
+    ``max_block_size`` is the degenerate-bucket guard (same contract as
+    the MinHash tier's ``max_band_size``): a bucket holding k copies of a
+    near-identical embedding emits k² candidate rows, so buckets larger
+    than the cap are dropped from the join via ONE count-window sharing
+    the join's hash partitioning. Mass-duplicate clusters that big belong
+    to the exact-dedup tier upstream; opt-in, exact semantics when None."""
     wb = embeddings.select(
         F.col(id_col).alias("vid"),
         F.col(emb_col).alias("emb"),
         sign_bucket(F.col(emb_col), n_bits).alias("bucket"),
     )
+    if max_block_size is not None:
+        wbk = Window.partitionBy("bucket")
+        wb = (
+            wb.withColumn("__bsz", F.count(F.lit(1)).over(wbk))
+            .filter(F.col("__bsz") <= max_block_size)
+            .drop("__bsz")
+        )
     a, b = wb.alias("a"), wb.alias("b")
     cos = det_round(
         _dot(F.col("a.emb"), F.col("b.emb"))
@@ -825,4 +840,79 @@ def semantic_dedup_keep(
     )
     return keep.select(
         F.col("doc_id").alias(id_col), "cluster_id", "keep"
+    )
+
+
+def embedding_neardup_pairs_ivf(
+    embeddings: DataFrame,
+    threshold: float = 0.25,
+    n_cells: int = 16,
+    seed: int = 42,
+    train_rows: int = 2048,
+    centroids=None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(vec1, vec2, cosine): embedding near-dup pairs blocked by K-MEANS
+    CELLS instead of hyperplane signs — the blocking the SemDeDup paper
+    actually uses: data-adaptive clusters concentrate true near-dups into
+    the same block far better than axis-sign buckets on clustered
+    corpora, at the price of a (bounded, driver-trained) quantizer.
+
+    Recall contract: pairs whose members quantize to different cells are
+    missed (standard SemDeDup semantics — it only dedups within
+    clusters). Within a cell the cosine is exact.
+
+    Plan shape: quantizer trained once on a ``train_rows``-bounded sample
+    (or passed in via ``centroids`` — the build-once path shared with
+    ``ivf_topk``); cell assignment is ONE Arrow-batched map over the
+    corpus, then the same alias self-join on the cell id as the sign
+    tier. No cross join, no driver-side pair loop."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else train_ivf_centroids(
+            embeddings.select(
+                F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
+            ),
+            n_cells,
+            seed,
+            train_rows,
+        )
+    )
+    cnorm2 = (C * C).sum(1)
+
+    @pandas_udf("int")
+    def assign_cell(emb: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        Xb = _np.asarray(emb.tolist(), dtype=_np.float64)
+        return pd.Series((cnorm2 - 2.0 * (Xb @ C.T)).argmin(1).astype("int32"))
+
+    assigned = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(emb_col).alias("emb"),
+        assign_cell(emb_col).alias("cell"),
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = det_round(
+        _dot(F.col("a.emb"), F.col("b.emb"))
+        / (
+            F.sqrt(_norm_sq(F.col("a.emb")))
+            * F.sqrt(_norm_sq(F.col("b.emb")))
+        ),
+        6,
+    )
+    return (
+        a.join(b, F.col("a.cell") == F.col("b.cell"))
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("vec1"),
+            F.col("b.vid").alias("vec2"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
     )

@@ -87,6 +87,9 @@ incremental-MinHash operators, per the round-3 brief):
                        in-window; recursive-CTE oracle in pytest)
 - leakage_safe_split  (cluster-grain hash split over the same components
                        -> train_test_split covers the split machinery)
+- grouping_sets_sales (hand-picked multi-grain Expand -> rollup_revenue /
+                       cube_returnflag_priority cover the pre-aggregated
+                       Expand machinery in-window)
 All r4 additions are full-oracle-checked in tests/test_oracle_parity.
 """
 

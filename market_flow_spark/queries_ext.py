@@ -2603,3 +2603,66 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         id1="vec1",
         id2="vec2",
     )
+
+
+@register(
+    "grouping_sets_sales",
+    f"""
+WITH per_order AS (
+  SELECT l_orderkey,
+         SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6)))
+           AS rev_sum
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT n.n_name, o.o_orderpriority, p.rev_sum
+  FROM per_order p
+  JOIN orders o   ON p.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+)
+SELECT COALESCE(n_name, 'ALL') AS nation,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       {_floor_round_sql("CAST(SUM(rev_sum) AS DOUBLE)", 2)} AS revenue,
+       CAST(SUM(1) AS BIGINT) AS n_orders
+FROM j
+GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+""",
+)
+def q_grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain sales panel in ONE pass: revenue by nation, by order
+    priority, and the grand total via GROUPING SETS — the OLAP sibling of
+    rollup/cube with hand-picked (non-hierarchical) grains.
+
+    Same Expand-avoidance as rollup_revenue: lineitems pre-aggregate to
+    order grain (map-side combine), the join output aggregates once at the
+    finest (nation, priority) grain, and the grouping-set Expand runs over
+    those ~125 partial rows instead of every joined lineitem — additive
+    because each order belongs to exactly one nation and one priority."""
+    from market_flow_spark.functions.aggregates import det_round
+
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    per_order = t["lineitem"].groupBy("l_orderkey").agg(
+        F.sum(rev.cast("decimal(27,6)")).alias("rev_sum")
+    )
+    j = (
+        per_order.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    fine = j.groupBy("n_name", "o_orderpriority").agg(
+        F.sum("rev_sum").alias("rev_sum"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    out = fine.groupingSets(
+        [["n_name"], ["o_orderpriority"], []], "n_name", "o_orderpriority"
+    ).agg(
+        det_round(F.sum("rev_sum").cast("double"), 2).alias("revenue"),
+        F.sum("n_orders").alias("n_orders"),
+    )
+    return out.select(
+        F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+        F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+        "revenue",
+        "n_orders",
+    )

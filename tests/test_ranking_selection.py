@@ -216,3 +216,59 @@ def test_cluster_safe_split_unpaired_docs_use_own_id(spark):
     assert out[1]["split"] == out[2]["split"]
     for i in (0, 3, 4):
         assert out[i]["cluster_id"] == i
+
+
+# ---------------------------------------------------------------------------
+# IVF-cell blocking + degenerate-block guard
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_pairs_exact_within_cells(spark, tables):
+    import numpy as np
+
+    from market_flow_spark.extensions.similarity import (
+        embedding_neardup_pairs_ivf,
+        train_ivf_centroids,
+    )
+
+    emb = tables["embeddings"]
+    C = train_ivf_centroids(emb, n_cells=8)
+    got = {
+        (r["vec1"], r["vec2"]): r["cosine"]
+        for r in embedding_neardup_pairs_ivf(
+            emb, threshold=0.25, centroids=C
+        ).collect()
+    }
+    # recompute ground truth in numpy with the SAME centroids
+    rows = emb.orderBy("vec_id").collect()
+    X = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    ids = [r["vec_id"] for r in rows]
+    cells = ((C * C).sum(1) - 2.0 * (X @ C.T)).argmin(1)
+    norms = np.sqrt((X * X).sum(1))
+    want = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if cells[i] != cells[j]:
+                continue
+            c = float(X[i] @ X[j] / (norms[i] * norms[j]))
+            c = np.floor(c * 1e6 + 0.5) / 1e6
+            if c >= 0.25:
+                want[(min(ids[i], ids[j]), max(ids[i], ids[j]))] = c
+    assert set(got) == set(want)
+    for k_, v in want.items():
+        assert abs(got[k_] - v) < 1e-9
+
+
+def test_neardup_block_guard_drops_only_oversized_buckets(spark):
+    # 5 identical vectors (one hot bucket) + 2 distinct near-dups elsewhere
+    hot = [[1.0] * 8] * 5
+    pair = [[-1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0],
+            [-1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.9]]
+    emb = _emb(spark, hot + pair)
+    from market_flow_spark.extensions.similarity import embedding_neardup_pairs
+
+    unguarded = embedding_neardup_pairs(emb, threshold=0.9)
+    assert unguarded.count() == 10 + 1  # C(5,2) hot pairs + the small pair
+    guarded = embedding_neardup_pairs(emb, threshold=0.9, max_block_size=4)
+    got = {(r["vec1"], r["vec2"]) for r in guarded.collect()}
+    assert got == {(5, 6)}
