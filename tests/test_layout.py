@@ -91,3 +91,68 @@ def test_spread_to_cores_streaming_passthrough_and_memo(spark, tmp_path):
     out2 = spread_to_cores(spark.range(5).toDF("doc_id"))
     assert set(_SPREAD_DECISIONS) - set(before) == key_new
     assert out1.rdd.getNumPartitions() == out2.rdd.getNumPartitions()
+
+
+def test_zorder_key_interleaves_and_preserves_locality(spark):
+    from market_flow_spark.sources.layout import zorder_key
+
+    # 2-dim, 2-bit: the key must be the textbook Morton interleave
+    df = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)], "x int, y int"
+    )
+    out = df.withColumn(
+        "zk", zorder_key(["x", "y"], bits_per_dim=2, mins=[0, 0], maxs=[3, 3])
+    ).collect()
+
+    def morton2(x, y):
+        k = 0
+        for b in range(2):
+            k |= ((x >> b) & 1) << (2 * b)
+            k |= ((y >> b) & 1) << (2 * b + 1)
+        return k
+
+    for r in out:
+        assert r["zk"] == morton2(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_write_zordered_prunes_on_both_dims(spark, tmp_path):
+    """Z-order layout: per-file min/max spread must be a fraction of the
+    global span on BOTH clustered columns (range clustering only delivers
+    that for the leading column)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from market_flow_spark.sources.layout import write_zordered
+
+    n = 64
+    df = spark.createDataFrame(
+        [(x, y, x * n + y) for x in range(n) for y in range(n)],
+        "x int, y int, v int",
+    )
+    path = str(tmp_path / "zordered")
+    write_zordered(
+        df, path, ["x", "y"], mins=[0, 0], maxs=[n - 1, n - 1],
+        bits_per_dim=6, n_files=16,
+    )
+    files = _glob.glob(f"{path}/*.parquet")
+    assert len(files) >= 8
+    for dim in ("x", "y"):
+        spans = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(dim)
+            mins_, maxs_ = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins_.append(st.min)
+                maxs_.append(st.max)
+            spans.append(max(maxs_) - min(mins_))
+        # every file covers a narrow slice of each dimension; with 16
+        # z-files over a 64x64 grid each file is a ~16x16 tile
+        assert max(spans) <= (n - 1) / 2, (dim, spans)
+
+    back = spark.read.parquet(path)
+    assert back.count() == n * n
+    got = back.filter((F.col("x") == 7) & (F.col("y") == 9)).collect()
+    assert len(got) == 1 and got[0]["v"] == 7 * n + 9
