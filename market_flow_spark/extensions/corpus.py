@@ -36,11 +36,22 @@ def clean_corpus(
     min_quality: float = 1.0,
     sim_threshold: float = 0.8,
     text_col: str = "text",
+    embeddings: DataFrame | None = None,
+    emb_threshold: float = 0.25,
+    emb_id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    emb_n_bits: int = 8,
 ) -> DataFrame:
     """(doc_id, keep, drop_reason) for every input document — the
     materializable decision table of the cleaning pipeline (the cleaned
     corpus is ``docs.join(result.filter("keep"), "doc_id", "left_semi")``).
-    """
+
+    Passing ``embeddings`` (``emb_id_col`` matching ``doc_id``) appends the
+    SemDeDup tier after surface near-dup removal — the full modern ladder
+    quality → exact → MinHash → semantic. The embedding stage runs over
+    surviving docs only (left_semi-narrowed before the blocked pair join),
+    and its drop reason is ``semantic_dup``. Docs without an embedding row
+    pass the stage untouched."""
     # ONE pass computes gate flags AND the exact fingerprint; the exact
     # keeper is a min-over-survivors window on the SAME frame (no surv1
     # self-branch — a branched plan would re-run the expensive gate
@@ -85,6 +96,34 @@ def clean_corpus(
         )
         .alias("drop_reason"),
     )
+
+    if embeddings is not None:
+        from market_flow_spark.extensions.similarity import (
+            embedding_neardup_pairs,
+        )
+
+        surv3 = labeled.filter(F.col("drop_reason").isNull()).select("doc_id")
+        emb_surv = embeddings.join(
+            surv3.withColumnRenamed("doc_id", emb_id_col), emb_id_col,
+            "left_semi",
+        )
+        sem_pairs = embedding_neardup_pairs(
+            emb_surv, emb_threshold, emb_n_bits, emb_id_col, emb_col
+        )
+        sem_clusters = dedup.dedup_clusters(
+            sem_pairs, id1="vec1", id2="vec2"
+        ).withColumnRenamed("cluster_id", "sem_cluster")
+        labeled = labeled.join(sem_clusters, "doc_id", "left").select(
+            "doc_id",
+            F.when(F.col("drop_reason").isNotNull(), F.col("drop_reason"))
+            .when(
+                F.col("sem_cluster").isNotNull()
+                & (F.col("sem_cluster") != F.col("doc_id")),
+                F.lit("semantic_dup"),
+            )
+            .alias("drop_reason"),
+        )
+
     return labeled.withColumn("keep", F.col("drop_reason").isNull()).select(
         "doc_id", "keep", "drop_reason"
     )

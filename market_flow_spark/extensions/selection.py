@@ -126,18 +126,26 @@ def dsir_logweights(
     text_col: str = "text",
     alpha: float = 1.0,
     bigrams: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """(doc_id, n_feats, logweight) for every raw document: the DSIR
     importance log-weight of the doc toward the target domain. Featureless
     docs (NULL/empty text) score 0 with n_feats 0 — they carry no evidence
     either way.
 
-    The raw featurization subtree feeds both the model fit and the scoring
-    join; Spark evaluates it twice (both consumers are aggregates over
-    different keys). Callers scoring a very expensive upstream plan can
-    persist ``hashed_feature_counts`` and pass precomputed counts through
-    ``bucket_logratio`` + a manual join instead."""
+    The raw featurization feeds both the model fit and the scoring join,
+    so by default (``materialize=True``) the compact per-doc count table —
+    bounded at docs × min(doc_features, n_buckets) rows of three integers,
+    far smaller than the corpus text — is materialized once (eager
+    localCheckpoint at construction) and both consumers read it: one
+    tokenize+hash pass over the corpus instead of two (measured 3.7 s →
+    ~2 s at sf0.1; Catalyst does not exchange-reuse the duplicated
+    aggregate subtree on its own). ``materialize=False`` keeps the plan
+    fully lazy (two corpus passes) for callers composing into streaming or
+    deferred pipelines."""
     raw_counts = hashed_feature_counts(raw_docs, n_buckets, text_col, bigrams)
+    if materialize and not raw_docs.isStreaming:
+        raw_counts = raw_counts.localCheckpoint(eager=True)
     tgt_counts = hashed_feature_counts(
         target_docs, n_buckets, text_col, bigrams
     )

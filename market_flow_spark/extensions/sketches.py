@@ -167,3 +167,78 @@ SELECT est_union, est_jaccard,
        CAST(FLOOR(est_jaccard * est_union + 0.5) AS BIGINT) AS est_intersection
 FROM agg
 """
+
+
+def kmv_distinct_by(
+    df: DataFrame,
+    group_col: str,
+    column: str,
+    k: int = DEFAULT_K,
+    skew_safe: bool = True,
+    subsplits: int = 32,
+) -> DataFrame:
+    """(group, est_distinct): KMV distinct-count estimate PER GROUP — the
+    mergeable per-group sketch (distinct URLs per domain, distinct users
+    per country) that ``approx_count_distinct`` serves in production but
+    can never be oracle-checked; this one is md5-deterministic and exactly
+    reproducible in DuckDB.
+
+    Scale shape: one map-side-deduped distinct over (group, hash), then the
+    k smallest hashes per group via the same exact two-level reduction as
+    ``sampling.cap_per_group`` — each (group, hash-subsplit) keeps its
+    local k-smallest, so a group holding half the corpus spreads across
+    ``subsplits`` tasks, and the final per-group window sees at most
+    subsplits×k rows. The global k-smallest is contained in the union of
+    per-subsplit k-smallests, so the result is identical to the naive
+    single-window path row for row."""
+    from pyspark.sql import Window
+
+    h = (
+        df.filter(F.col(column).isNotNull())
+        .select(
+            F.col(group_col).alias("g"), kmv_hash(F.col(column)).alias("h")
+        )
+        .distinct()
+    )
+    order = [F.col("h").asc()]
+    w = Window.partitionBy("g").orderBy(*order)
+    if skew_safe:
+        sub = F.pmod(F.xxhash64(F.col("h")), F.lit(subsplits))
+        w1 = Window.partitionBy(F.col("g"), sub).orderBy(*order)
+        h = (
+            h.withColumn("_sub_rn", F.row_number().over(w1))
+            .filter(F.col("_sub_rn") <= k)
+            .drop("_sub_rn")
+        )
+    kth = h.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    est = (
+        F.when(F.count("h") < k, F.count("h"))
+        .otherwise(F.floor((F.lit(float(k - 1)) / F.max("h")) + F.lit(0.5)))
+        .cast("bigint")
+    )
+    return kth.groupBy("g").agg(est.alias("est_distinct")).withColumnRenamed(
+        "g", group_col
+    )
+
+
+def kmv_distinct_by_oracle_sql(
+    table: str, group_col: str, column: str, k: int = DEFAULT_K
+) -> str:
+    """DuckDB twin of :func:`kmv_distinct_by`."""
+    return f"""
+WITH h AS (
+  SELECT DISTINCT {group_col} AS g,
+    (CAST(('0x' || substr(md5(CAST({column} AS VARCHAR)), 1, 8)) AS UBIGINT)
+     + 1.0) / 4294967296.0 AS h
+  FROM {table} WHERE {column} IS NOT NULL
+),
+r AS (
+  SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn FROM h
+),
+kth AS (SELECT g, h FROM r WHERE rn <= {k})
+SELECT g AS {group_col},
+       CAST(CASE WHEN COUNT(h) < {k} THEN COUNT(h)
+            ELSE FLOOR(({k} - 1.0) / MAX(h) + 0.5) END AS BIGINT)
+         AS est_distinct
+FROM kth GROUP BY g
+"""

@@ -90,6 +90,11 @@ incremental-MinHash operators, per the round-3 brief):
 - grouping_sets_sales (hand-picked multi-grain Expand -> rollup_revenue /
                        cube_returnflag_priority cover the pre-aggregated
                        Expand machinery in-window)
+- kmv_distinct_by_returnflag (grouped KMV estimator -> kmv_distinct_parts
+                       covers the sketch machinery; quota_cap the two-level
+                       skew-safe window)
+- price_histogram     (fixed-bound equi-width profile -> sales_agg_profile
+                       covers the conditional-aggregate scan shape)
 All r4 additions are full-oracle-checked in tests/test_oracle_parity.
 """
 

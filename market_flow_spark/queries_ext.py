@@ -2666,3 +2666,54 @@ def q_grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         "n_orders",
     )
+
+
+@register(
+    "kmv_distinct_by_returnflag",
+    sketches.kmv_distinct_by_oracle_sql("lineitem", "l_returnflag", "l_partkey", k=64),
+)
+def q_kmv_distinct_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group KMV distinct estimate (distinct parts per return flag,
+    k=64 so the estimator path — not the exact small-set path — is what
+    the oracle certifies). The grouped, skew-safe sibling of
+    kmv_distinct_parts: per-(group, hash-subsplit) local k-smallest first,
+    then the exact per-group window over the bounded survivors."""
+    return sketches.kmv_distinct_by(
+        load_tables(spark, sf_dir)["lineitem"], "l_returnflag", "l_partkey", k=64
+    )
+
+
+@register(
+    "price_histogram",
+    """
+SELECT CAST(LEAST(FLOOR(l_extendedprice / 5000.0), 21) AS INT) AS bucket,
+       CAST(LEAST(FLOOR(l_extendedprice / 5000.0), 21) AS INT) * 5000.0
+         AS bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned
+FROM lineitem
+GROUP BY 1, 2
+""",
+)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram profile of the price column (fixed bounds, so
+    the whole profile is ONE map-side-combined aggregate over a bounded
+    22-bucket key domain — the no-second-scan histogram a profiler wants
+    at 100 TB), with a per-bucket conditional count riding along."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    bucket = F.least(F.floor(F.col("l_extendedprice") / 5000.0), F.lit(21)).cast(
+        "int"
+    )
+    return (
+        li.groupBy(
+            bucket.alias("bucket"),
+            (bucket * 5000.0).alias("bucket_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("l_returnflag") == "R").cast("int")).alias(
+                "n_returned"
+            ),
+        )
+    )

@@ -272,3 +272,40 @@ def test_neardup_block_guard_drops_only_oversized_buckets(spark):
     guarded = embedding_neardup_pairs(emb, threshold=0.9, max_block_size=4)
     got = {(r["vec1"], r["vec2"]) for r in guarded.collect()}
     assert got == {(5, 6)}
+
+
+def test_clean_corpus_semantic_stage(spark):
+    """The full ladder with embeddings: a surface-distinct but
+    semantically-duplicate doc is dropped with reason semantic_dup, and
+    the stage only sees docs that survived the surface tiers."""
+    from market_flow_spark.extensions.corpus import clean_corpus
+
+    docs = _docs(
+        spark,
+        [
+            "alpha beta gamma delta epsilon zeta",          # keeper
+            "totally different words here entirely ok",     # semantic twin of 0
+            "alpha beta gamma delta epsilon zeta",          # exact dup of 0
+        ],
+    )
+    close = [1.0, 1.0, 1.0, 1.0, 0.5, 0.5, 0.5, 0.5]
+    emb = _emb(spark, [close, [v + (0.001 if i == 7 else 0) for i, v in enumerate(close)], close])
+    out = {
+        r["doc_id"]: r
+        for r in clean_corpus(
+            docs, min_quality=0.0, embeddings=emb, emb_threshold=0.9
+        ).collect()
+    }
+    assert out[0]["keep"] and out[0]["drop_reason"] is None
+    assert out[2]["drop_reason"] == "exact_dup"
+    # doc 1 shares no words with doc 0 but its embedding is a near-twin
+    assert out[1]["drop_reason"] == "semantic_dup" and not out[1]["keep"]
+
+
+def test_clean_corpus_without_embeddings_unchanged(spark):
+    from market_flow_spark.extensions.corpus import clean_corpus
+
+    text = "alpha beta gamma delta epsilon zeta"
+    docs = _docs(spark, [text, text])
+    out = {r["doc_id"]: r for r in clean_corpus(docs, min_quality=0.0).collect()}
+    assert out[0]["keep"] and out[1]["drop_reason"] == "exact_dup"
