@@ -144,3 +144,34 @@ def curriculum_stages(
         )
         .drop("__cur_total")
     )
+
+
+def write_shuffle_sharded(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    seed: str = "shuffle",
+    n_shards: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a training-ready shuffle: rows land in parquet shards
+    that, read in filename order, stream the corpus in the deterministic
+    pseudo-random order of :func:`deterministic_shuffle` — no sort at
+    training time, a fresh permutation per ``seed``.
+
+    Plan shape: ONE range exchange. The shuffle rank is only needed to
+    order rows, and rank order IS (hash, key) order — so rows are range-
+    partitioned and within-partition sorted directly on the hash key, and
+    the rank computation (offset join and all) is skipped entirely.
+    Shard s of n covers the s-th slice of hash space, so concatenating
+    shards 0..n-1 in order is exactly the global shuffle order."""
+    h = "__shuf_h"
+    out = df.withColumn(h, hash_bucket(F.col(key_col), seed))
+    out = (
+        out.repartitionByRange(n_shards, h, key_col)
+        if n_shards is not None
+        else out.repartitionByRange(h, key_col)
+    )
+    out.sortWithinPartitions(h, key_col).drop(h).write.mode(mode).parquet(
+        path
+    )

@@ -309,3 +309,25 @@ def test_clean_corpus_without_embeddings_unchanged(spark):
     docs = _docs(spark, [text, text])
     out = {r["doc_id"]: r for r in clean_corpus(docs, min_quality=0.0).collect()}
     assert out[0]["keep"] and out[1]["drop_reason"] == "exact_dup"
+
+
+def test_write_shuffle_sharded_streams_in_shuffle_order(spark, tmp_path):
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    df = spark.range(0, 400).select(F.col("id").alias("doc_id"))
+    path = str(tmp_path / "shuffled")
+    ranking.write_shuffle_sharded(df, path, "doc_id", n_shards=8)
+    files = sorted(_glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) >= 4
+    streamed = []
+    for f in files:
+        streamed.extend(pq.read_table(f).column("doc_id").to_pylist())
+    want = [
+        r["doc_id"]
+        for r in ranking.deterministic_shuffle(df, "doc_id")
+        .orderBy("shuffle_rank")
+        .collect()
+    ]
+    assert streamed == want
