@@ -1177,3 +1177,100 @@ def minhash_lsh_pairs_against_index(
         .filter(F.col("jaccard") >= threshold)
         .select("new_doc_id", "corpus_doc_id", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level (chunk) corpus dedup — C4-style repeated-span removal
+# ---------------------------------------------------------------------------
+
+
+def doc_span_chunks(
+    docs: DataFrame, chunk_words: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, idx, chunk): NON-overlapping ``chunk_words``-word windows in
+    document order, trailing partial window kept. The span-granularity
+    analogue of ``doc_shingle_arrays`` — C4 removes any three-sentence span
+    that repeats verbatim across the corpus; with no sentence boundaries in
+    the synthetic corpus the fixed word window is the deterministic stand-in
+    (the operator is agnostic: swap the splitter for a sentence segmenter
+    and nothing downstream changes).
+
+    Same normalization as every other dedup tier (trim/lower/``\\s+``
+    split); NULL/empty/whitespace-only docs yield zero chunks. The CASE
+    guard matters: ``sequence(0, -1)`` in Spark generates a DESCENDING
+    two-element array, not an empty one."""
+    cw = int(chunk_words)
+    if cw < 1:
+        raise ValueError(f"chunk_words must be >= 1, got {chunk_words}")
+    norm = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    toked = _spread(docs).select(
+        "doc_id",
+        F.when(norm == "", F.array().cast("array<string>"))
+        .otherwise(F.split(norm, r"\s+"))
+        .alias("toks"),
+    )
+    chunks = F.expr(
+        f"CASE WHEN size(toks) >= 1 THEN "
+        f"transform(sequence(0, cast(ceil(size(toks) / {cw}.0) as int) - 1), "
+        f"i -> concat_ws(' ', slice(toks, i * {cw} + 1, {cw}))) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+    return toked.select("doc_id", F.posexplode(chunks).alias("idx", "chunk"))
+
+
+def span_dedup(
+    docs: DataFrame,
+    chunk_words: int = 10,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated-span removal (the C4 boilerplate scrub):
+    drop every chunk whose VERBATIM corpus-wide occurrence count reaches
+    ``min_count`` (intra-doc repeats count toward the total, matching C4's
+    global span counting), then reassemble each document from its surviving
+    chunks in original order.
+
+    Returns (doc_id, text_clean, n_chunks, n_chunks_removed) for EVERY
+    input document — a doc whose every chunk was boilerplate comes back
+    with text_clean = '' rather than vanishing, so callers can filter on
+    emptiness instead of diffing row sets.
+
+    100 TB shape: one groupBy on the chunk hash builds the frequency table
+    with map-side partial aggregation; the >=min_count filter shrinks it to
+    the hot set (0.1-5% of chunks on web corpora), which AQE then joins
+    back as a broadcast; reassembly is ONE shuffle of the corpus on doc_id.
+    No self-join, no all-pairs — cost is linear in corpus size. The final
+    restore-all-docs join is doc_id-keyed against the doc-count-sized
+    aggregate. Skew: a pathological chunk repeated 10^8 times costs only
+    its aggregate row — frequency counting never materializes pairs."""
+    chunks = doc_span_chunks(docs, chunk_words, text_col)
+    hot = (
+        chunks.groupBy("chunk")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= int(min_count))
+        .select("chunk", F.lit(True).alias("__hot"))
+    )
+    flagged = chunks.join(hot, "chunk", "left")
+    # collect_list skips NULLs, so the CASE keeps only surviving chunks;
+    # array_sort on (idx, chunk) structs restores document order.
+    kept_text = F.concat_ws(
+        " ",
+        F.expr(
+            "transform(array_sort(collect_list("
+            "CASE WHEN __hot IS NULL THEN struct(idx, chunk) END)), "
+            "s -> s.chunk)"
+        ),
+    )
+    agg = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count(F.when(F.col("__hot"), F.lit(1))).alias("n_chunks_removed"),
+        kept_text.alias("text_clean"),
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        F.coalesce("n_chunks", F.lit(0).cast("long")).alias("n_chunks"),
+        F.coalesce("n_chunks_removed", F.lit(0).cast("long")).alias(
+            "n_chunks_removed"
+        ),
+    )

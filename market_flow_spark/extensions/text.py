@@ -426,3 +426,45 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
+
+
+def top_tokens_per_group(
+    docs: DataFrame,
+    group: str = "lang",
+    k: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group heavy hitters: the k most frequent tokens (total term
+    frequency, not doc frequency) within each group, rank made total by
+    (count DESC, token ASC). The corpus-health view every pretraining
+    pipeline keeps: per-language vocabulary heads expose boilerplate and
+    tokenizer pathologies before they hit training.
+
+    100 TB shape: explode → groupBy(group, token) collapses the corpus to
+    vocabulary cardinality with map-side partial aggregation (the explode
+    never shuffles raw rows — only (group, token) partials move); the
+    ranking window then sorts the vocabulary-sized aggregate, not the
+    corpus. For a true single-pass sketch at extreme cardinality, chain
+    the same rank over a count-min/space-saving pre-filter — the exact
+    two-level shape here is already sublinear in corpus size after the
+    partial agg."""
+    norm = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    toks = docs.select(
+        F.col(group),
+        F.explode(
+            F.when(norm == "", F.array().cast("array<string>")).otherwise(
+                F.split(norm, r"\s+")
+            )
+        ).alias("token"),
+    )
+    counts = toks.groupBy(group, "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy(group).orderBy(
+        F.col("cnt").desc(), F.col("token").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(k))
+        .select(group, "token", "cnt", F.col("rk").cast("long").alias("rk"))
+    )

@@ -252,3 +252,92 @@ def rolling_zscore_anomalies(
             F.coalesce(F.abs(F.col("z")) > threshold, F.lit(False)),
         )
     )
+
+
+def window_function_panel(
+    df: DataFrame,
+    partition: str,
+    order_cols: list[str],
+    value: str,
+    n_tiles: int = 4,
+) -> DataFrame:
+    """The full ranking/navigation window-function surface in one pass:
+    lag/lead neighbors, row_number sequence, ntile buckets, percent_rank
+    and cume_dist — all over ONE window spec, so Catalyst plans a single
+    sort+shuffle on the partition key rather than one per function.
+
+    Ordering must be made total by the caller (include a unique key in
+    ``order_cols``): percent_rank/cume_dist are tie-sensitive and a
+    non-total order would be non-deterministic across engines.
+
+    The running total accumulates in DECIMAL (exact, associative) and is
+    det-rounded — the same cross-engine determinism contract as every
+    other float aggregate in the repo. One exchange, arbitrary partition
+    cardinality; per-group state is a sort buffer, not a materialized
+    group."""
+    w = Window.partitionBy(partition).orderBy(*order_cols)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = F.sum(F.col(value).cast("decimal(27,6)")).over(wrun).cast("double")
+    return df.select(
+        partition,
+        *order_cols,
+        F.col(value),
+        F.lag(value).over(w).alias("prev_value"),
+        F.lead(value).over(w).alias("next_value"),
+        F.row_number().over(w).alias("seq"),
+        F.ntile(n_tiles).over(w).alias("tile"),
+        det_round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        det_round(F.cume_dist().over(w), 6).alias("cume"),
+        det_round(run, 2).alias("running_total"),
+    )
+
+
+def winsorize_summary(
+    df: DataFrame,
+    group: str,
+    value: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Per-group percentile winsorization (outlier clipping), reported as a
+    group summary: exact interpolated bounds, clip counts on each side, and
+    the mean before/after clipping.
+
+    Two-pass shape — the only correct one for exact quantiles: pass 1 is a
+    per-group percentile aggregate (group-cardinality-sized output), pass 2
+    re-scans the fact with the bounds joined back. The bounds table is
+    explicitly broadcast so pass 2 adds NO shuffle beyond its own final
+    aggregate; at fact scale swap ``group_percentiles(approx=True)``-style
+    sketch bounds in — the join-back skeleton is unchanged. Bounds are
+    det-rounded BEFORE the clip compare so the clipped values (and counts)
+    are bit-identical across engines."""
+    bounds = (
+        df.groupBy(group)
+        .agg(
+            F.expr(f"percentile({value}, array({lower}, {upper}))").alias(
+                "__b"
+            )
+        )
+        .select(
+            group,
+            det_round(F.col("__b").getItem(0), 4).alias("p_low"),
+            det_round(F.col("__b").getItem(1), 4).alias("p_high"),
+        )
+    )
+    x = F.col(value)
+    clipped = F.least(F.greatest(x, F.col("p_low")), F.col("p_high"))
+    return (
+        df.join(F.broadcast(bounds), group)
+        .groupBy(group, "p_low", "p_high")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(x < F.col("p_low"), F.lit(1))).alias(
+                "n_clipped_low"
+            ),
+            F.count(F.when(x > F.col("p_high"), F.lit(1))).alias(
+                "n_clipped_high"
+            ),
+            det_avg(x, 4).alias("mean_raw"),
+            det_avg(clipped, 4).alias("mean_winsorized"),
+        )
+    )

@@ -95,6 +95,16 @@ incremental-MinHash operators, per the round-3 brief):
                        skew-safe window)
 - price_histogram     (fixed-bound equi-width profile -> sales_agg_profile
                        covers the conditional-aggregate scan shape)
+- span_dedup          (C4-style repeated-span scrub; freq-agg + hot-set
+                       join-back -> dedup_exact / dedup_word_jaccard cover
+                       the corpus-frequency machinery in-window)
+- window_panel        (lag/lead/ntile/percent_rank/cume_dist panel ->
+                       rolling_ma30 covers the window-shuffle machinery)
+- winsorize_prices    (exact-percentile clip summary -> price_summary_
+                       stats / sales_agg_profile cover the two-pass
+                       bounds-join machinery)
+- top_tokens_per_lang (per-group heavy hitters -> text_profile covers the
+                       scan; top10_products the rank-filter shape)
 All r4 additions are full-oracle-checked in tests/test_oracle_parity.
 """
 

@@ -2717,3 +2717,163 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: span dedup, window-function panel, winsorization,
+# per-language heavy hitters
+# ---------------------------------------------------------------------------
+
+_SPAN_CW = 8
+_SPAN_MIN = 2
+
+_SPAN_DEDUP_SQL = f"""
+WITH toked AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+  WHERE coalesce(trim(lower(text)), '') <> ''
+),
+chunks AS (
+  SELECT doc_id,
+    unnest(range(0, cast(ceil(len(toks) / {_SPAN_CW}.0) AS INT))) AS idx,
+    unnest(list_transform(
+      range(0, cast(ceil(len(toks) / {_SPAN_CW}.0) AS INT)),
+      i -> array_to_string(
+             toks[i * {_SPAN_CW} + 1 : i * {_SPAN_CW} + {_SPAN_CW}], ' ')))
+      AS chunk
+  FROM toked
+),
+hot AS (
+  SELECT chunk FROM chunks GROUP BY chunk HAVING COUNT(*) >= {_SPAN_MIN}
+),
+flagged AS (
+  SELECT c.doc_id, c.idx, c.chunk, h.chunk IS NOT NULL AS is_hot
+  FROM chunks c LEFT JOIN hot h USING (chunk)
+),
+agg AS (
+  SELECT doc_id,
+    COUNT(*) AS n_chunks,
+    COUNT(*) FILTER (WHERE is_hot) AS n_chunks_removed,
+    coalesce(
+      string_agg(chunk, ' ' ORDER BY idx) FILTER (WHERE NOT is_hot),
+      '') AS text_clean
+  FROM flagged GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(a.text_clean, '') AS text_clean,
+  coalesce(a.n_chunks, 0) AS n_chunks,
+  coalesce(a.n_chunks_removed, 0) AS n_chunks_removed
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("span_dedup", _SPAN_DEDUP_SQL)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style repeated-span scrub: every verbatim 8-word chunk that
+    occurs >= 2 times corpus-wide is dropped from every document, and docs
+    are reassembled from the surviving chunks (328 of 3609 chunk
+    occurrences are corpus-repeated at sf0.01, so the operator does real
+    deletion here). Linear shape: chunk-frequency agg -> hot-set broadcast
+    join-back -> one doc_id shuffle to reassemble."""
+    return dedup.span_dedup(
+        load_tables(spark, sf_dir)["documents"],
+        chunk_words=_SPAN_CW,
+        min_count=_SPAN_MIN,
+    )
+
+
+_WINDOW_PANEL_SQL = f"""
+SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+  lag(o_totalprice) OVER w AS prev_value,
+  lead(o_totalprice) OVER w AS next_value,
+  CAST(row_number() OVER w AS INT) AS seq,
+  CAST(ntile(4) OVER w AS INT) AS tile,
+  {_floor_round_sql("percent_rank() OVER w", 6)} AS pct_rank,
+  {_floor_round_sql("cume_dist() OVER w", 6)} AS cume,
+  {_floor_round_sql(
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) OVER ("
+    "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "ROWS UNBOUNDED PRECEDING) AS DOUBLE)", 2)} AS running_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("window_panel", _WINDOW_PANEL_SQL)
+def q_window_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-history navigation panel: the lag/lead/
+    row_number/ntile/percent_rank/cume_dist surface plus an exact-decimal
+    running spend, all sharing ONE window sort (O-series coverage beyond
+    the frame-based rolling windows). Ordering is total via the
+    (o_orderdate, o_orderkey) tiebreak."""
+    return an.window_function_panel(
+        load_tables(spark, sf_dir)["orders"],
+        partition="o_custkey",
+        order_cols=["o_orderdate", "o_orderkey"],
+        value="o_totalprice",
+    )
+
+
+from market_flow_spark.functions.aggregates import det_avg_sql  # noqa: E402
+
+_WINSORIZE_SQL = f"""
+WITH b AS (
+  SELECT l_returnflag,
+    {_floor_round_sql("quantile_cont(l_extendedprice, 0.05)", 4)} AS p_low,
+    {_floor_round_sql("quantile_cont(l_extendedprice, 0.95)", 4)} AS p_high
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag, b.p_low, b.p_high,
+  COUNT(*) AS n_rows,
+  COUNT(*) FILTER (WHERE l_extendedprice < b.p_low) AS n_clipped_low,
+  COUNT(*) FILTER (WHERE l_extendedprice > b.p_high) AS n_clipped_high,
+  {det_avg_sql("l_extendedprice", 4)} AS mean_raw,
+  {det_avg_sql(
+    "LEAST(GREATEST(l_extendedprice, b.p_low), b.p_high)", 4)}
+    AS mean_winsorized
+FROM lineitem l JOIN b USING (l_returnflag)
+GROUP BY l.l_returnflag, b.p_low, b.p_high
+"""
+
+
+@register("winsorize_prices", _WINSORIZE_SQL)
+def q_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization summary per return flag: exact p05/p95
+    bounds (det-rounded before the clip compare), clip counts, and the
+    decimal-exact mean before/after. Two-pass: group-sized bounds
+    aggregate, explicitly broadcast back over the fact scan."""
+    return an.winsorize_summary(
+        load_tables(spark, sf_dir)["lineitem"], "l_returnflag", "l_extendedprice"
+    )
+
+
+_TOP_TOKENS_SQL = """
+WITH t AS (
+  SELECT lang,
+    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+),
+c AS (
+  SELECT lang, token, COUNT(*) AS cnt
+  FROM t WHERE token <> '' GROUP BY lang, token
+)
+SELECT lang, token, cnt, rk FROM (
+  SELECT lang, token, cnt,
+    CAST(row_number() OVER (
+      PARTITION BY lang ORDER BY cnt DESC, token) AS BIGINT) AS rk
+  FROM c)
+WHERE rk <= 5
+"""
+
+
+@register("top_tokens_per_lang", _TOP_TOKENS_SQL)
+def q_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary heads (top-5 tokens by total term
+    frequency, ties broken by token): the corpus-health heavy-hitters
+    view. Two-level shape — map-side-combined (lang, token) agg collapses
+    the corpus to vocabulary cardinality before the rank window sorts
+    anything."""
+    return text.top_tokens_per_group(
+        load_tables(spark, sf_dir)["documents"], group="lang", k=5
+    )

@@ -1,0 +1,174 @@
+"""Edge-case tests for the round-4 operators: span-level corpus dedup,
+the window-function panel, winsorization, and per-group heavy hitters.
+(Their oracle parity vs DuckDB is covered for every registered query by
+test_oracle_parity.py; these tests pin the semantics the oracle can't —
+null/empty handling, validation errors, tie-breaks, plan shape.)"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+class TestSpanDedup:
+    def test_exact_chunk_grid(self, spark):
+        from market_flow_spark.extensions.dedup import span_dedup
+
+        # 4-word docs, chunk_words=2 -> chunks [w1 w2], [w3 w4]
+        docs = _docs(
+            spark,
+            [
+                ("a", "dup dup tail one"),
+                ("b", "dup dup tail two"),
+                ("c", "solo text here now"),
+            ],
+        )
+        out = {
+            r.doc_id: r
+            for r in span_dedup(docs, chunk_words=2, min_count=2).collect()
+        }
+        assert out["a"].n_chunks == 2
+        assert out["a"].n_chunks_removed == 1
+        assert out["a"].text_clean == "tail one"
+        assert out["b"].text_clean == "tail two"
+        assert out["c"].n_chunks_removed == 0
+
+    def test_null_empty_and_all_boilerplate_docs(self, spark):
+        from market_flow_spark.extensions.dedup import span_dedup
+
+        docs = _docs(
+            spark,
+            [
+                ("n", None),
+                ("e", "   "),
+                ("x", "same same"),
+                ("y", "same same"),
+            ],
+        )
+        out = {
+            r.doc_id: r
+            for r in span_dedup(docs, chunk_words=2, min_count=2).collect()
+        }
+        # every input doc comes back, even chunk-less / fully-scrubbed ones
+        assert set(out) == {"n", "e", "x", "y"}
+        assert out["n"].n_chunks == 0 and out["n"].text_clean == ""
+        assert out["e"].n_chunks == 0 and out["e"].text_clean == ""
+        assert out["x"].n_chunks == 1 and out["x"].n_chunks_removed == 1
+        assert out["x"].text_clean == ""
+
+    def test_intra_doc_repeat_counts_toward_frequency(self, spark):
+        from market_flow_spark.extensions.dedup import span_dedup
+
+        # the chunk repeats twice WITHIN one doc -> corpus freq 2 -> dropped
+        docs = _docs(spark, [("a", "ab ab ab ab tail word")])
+        row = span_dedup(docs, chunk_words=2, min_count=2).collect()[0]
+        assert row.n_chunks == 3
+        assert row.n_chunks_removed == 2
+        assert row.text_clean == "tail word"
+
+    def test_chunk_words_validation(self, spark):
+        from market_flow_spark.extensions.dedup import doc_span_chunks
+
+        with pytest.raises(ValueError):
+            doc_span_chunks(_docs(spark, [("a", "x")]), chunk_words=0)
+
+    def test_trailing_partial_chunk_kept(self, spark):
+        from market_flow_spark.extensions.dedup import doc_span_chunks
+
+        rows = doc_span_chunks(
+            _docs(spark, [("a", "one two three four five")]), chunk_words=2
+        ).collect()
+        chunks = [r.chunk for r in sorted(rows, key=lambda r: r.idx)]
+        assert chunks == ["one two", "three four", "five"]
+
+
+class TestWindowPanel:
+    def test_navigation_and_running_total(self, spark):
+        from market_flow_spark.operators.analytics import window_function_panel
+
+        df = spark.createDataFrame(
+            [("c1", 1, 10.0), ("c1", 2, 20.0), ("c1", 3, 30.0), ("c2", 4, 5.0)],
+            "cust string, ok int, total double",
+        )
+        out = window_function_panel(
+            df, partition="cust", order_cols=["ok"], value="total"
+        )
+        rows = {(r.cust, r.ok): r for r in out.collect()}
+        r2 = rows[("c1", 2)]
+        assert r2.prev_value == 10.0 and r2.next_value == 30.0
+        assert r2.seq == 2 and r2.running_total == 30.0
+        assert rows[("c1", 3)].next_value is None
+        assert rows[("c2", 4)].seq == 1 and rows[("c2", 4)].pct_rank == 0.0
+        # all seven functions share one window spec -> ONE Window node over
+        # ONE hash-partition exchange (after execution AQE's toString dumps
+        # final + initial plan, so count within the final section only)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("Initial Plan")[0]
+        assert final.count("Window") == 1
+        assert final.count("Exchange hashpartitioning") == 1
+
+
+class TestWinsorize:
+    def test_clip_counts_and_bounds(self, spark):
+        from market_flow_spark.operators.analytics import winsorize_summary
+
+        vals = [float(v) for v in range(1, 101)]  # 1..100 per group
+        df = spark.createDataFrame(
+            [("g", v) for v in vals], "grp string, x double"
+        )
+        row = winsorize_summary(df, "grp", "x", 0.05, 0.95).collect()[0]
+        # exact interpolated p05 of 1..100 = 5.95, p95 = 95.05
+        assert row.p_low == 5.95 and row.p_high == 95.05
+        assert row.n_clipped_low == 5 and row.n_clipped_high == 5
+        assert row.n_rows == 100
+        assert row.mean_raw == 50.5
+        # winsorized mean: clip 1..5 -> 5.95, 96..100 -> 95.05
+        exp = (sum(vals[5:95]) + 5 * 5.95 + 5 * 95.05) / 100
+        assert abs(row.mean_winsorized - exp) < 1e-9
+
+    def test_bounds_join_is_broadcast(self, spark):
+        from market_flow_spark.operators.analytics import winsorize_summary
+
+        df = spark.range(100).select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            F.col("id").cast("double").alias("x"),
+        )
+        plan = (
+            winsorize_summary(df, "g", "x")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+
+class TestTopTokens:
+    def test_ties_break_by_token_and_k_cap(self, spark):
+        from market_flow_spark.extensions.text import top_tokens_per_group
+
+        docs = spark.createDataFrame(
+            [
+                ("en", "b a b a c"),
+                ("en", "a b d"),
+                ("fr", "z z y"),
+                ("fr", None),
+            ],
+            "lang string, text string",
+        )
+        out = top_tokens_per_group(docs, group="lang", k=2).collect()
+        en = sorted(
+            [(r.token, r.cnt, r.rk) for r in out if r.lang == "en"],
+            key=lambda t: t[2],
+        )
+        # a and b both have count 3: tie broken by token ASC
+        assert en == [("a", 3, 1), ("b", 3, 2)]
+        fr = sorted(
+            [(r.token, r.cnt, r.rk) for r in out if r.lang == "fr"],
+            key=lambda t: t[2],
+        )
+        assert fr == [("z", 2, 1), ("y", 1, 2)]
