@@ -341,3 +341,49 @@ def winsorize_summary(
             det_avg(clipped, 4).alias("mean_winsorized"),
         )
     )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket: str,
+    item: str,
+    min_support: int = 2,
+    max_basket_items: int | None = None,
+) -> DataFrame:
+    """Market-basket pair co-occurrence: (item_a, item_b, support) for
+    every unordered item pair appearing together in >= min_support
+    baskets (the candidate-pair stage of frequent-itemset mining).
+
+    NOT a self-join: baskets are collapsed to sorted distinct item sets
+    with ONE map-side-combined aggregate, and pairs are emitted map-side
+    with an indexed higher-order transform (x before y in the sorted
+    array, so each pair emits exactly once). The only other shuffle is the
+    (item_a, item_b) support count, bounded by distinct-pair cardinality
+    with map-side combine. The equivalent basket-keyed self-join would
+    shuffle the item table twice and re-emit every pair through the join.
+
+    Pair emission per basket is C(n,2) — inherently quadratic in basket
+    size, which at scale is a skew problem (one 10^5-item basket emits
+    5·10^9 pairs). ``max_basket_items`` is the guard: baskets larger than
+    the cap are dropped BEFORE expansion (an over-full basket carries
+    little association signal anyway — standard practice in A-Priori
+    implementations). None = exact semantics over all baskets."""
+    sets = df.groupBy(basket).agg(
+        F.array_sort(F.collect_set(item)).alias("__items")
+    )
+    if max_basket_items is not None:
+        sets = sets.filter(F.size("__items") <= int(max_basket_items))
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(__items, (x, i) -> "
+            "transform(slice(__items, i + 2, size(__items)), "
+            "y -> struct(x AS item_a, y AS item_b))))"
+        )
+    ).alias("__p")
+    return (
+        sets.select(pair)
+        .select("__p.item_a", "__p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= int(min_support))
+    )

@@ -1,0 +1,128 @@
+"""Feature-engineering operators for ML/training-data pipelines:
+per-group standardization, min-max scaling, frequency encoding, and
+leave-one-out target encoding.
+
+All four share one scale discipline: statistics are computed with a
+group-cardinality-sized aggregate (map-side combined) and joined back with
+an explicit broadcast — NOT with a window over the fact, which would
+shuffle and sort the entire fact table by the group key. For the typical
+encode case (low-cardinality categorical over a huge fact) the fact never
+shuffles at all. Float math follows the repo contract: sums accumulate in
+DECIMAL (exact, associative) and outputs are det-rounded, so results are
+bit-identical across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from market_flow_spark.functions.aggregates import det_round
+
+_DEC = "decimal(27,6)"
+_DEC2 = "decimal(38,12)"
+
+
+def _sum_stats(value: str) -> list[Column]:
+    """n / Σx / Σx² in exact decimal — the sufficient statistics for mean
+    and sample variance, order-independent under partial aggregation."""
+    x = F.col(value).cast(_DEC)
+    return [
+        F.count(value).alias("__n"),
+        F.sum(x).cast("double").alias("__s1"),
+        F.sum((x * x).cast(_DEC2)).cast("double").alias("__s2"),
+    ]
+
+
+def zscore_normalize(
+    df: DataFrame, group: str, value: str, ndigits: int = 4
+) -> DataFrame:
+    """Append ``<value>_z``: per-group (x - mean) / stddev_samp.
+    Groups with fewer than 2 rows or zero variance get NULL (not a
+    divide-by-zero Inf, not a silent 0). Variance is clamped at 0 before
+    the sqrt to absorb the cancellation dust of Σx² - n·mean²."""
+    stats = df.groupBy(group).agg(*_sum_stats(value))
+    n, s1, s2 = F.col("__n"), F.col("__s1"), F.col("__s2")
+    mean = s1 / n
+    var = F.greatest((s2 - n * mean * mean) / (n - 1), F.lit(0.0))
+    bounds = stats.select(
+        group,
+        F.when(n >= 2, mean).alias("__mean"),
+        F.when(n >= 2, F.sqrt(var)).alias("__std"),
+    )
+    z = F.when(
+        F.col("__std") > 0,
+        det_round((F.col(value) - F.col("__mean")) / F.col("__std"), ndigits),
+    )
+    return (
+        df.join(F.broadcast(bounds), group)
+        .withColumn(f"{value}_z", z)
+        .drop("__mean", "__std")
+    )
+
+
+def minmax_normalize(
+    df: DataFrame, group: str, value: str, ndigits: int = 4
+) -> DataFrame:
+    """Append ``<value>_mm``: per-group (x - min) / (max - min), NULL when
+    the group is constant (max == min) — the caller decides whether
+    constant features become 0, 0.5, or get dropped."""
+    bounds = df.groupBy(group).agg(
+        F.min(value).alias("__lo"), F.max(value).alias("__hi")
+    )
+    span = F.col("__hi") - F.col("__lo")
+    mm = F.when(
+        span > 0, det_round((F.col(value) - F.col("__lo")) / span, ndigits)
+    )
+    return (
+        df.join(F.broadcast(bounds), group)
+        .withColumn(f"{value}_mm", mm)
+        .drop("__lo", "__hi")
+    )
+
+
+def frequency_encode(df: DataFrame, col: str, ndigits: int = 6) -> DataFrame:
+    """Append ``<col>_count`` (category occurrence count) and
+    ``<col>_freq`` (share of all rows): the no-vocabulary categorical
+    encoding that survives unseen-at-train categories. The total rides as
+    a windowless 1-row aggregate crossed in via broadcast — no global
+    window, no second scan of the fact (the category table is re-used for
+    both numerator and denominator)."""
+    counts = df.groupBy(col).agg(F.count(F.lit(1)).alias(f"{col}_count"))
+    total = counts.agg(
+        F.sum(f"{col}_count").cast("double").alias("__total")
+    )
+    enc = counts.crossJoin(F.broadcast(total)).select(
+        col,
+        f"{col}_count",
+        det_round(F.col(f"{col}_count") / F.col("__total"), ndigits).alias(
+            f"{col}_freq"
+        ),
+    )
+    return df.join(F.broadcast(enc), col)
+
+
+def loo_target_encode(
+    df: DataFrame, group: str, target: str, ndigits: int = 4
+) -> DataFrame:
+    """Append ``<group>_te``: leave-one-out target encoding,
+    (Σ_group target - own target) / (n - 1). Excluding the row's own label
+    is what keeps the encoding usable as a training feature without
+    leaking the label; singleton groups get NULL (no peers, no evidence).
+    Same broadcast join-back shape as the normalizers — the fact is
+    scanned once and never shuffled."""
+    stats = df.groupBy(group).agg(
+        F.count(target).alias("__n"),
+        F.sum(F.col(target).cast(_DEC)).cast("double").alias("__s1"),
+    )
+    te = F.when(
+        F.col("__n") >= 2,
+        det_round(
+            (F.col("__s1") - F.col(target)) / (F.col("__n") - 1), ndigits
+        ),
+    )
+    return (
+        df.join(F.broadcast(stats), group)
+        .withColumn(f"{group}_te", te)
+        .drop("__n", "__s1")
+    )

@@ -130,3 +130,49 @@ def range_join_binned(
     joined = l2.join(r2, on=[*on, lb], how="inner")
     within = F.abs(F.col(lt) - F.col(rt)) <= F.lit(tolerance_us)
     return joined.filter(within).drop(lb, lt, rt)
+
+
+def gap_fill_series(
+    df: DataFrame,
+    group: str,
+    period_col: str,
+    value_cols: list[str],
+    step: str = "1 month",
+) -> DataFrame:
+    """Regularize a per-group time series: build each group's full period
+    spine from its own min..max period (``sequence`` with ``step``
+    interval), left-join the observed points, forward-fill the value
+    columns into the gaps, and flag synthesized rows with ``is_gap``.
+
+    The spine is generated FROM the group-bounds aggregate — one
+    group-cardinality-sized agg, then a map-side explode; no driver-side
+    date arithmetic, no cross join against a global calendar (a global
+    spine would manufacture leading/trailing periods a group never had).
+    The fill window shuffles only the spine-joined series, which is
+    (groups x periods)-sized — the regularized output itself — not the
+    source fact. Forward-fill is `last(ignorenulls)` over a
+    rows-unbounded-preceding frame; leading gaps (before a group's first
+    observation) cannot exist because each spine starts at the group's
+    own min period."""
+    bounds = df.groupBy(group).agg(
+        F.min(period_col).alias("__lo"), F.max(period_col).alias("__hi")
+    )
+    spine = bounds.select(
+        group,
+        F.explode(
+            F.expr(f"sequence(__lo, __hi, interval {step})")
+        ).alias(period_col),
+    )
+    joined = spine.join(df, [group, period_col], "left")
+    w = (
+        Window.partitionBy(group)
+        .orderBy(period_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_gap = F.col(value_cols[0]).isNull()
+    filled = [
+        F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols
+    ]
+    return joined.select(
+        group, period_col, *filled, is_gap.alias("is_gap")
+    )

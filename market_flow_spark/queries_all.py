@@ -105,6 +105,15 @@ incremental-MinHash operators, per the round-3 brief):
                        bounds-join machinery)
 - top_tokens_per_lang (per-group heavy hitters -> text_profile covers the
                        scan; top10_products the rank-filter shape)
+- feature_encode_panel (z-score/min-max/LOO-target/frequency encoders;
+                       group-stats broadcast join-back -> group_mean_
+                       impute / mean_impute cover the machinery in-window)
+- basket_pairs        (co-occurrence via map-side pair expansion from
+                       collected item sets -> dedup_word_jaccard covers
+                       the pair-emission + support-count shape)
+- gap_fill_months     (per-group date-spine regularization + ffill ->
+                       ffill_bfill_impute covers the ignorenulls window;
+                       dim_date the calendar-generation machinery)
 All r4 additions are full-oracle-checked in tests/test_oracle_parity.
 """
 

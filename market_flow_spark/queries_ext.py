@@ -2877,3 +2877,161 @@ def q_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.top_tokens_per_group(
         load_tables(spark, sf_dir)["documents"], group="lang", k=5
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions (2): feature encoding, basket co-occurrence, gap fill
+# ---------------------------------------------------------------------------
+
+_FEATURE_PANEL_SQL = f"""
+WITH s AS (
+  SELECT l_returnflag,
+    COUNT(l_extendedprice) AS n,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS s1,
+    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(27,6))
+        * CAST(l_extendedprice AS DECIMAL(27,6)) AS DECIMAL(38,12)))
+      AS DOUBLE) AS s2,
+    MIN(l_extendedprice) AS lo,
+    MAX(l_extendedprice) AS hi,
+    COUNT(l_quantity) AS nq,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sq,
+    COUNT(*) AS cat_count
+  FROM lineitem GROUP BY l_returnflag
+),
+tot AS (SELECT CAST(SUM(cat_count) AS DOUBLE) AS total FROM s)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+  CASE WHEN s.n >= 2
+        AND sqrt(GREATEST((s.s2 - s.n * (s.s1/s.n) * (s.s1/s.n))
+                          / (s.n - 1), 0.0)) > 0
+       THEN {_floor_round_sql(
+         "(l.l_extendedprice - s.s1/s.n) / "
+         "sqrt(GREATEST((s.s2 - s.n * (s.s1/s.n) * (s.s1/s.n))"
+         " / (s.n - 1), 0.0))", 4)}
+  END AS l_extendedprice_z,
+  CASE WHEN s.hi - s.lo > 0
+       THEN {_floor_round_sql(
+         "(l.l_extendedprice - s.lo) / (s.hi - s.lo)", 4)}
+  END AS l_extendedprice_mm,
+  CASE WHEN s.nq >= 2
+       THEN {_floor_round_sql(
+         "(s.sq - l.l_quantity) / (s.nq - 1)", 4)}
+  END AS l_returnflag_te,
+  s.cat_count AS l_returnflag_count,
+  {_floor_round_sql("s.cat_count / tot.total", 6)} AS l_returnflag_freq
+FROM lineitem l JOIN s USING (l_returnflag) CROSS JOIN tot
+"""
+
+
+@register("feature_encode_panel", _FEATURE_PANEL_SQL)
+def q_feature_encode_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-engineering encoders chained over one fact scan:
+    per-group z-score and min-max scaling of the price, leave-one-out
+    target encoding of quantity by return flag, and frequency encoding of
+    the flag itself. Four group-sized stats aggregates broadcast back —
+    the fact is never shuffled."""
+    from market_flow_spark.operators import features as feat
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    df = feat.zscore_normalize(li, "l_returnflag", "l_extendedprice")
+    df = feat.minmax_normalize(df, "l_returnflag", "l_extendedprice")
+    df = feat.loo_target_encode(df, "l_returnflag", "l_quantity")
+    df = feat.frequency_encode(df, "l_returnflag")
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_extendedprice_z",
+        "l_extendedprice_mm",
+        F.col("l_returnflag_te"),
+        "l_returnflag_count",
+        "l_returnflag_freq",
+    )
+
+
+_BASKET_PAIRS_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS it FROM lineitem
+)
+SELECT a.it AS item_a, b.it AS item_b, COUNT(*) AS support
+FROM items a JOIN items b ON a.b = b.b AND a.it < b.it
+GROUP BY a.it, b.it
+HAVING COUNT(*) >= 2
+"""
+
+
+@register("basket_pairs", _BASKET_PAIRS_SQL)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part pairs co-ordered in >= 2 orders. The Spark plan is
+    NOT the oracle's self-join: baskets collapse to sorted item sets in
+    one aggregate and pairs are emitted map-side via an indexed
+    higher-order transform (see ``cooccurrence_pairs``)."""
+    return an.cooccurrence_pairs(
+        load_tables(spark, sf_dir)["lineitem"],
+        basket="l_orderkey",
+        item="l_partkey",
+        min_support=2,
+    )
+
+
+_GAP_FILL_SQL = f"""
+WITH monthly AS (
+  SELECT n_name AS country,
+         make_date(CAST(year(o_orderdate) AS INT),
+                   CAST(month(o_orderdate) AS INT), 1) AS constructed_date,
+         FLOOR((CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+                 / COUNT(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS avg_price
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT country, MIN(constructed_date) AS lo, MAX(constructed_date) AS hi
+  FROM monthly GROUP BY country
+),
+spine AS (
+  SELECT country,
+         CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE)
+           AS constructed_date
+  FROM bounds
+),
+j AS (
+  SELECT s.country, s.constructed_date, m.avg_price
+  FROM spine s LEFT JOIN monthly m USING (country, constructed_date)
+)
+SELECT country, constructed_date,
+  last_value(avg_price IGNORE NULLS) OVER (
+    PARTITION BY country ORDER BY constructed_date
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_price,
+  avg_price IS NULL AS is_gap
+FROM j
+"""
+
+
+@register("gap_fill_months", _GAP_FILL_SQL)
+def q_gap_fill_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularized per-country monthly price series: each country's spine
+    runs from its own first to last observed month, missing months are
+    forward-filled and flagged. The spine explodes from the group-bounds
+    aggregate — no global calendar cross join."""
+    from market_flow_spark.queries import _sales_join
+
+    monthly = (
+        _sales_join(load_tables(spark, sf_dir))
+        .withColumnRenamed("n_name", "country")
+        .withColumn(
+            "constructed_date",
+            F.make_date(F.year("o_orderdate"), F.month("o_orderdate"), F.lit(1)),
+        )
+    )
+    monthly = an.two_level_mean(
+        monthly, "country", "constructed_date", "l_extendedprice"
+    )
+    return temporal.gap_fill_series(
+        monthly,
+        group="country",
+        period_col="constructed_date",
+        value_cols=["avg_price"],
+        step="1 month",
+    )

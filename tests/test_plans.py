@@ -85,6 +85,7 @@ INTENTIONAL_TINY_CROSSJOIN = {
     "unigram_logprob", # one-row vocabulary-total singleton
     "dsir_weights",    # two one-row corpus-total singletons
     "curriculum_stages",  # one-row global-count singleton
+    "feature_encode_panel",  # one-row frequency-denominator singleton
 }
 
 

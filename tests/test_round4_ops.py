@@ -172,3 +172,116 @@ class TestTopTokens:
             key=lambda t: t[2],
         )
         assert fr == [("z", 2, 1), ("y", 1, 2)]
+
+
+class TestFeatureEncoders:
+    def test_zscore_and_minmax(self, spark):
+        from market_flow_spark.operators.features import (
+            minmax_normalize,
+            zscore_normalize,
+        )
+
+        df = spark.createDataFrame(
+            [("g", 1.0), ("g", 2.0), ("g", 3.0), ("solo", 7.0), ("k", 5.0),
+             ("k", 5.0)],
+            "grp string, x double",
+        )
+        z = {
+            (r.grp, r.x): r.x_z
+            for r in zscore_normalize(df, "grp", "x").collect()
+        }
+        assert z[("g", 2.0)] == 0.0 and z[("g", 3.0)] == 1.0
+        assert z[("solo", 7.0)] is None  # n < 2
+        assert z[("k", 5.0)] is None  # zero variance
+        mm = {
+            (r.grp, r.x): r.x_mm
+            for r in minmax_normalize(df, "grp", "x").collect()
+        }
+        assert mm[("g", 1.0)] == 0.0 and mm[("g", 2.0)] == 0.5
+        assert mm[("k", 5.0)] is None  # constant group
+
+    def test_loo_excludes_own_label(self, spark):
+        from market_flow_spark.operators.features import loo_target_encode
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 3.0), ("a", 5.0), ("b", 9.0)],
+            "grp string, y double",
+        )
+        te = {
+            (r.grp, r.y): r.grp_te
+            for r in loo_target_encode(df, "grp", "y").collect()
+        }
+        assert te[("a", 1.0)] == 4.0  # (3+5)/2
+        assert te[("a", 5.0)] == 2.0  # (1+3)/2
+        assert te[("b", 9.0)] is None  # singleton
+
+    def test_frequency_encode_rates_sum_to_one(self, spark):
+        from market_flow_spark.operators.features import frequency_encode
+
+        df = spark.createDataFrame(
+            [("x",), ("x",), ("x",), ("y",)], "cat string"
+        )
+        rows = frequency_encode(df, "cat").collect()
+        by_cat = {r.cat: (r.cat_count, r.cat_freq) for r in rows}
+        assert by_cat["x"] == (3, 0.75) and by_cat["y"] == (1, 0.25)
+
+
+class TestCooccurrence:
+    def test_pairs_and_support(self, spark):
+        from market_flow_spark.operators.analytics import cooccurrence_pairs
+
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (3, "a"),
+             (3, "b"), (1, "a")],  # duplicate line in basket 1
+            "b int, it string",
+        )
+        out = {
+            (r.item_a, r.item_b): r.support
+            for r in cooccurrence_pairs(df, "b", "it", min_support=2).collect()
+        }
+        # (a,b) in baskets 1,2,3; duplicates within a basket count once
+        assert out == {("a", "b"): 3}
+
+    def test_max_basket_cap_drops_oversized(self, spark):
+        from market_flow_spark.operators.analytics import cooccurrence_pairs
+
+        df = spark.createDataFrame(
+            [(1, i) for i in range(10)] + [(2, 0), (2, 1), (3, 0), (3, 1)],
+            "b int, it int",
+        )
+        out = cooccurrence_pairs(
+            df, "b", "it", min_support=2, max_basket_items=5
+        ).collect()
+        # basket 1 (10 items) is dropped; (0,1) still supported by 2 and 3
+        assert [(r.item_a, r.item_b, r.support) for r in out] == [(0, 1, 2)]
+
+
+class TestGapFill:
+    def test_fills_internal_gaps_only(self, spark):
+        import datetime as dt
+
+        from market_flow_spark.operators.temporal import gap_fill_series
+
+        d = dt.date
+        df = spark.createDataFrame(
+            [
+                ("g", d(2024, 1, 1), 10.0),
+                ("g", d(2024, 4, 1), 40.0),  # feb+mar missing
+                ("h", d(2024, 2, 1), 5.0),
+            ],
+            "grp string, month date, v double",
+        )
+        rows = sorted(
+            gap_fill_series(df, "grp", "month", ["v"], "1 month").collect(),
+            key=lambda r: (r.grp, r.month),
+        )
+        g = [(str(r.month), r.v, r.is_gap) for r in rows if r.grp == "g"]
+        assert g == [
+            ("2024-01-01", 10.0, False),
+            ("2024-02-01", 10.0, True),
+            ("2024-03-01", 10.0, True),
+            ("2024-04-01", 40.0, False),
+        ]
+        # single-point group: spine is exactly its own month, no padding
+        h = [(str(r.month), r.v, r.is_gap) for r in rows if r.grp == "h"]
+        assert h == [("2024-02-01", 5.0, False)]
