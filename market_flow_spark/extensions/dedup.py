@@ -470,6 +470,57 @@ def exact_contamination(
     )
 
 
+def exact_contamination_bloomed(
+    corpus: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    prefix_len: int | None = None,
+    n_bits: int | None = None,
+    n_hashes: int | None = None,
+) -> DataFrame:
+    """:func:`exact_contamination` with a Bloom-filter pre-prune of the
+    probe side — identical results (a Bloom filter has no false
+    negatives; the exact fingerprint equi-join still decides every
+    match), but the join only shuffles probe rows whose fingerprint
+    COULD be in the training corpus.
+
+    Why this is the 100 TB shape: the exact join must shuffle both sides
+    on the fingerprint. The Bloom filter over the training corpus's
+    fingerprints is a bounded artifact (n_bits/64 longs — 128 KiB at the
+    default — the same bounded-collect contract as the IVF centroid
+    table), embedded in the probe scan as a literal array, so pruning is
+    map-only: at a realistic ~0.1-1% hit rate, 99%+ of the probe corpus
+    never enters the exchange. Building the filter costs one extra scan
+    of the corpus fingerprints (map-side-combined into ≤ n_bits/64
+    rows), amortized across every probe batch when the words list is
+    reused via :func:`market_flow_spark.extensions.sketches.bloom_build`
+    / ``bloom_words`` directly."""
+    from market_flow_spark.extensions import sketches
+
+    kw = {}
+    if n_bits is not None:
+        kw["n_bits"] = n_bits
+    if n_hashes is not None:
+        kw["n_hashes"] = n_hashes
+    norm = _norm_text(text_col)
+    if prefix_len is not None:
+        norm = F.substring(norm, 1, prefix_len)
+    tr = corpus.select(
+        F.col("doc_id").alias("train_doc_id"), F.md5(norm).alias("fingerprint")
+    )
+    te = probe.select(
+        F.col("doc_id").alias("test_doc_id"), F.md5(norm).alias("fingerprint")
+    )
+    words = sketches.bloom_words(
+        sketches.bloom_build(tr, "fingerprint", **kw),
+        **({"n_bits": n_bits} if n_bits is not None else {}),
+    )
+    te = sketches.bloom_prune(te, "fingerprint", words, **kw)
+    return te.join(tr, "fingerprint").select(
+        "test_doc_id", "train_doc_id", "fingerprint"
+    )
+
+
 def ngram_contamination(
     corpus: DataFrame,
     probe: DataFrame,

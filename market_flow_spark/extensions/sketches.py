@@ -242,3 +242,108 @@ SELECT g AS {group_col},
          AS est_distinct
 FROM kth GROUP BY g
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership sketch — the join-pruning sketch
+# ---------------------------------------------------------------------------
+#
+# KMV answers "how many distinct?"; the Bloom filter answers "could this key
+# possibly be on the other side?" — the question every cross-corpus
+# contamination / incremental-ingest join wants answered BEFORE paying the
+# shuffle. Built relationally: each key sets k = n_hashes bit positions
+# (xxhash64 with distinct seeds — engine-local is fine because the filter
+# only PRUNES; the exact join downstream decides membership, so false
+# positives cost a little work and false negatives cannot happen), positions
+# fold into 64-bit words via bit_or, and the whole filter is a bounded
+# (n_bits/64)-row table — kilobytes to a few MB regardless of corpus size,
+# the same bounded-artifact contract as the IVF centroid table.
+
+BLOOM_BITS = 1 << 20  # 128 KiB of filter for ~1e5-1e6 keys at k=4
+BLOOM_HASHES = 4
+
+
+def _bloom_pos(col: Column, i: int, n_bits: int) -> Column:
+    return F.pmod(F.xxhash64(col, F.lit(i)), F.lit(n_bits))
+
+
+def bloom_build(
+    df: DataFrame,
+    column: str,
+    n_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """(word_idx, word): the Bloom filter over ``df[column]`` as a table of
+    64-bit words — at most ``n_bits/64`` rows. One explode of n_hashes
+    positions per row + one bit_or aggregate whose key domain is bounded by
+    the filter size, so map-side combine reduces each partition to at most
+    n_bits/64 rows before the (tiny) shuffle. NULL keys are skipped (they
+    never join anyway)."""
+    pos_arr = F.array(
+        *[_bloom_pos(F.col(column), i, n_bits) for i in range(n_hashes)]
+    )
+    return (
+        df.filter(F.col(column).isNotNull())
+        .select(F.explode(pos_arr).alias("pos"))
+        .select(
+            F.expr("CAST(pos DIV 64 AS INT)").alias("word_idx"),
+            F.expr("shiftleft(1L, CAST(pmod(pos, 64) AS INT))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+
+def bloom_words(bits: DataFrame, n_bits: int = BLOOM_BITS) -> list[int]:
+    """Collect a built filter into a dense word list (length n_bits/64).
+    Bounded by construction (n_bits/64 longs — 128 KiB at the default), so
+    this is a sanctioned driver collect, mirroring the IVF quantizer's
+    bounded sample; persist the list alongside the corpus and every probe
+    batch reuses it without re-scanning."""
+    n_words = n_bits // 64
+    words = [0] * n_words
+    for r in bits.collect():
+        words[r["word_idx"]] = r["word"]
+    return words
+
+
+def bloom_prune(
+    df: DataFrame,
+    column: str,
+    words: list[int],
+    n_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Rows of ``df`` whose ``column`` value MIGHT be in the filtered set
+    (all ``n_hashes`` bits set) — a pre-filter with zero false negatives,
+    so ``exact_join(bloom_prune(probe), corpus)`` equals
+    ``exact_join(probe, corpus)`` row for row. At 100 TB this is the
+    difference between shuffling the full probe corpus into a
+    contamination join and shuffling only the ~fpp fraction that could
+    match.
+
+    The word array rides in as a BROADCAST single-row DataFrame (not a
+    literal): the filter is stored once per executor and codegen
+    references it as one attribute, so expression size stays constant no
+    matter how large the filter — the probe stays a map-only stage (a
+    broadcast nested-loop join of a 1-row build side)."""
+    spark = df.sparkSession
+    words_df = spark.createDataFrame(
+        [(list(words),)], "__bwords array<bigint>"
+    )
+    out = df.filter(F.col(column).isNotNull()).crossJoin(
+        F.broadcast(words_df)
+    )
+    cond = None
+    for i in range(n_hashes):
+        out = out.withColumn(
+            f"__bp{i}", _bloom_pos(F.col(column), i, n_bits)
+        )
+        test = F.expr(
+            f"(element_at(__bwords, CAST(__bp{i} DIV 64 AS INT) + 1)"
+            f" & shiftleft(1L, CAST(pmod(__bp{i}, 64) AS INT))) != 0"
+        )
+        cond = test if cond is None else cond & test
+    return out.filter(cond).drop(
+        "__bwords", *[f"__bp{i}" for i in range(n_hashes)]
+    )

@@ -468,3 +468,116 @@ def top_tokens_per_group(
         .filter(F.col("rk") <= int(k))
         .select(group, "token", "cnt", F.col("rk").cast("long").alias("rk"))
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k adjacent-word collocations by pointwise mutual information —
+    the classic corpus-analysis op (Church & Hanks 1990) that surfaces
+    multiword expressions ("new york", "machine learning") for tokenizer
+    vocabulary curation and boilerplate discovery.
+
+    PMI(x, y) = ln( p(xy) / (p(x)·p(y)) ) with p(xy) from adjacent-bigram
+    occurrence counts and p(·) from token occurrence counts; pairs seen
+    fewer than ``min_count`` times are dropped (PMI is noise-dominated on
+    rare pairs).
+
+    Plan shape at 100 TB: ONE tokenize pass feeding two map-side-combined
+    occurrence aggregates (unigram, bigram — both vocabulary-bounded), the
+    bigram table joins the unigram counts twice (vocab-sized sides; AQE
+    broadcasts when they fit), totals ride in as one-row broadcasts, and
+    top-k plans as TakeOrdered. No self-joins, no driver state. The ln is
+    applied once per surviving pair to exact integer counts, so results
+    are bit-stable under any partitioning (ties broken by the pair
+    itself)."""
+    norm = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    toked = spread_to_cores(docs).select(
+        F.filter(F.split(norm, r"\s+"), lambda x: x != "").alias("toks")
+    )
+    uni = (
+        toked.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi_pairs = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN "
+        "transform(sequence(0, size(toks)-2), "
+        "i -> struct(toks[i] AS w1, toks[i+1] AS w2)) "
+        "ELSE cast(array() as array<struct<w1:string,w2:string>>) END"
+    )
+    bi = (
+        toked.select(F.explode(bi_pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .filter(F.col("c_pair") >= int(min_count))
+    )
+    t_uni = uni.agg(F.sum("c").alias("t_uni"))
+    t_bi = (
+        toked.select(
+            F.greatest(F.size("toks") - 1, F.lit(0)).alias("nb")
+        ).agg(F.sum("nb").alias("t_bi"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log(
+        (F.col("c_pair") / F.col("t_bi"))
+        / ((F.col("c1") / F.col("t_uni")) * (F.col("c2") / F.col("t_uni")))
+    )
+    return (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(t_uni))
+        .crossJoin(F.broadcast(t_bi))
+        .select(
+            "w1",
+            "w2",
+            "c_pair",
+            det_round(pmi, 4).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(k)
+    )
+
+
+def pmi_collocations_oracle_sql(min_count: int = 5, k: int = 50) -> str:
+    """DuckDB twin of :func:`pmi_collocations` over the `documents` view."""
+    return f"""
+WITH base AS (
+  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+uni AS (
+  SELECT w, COUNT(*) AS c FROM (SELECT unnest(toks) AS w FROM base) GROUP BY w
+),
+bi AS (
+  SELECT w1, w2, COUNT(*) AS c_pair FROM (
+    SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+             list_transform(range(1, len(toks)),
+                            i -> {{'w1': toks[i], 'w2': toks[i+1]}})
+           ELSE [] END, recursive := true)
+    FROM base)
+  GROUP BY w1, w2
+  HAVING COUNT(*) >= {min_count}
+),
+t_uni AS (SELECT SUM(c) AS t_uni FROM uni),
+t_bi AS (
+  SELECT SUM(CASE WHEN len(toks) >= 1 THEN len(toks) - 1 ELSE 0 END) AS t_bi
+  FROM base
+)
+SELECT b.w1, b.w2, b.c_pair,
+       FLOOR(ln((b.c_pair / t_bi.t_bi)
+                / ((u1.c / t_uni.t_uni) * (u2.c / t_uni.t_uni)))
+             * 10000 + 0.5) / 10000 AS pmi
+FROM bi b
+JOIN uni u1 ON u1.w = b.w1
+JOIN uni u2 ON u2.w = b.w2
+CROSS JOIN t_uni CROSS JOIN t_bi
+ORDER BY pmi DESC, b.w1 ASC, b.w2 ASC
+LIMIT {k}
+"""

@@ -387,3 +387,53 @@ def cooccurrence_pairs(
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= int(min_support))
     )
+
+
+def corr_regression_panel(
+    df: DataFrame, group: str, x: str, y: str
+) -> DataFrame:
+    """Per-group Pearson correlation + OLS slope/intercept of y on x,
+    computed from EXACT decimal moment sums (n, Σx, Σy, Σxy, Σx², Σy²)
+    rather than Spark's streaming corr/covar aggregates: decimal addition
+    is associative, so the panel is bit-stable under any partitioning and
+    reproducible in any engine — a floating corr() merge is neither. The
+    floating-point ops (one sqrt, three divisions) happen once per GROUP
+    on the final exact sums, then round to 6 digits.
+
+    Shape at 100 TB: one scan, one map-side-combined groupBy on the group
+    key — the same single-aggregate plan as any sum panel. Degenerate
+    groups (zero variance in x or y) return NULL corr/slope rather than
+    dividing by zero."""
+    # products of two decimal(12,2) inputs stay exact in decimal(30,4);
+    # sums get 38-digit headroom
+    xd = F.col(x).cast("decimal(18,4)")
+    yd = F.col(y).cast("decimal(18,4)")
+    g = df.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).cast("decimal(38,4)").alias("sx"),
+        F.sum(yd).cast("decimal(38,4)").alias("sy"),
+        F.sum((xd * yd).cast("decimal(38,8)")).alias("sxy"),
+        F.sum((xd * xd).cast("decimal(38,8)")).alias("sxx"),
+        F.sum((yd * yd).cast("decimal(38,8)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy  # n² · covariance
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    corr = F.when(
+        (varx_n > 0) & (vary_n > 0), cov_n / F.sqrt(varx_n * vary_n)
+    )
+    slope = F.when(varx_n > 0, cov_n / varx_n)
+    intercept = F.when(varx_n > 0, (sy - (cov_n / varx_n) * sx) / n)
+    return g.select(
+        group,
+        "n",
+        det_round(corr, 6).alias("corr_xy"),
+        det_round(slope, 6).alias("slope"),
+        det_round(intercept, 6).alias("intercept"),
+    )

@@ -114,6 +114,14 @@ incremental-MinHash operators, per the round-3 brief):
 - gap_fill_months     (per-group date-spine regularization + ffill ->
                        ffill_bfill_impute covers the ignorenulls window;
                        dim_date the calendar-generation machinery)
+- contamination_exact_bloomed (Bloom-pruned twin of contamination_exact —
+                       identical oracle by construction, zero false
+                       negatives; the fingerprint-join shape is in-window
+                       via dedup_exact)
+- pmi_collocations    (vocabulary-bounded count aggregates + top-k ->
+                       text_profile / top10_products cover the machinery)
+- corr_quantity_price (exact decimal moment sums + per-group fit ->
+                       sales_agg_profile covers the grouped-agg shape)
 All r4 additions are full-oracle-checked in tests/test_oracle_parity.
 """
 

@@ -3035,3 +3035,111 @@ def q_gap_fill_months(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["avg_price"],
         step="1 month",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: bloom-pruned contamination, PMI collocations,
+# exact-moment correlation panel
+# ---------------------------------------------------------------------------
+
+# Oracle is IDENTICAL to contamination_exact: the Bloom pre-prune has no
+# false negatives, so the bloomed plan must reproduce the exact join's
+# result row for row — which makes the scale optimization itself
+# driver-checkable.
+@register(
+    "contamination_exact_bloomed",
+    f"""
+WITH n AS (
+  SELECT doc_id,
+         md5(substring(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+             1, 80)) AS fingerprint
+  FROM documents
+),
+tr AS (SELECT doc_id AS train_doc_id, fingerprint FROM n WHERE {_CONTAM_SPLIT[0]}),
+te AS (SELECT doc_id AS test_doc_id, fingerprint FROM n WHERE {_CONTAM_SPLIT[1]})
+SELECT te.test_doc_id, tr.train_doc_id, fingerprint FROM te JOIN tr USING (fingerprint)
+""",
+)
+def q_contamination_exact_bloomed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact contamination with the Bloom-filter probe prune: the training
+    corpus's fingerprints fold into a 128 KiB bit table (bounded collect,
+    same contract as the IVF centroid sample) embedded in the probe scan,
+    so only could-match probe rows enter the equi-join's shuffle. Result
+    equals contamination_exact by construction (zero false negatives);
+    past-window — the full oracle runs in pytest."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return dedup.exact_contamination_bloomed(
+        docs.filter(F.expr(_CONTAM_SPLIT[0])),
+        docs.filter(F.expr(_CONTAM_SPLIT[1])),
+        prefix_len=80,
+    )
+
+
+@register("pmi_collocations", text.pmi_collocations_oracle_sql(min_count=5, k=50))
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-word collocations by PMI (pairs seen >= 5 times):
+    one tokenize pass, vocabulary-bounded aggregates, TakeOrdered top-k.
+    Past-window — the explode/agg machinery is in-window via text_profile
+    and dedup_word_jaccard; full oracle in pytest."""
+    return text.pmi_collocations(
+        load_tables(spark, sf_dir)["documents"], min_count=5, k=50
+    )
+
+
+@register(
+    "corr_quantity_price",
+    """
+WITH g AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DECIMAL(38,4)) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DECIMAL(38,4)) AS sy,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(19,4))
+                  * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8)))
+           AS sxy,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(19,4))
+                  * CAST(l_quantity AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS sxx,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,4))
+                  * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8)))
+           AS syy
+  FROM lineitem GROUP BY l_returnflag
+),
+d AS (
+  SELECT l_returnflag, n,
+         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+         CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+         CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+  FROM g
+),
+m AS (
+  SELECT l_returnflag, n,
+         nd * sxyd - sxd * syd AS cov_n,
+         nd * sxxd - sxd * sxd AS varx_n,
+         nd * syyd - syd * syd AS vary_n,
+         sxd, syd, nd
+  FROM d
+)
+SELECT l_returnflag, n,
+  CASE WHEN varx_n > 0 AND vary_n > 0 THEN
+    FLOOR((cov_n / sqrt(varx_n * vary_n)) * 1000000 + 0.5) / 1000000 END
+    AS corr_xy,
+  CASE WHEN varx_n > 0 THEN
+    FLOOR((cov_n / varx_n) * 1000000 + 0.5) / 1000000 END AS slope,
+  CASE WHEN varx_n > 0 THEN
+    FLOOR(((syd - (cov_n / varx_n) * sxd) / nd) * 1000000 + 0.5) / 1000000 END
+    AS intercept
+FROM m
+""",
+)
+def q_corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Pearson correlation + OLS fit of extendedprice on
+    quantity from exact decimal moment sums — associativity-safe where a
+    floating corr() merge is not. One map-side-combined aggregate. Past-
+    window: the grouped-aggregate machinery is in-window via
+    sales_agg_profile; full oracle in pytest."""
+    return an.corr_regression_panel(
+        load_tables(spark, sf_dir)["lineitem"],
+        group="l_returnflag",
+        x="l_quantity",
+        y="l_extendedprice",
+    )

@@ -86,6 +86,8 @@ INTENTIONAL_TINY_CROSSJOIN = {
     "dsir_weights",    # two one-row corpus-total singletons
     "curriculum_stages",  # one-row global-count singleton
     "feature_encode_panel",  # one-row frequency-denominator singleton
+    "contamination_exact_bloomed",  # one-row bloom-word-array broadcast
+    "pmi_collocations",  # two one-row token/bigram-total singletons
 }
 
 
