@@ -122,6 +122,10 @@ incremental-MinHash operators, per the round-3 brief):
                        text_profile / top10_products cover the machinery)
 - corr_quantity_price (exact decimal moment sums + per-group fit ->
                        sales_agg_profile covers the grouped-agg shape)
+- view_click_attribution (keyed interval join, batch twin of the
+                       watermarked stream-stream join -> asof_last_view /
+                       range_join_nearby cover the temporal-join family;
+                       streaming parity in tests/test_streaming.py)
 All r4 additions are full-oracle-checked in tests/test_oracle_parity.
 """
 

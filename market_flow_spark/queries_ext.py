@@ -3143,3 +3143,36 @@ def q_corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         x="l_quantity",
         y="l_extendedprice",
     )
+
+
+@register(
+    "view_click_attribution",
+    """
+WITH v AS (
+  SELECT user_id, ts AS view_ts, event_id AS view_event_id
+  FROM events WHERE event_type = 'view'
+),
+c AS (
+  SELECT user_id, ts AS click_ts, event_id AS click_event_id,
+         value AS click_value
+  FROM events WHERE event_type = 'click'
+)
+SELECT v.user_id, v.view_ts, c.click_ts, v.view_event_id,
+       c.click_event_id, c.click_value
+FROM v JOIN c
+  ON v.user_id = c.user_id
+ AND c.click_ts >= v.view_ts
+ AND c.click_ts <= v.view_ts + INTERVAL 1 HOUR
+""",
+)
+def q_view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed interval join (ALL view→click pairs within the hour) — the
+    batch twin of the watermarked stream-stream attribution join
+    (streaming parity in tests/test_streaming.py). Past-window: the keyed
+    temporal-join family is in-window via asof_last_view and
+    range_join_nearby; full oracle in pytest."""
+    from market_flow_spark.streaming import joins as J
+
+    return J.view_click_attribution(
+        load_tables(spark, sf_dir)["events"], max_delay="1 hour"
+    )

@@ -92,14 +92,19 @@ def stream_events(
     at-most-once-pickup guarantee a landing directory needs.
 
     Watermarks require TIMESTAMP (not TIMESTAMP_NTZ) event time; with the
-    session timezone pinned to UTC the cast is value-preserving."""
+    session timezone pinned to UTC the cast is value-preserving.
+    ``watermark=None`` skips the watermark — for consumers that define
+    their own on a derived column (e.g. the stream-stream interval join,
+    where each side watermarks its renamed timestamp and a second
+    definition in the lineage is disallowed)."""
     reader = spark.readStream.schema(schema)
     if archive_dir is not None:
         reader = reader.option("cleanSource", "archive").option(
             "sourceArchiveDir", archive_dir
         )
-    return (
-        reader.parquet(source_dir)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-        .withWatermark("ts", watermark)
+    out = reader.parquet(source_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
     )
+    if watermark is not None:
+        out = out.withWatermark("ts", watermark)
+    return out

@@ -83,3 +83,66 @@ def test_stream_tumbling_matches_batch(spark, sf_dir, tmp_path):
     assert streamed == batch
     assert len(batch) > 0
     shutil.rmtree(landing, ignore_errors=True)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream interval join (view→clicks within 1h)
+    produces exactly the batch twin's pairs once all data is processed."""
+    from pyspark.sql import functions as F
+
+    from market_flow_spark.streaming.joins import (
+        interval_join,
+        view_click_attribution,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    landing = str(tmp_path / "landing_ssj")
+    events.write.parquet(landing)
+    schema = events.schema.simpleString().replace("struct<", "").rstrip(">").replace(
+        ":", " "
+    )
+    # two independent readers over the same landing dir: each side of a
+    # stream-stream join needs its OWN watermark column, and defining two
+    # watermarks over one shared source node is disallowed
+    stream_v = stream_events(spark, landing, schema=schema, watermark=None)
+    stream_c = stream_events(spark, landing, schema=schema, watermark=None)
+    views = (
+        stream_v.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_event_id"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    clicks = (
+        stream_c.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_event_id"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    joined = interval_join(
+        views, clicks, key="user_id", left_ts="view_ts",
+        right_ts="click_ts", max_delay="1 hour",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = sorted(
+        (r.view_event_id, r.click_event_id)
+        for r in spark.sql("SELECT * FROM ssj_test").collect()
+    )
+    batch = sorted(
+        (r.view_event_id, r.click_event_id)
+        for r in view_click_attribution(events, "1 hour").collect()
+    )
+    assert streamed == batch and len(batch) > 0
