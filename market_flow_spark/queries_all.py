@@ -126,6 +126,9 @@ incremental-MinHash operators, per the round-3 brief):
                        watermarked stream-stream join -> asof_last_view /
                        range_join_nearby cover the temporal-join family;
                        streaming parity in tests/test_streaming.py)
+- pagerank_part_supplier (fixed-point iterative rank; per-round join+agg
+                       -> dedup_clusters_minhash covers the checkpointed
+                       iterative machinery; unrolled-CTE oracle in pytest)
 All r4 additions are full-oracle-checked in tests/test_oracle_parity.
 """
 

@@ -3176,3 +3176,38 @@ def q_view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return J.view_click_attribution(
         load_tables(spark, sf_dir)["events"], max_delay="1 hour"
     )
+
+
+_PR_EDGES_SQL = """
+SELECT l_partkey AS src, l_suppkey + 10000000 AS dst FROM lineitem
+UNION
+SELECT l_suppkey + 10000000 AS src, l_partkey AS dst FROM lineitem
+"""
+
+
+@register(
+    "pagerank_part_supplier",
+    __import__(
+        "market_flow_spark.operators.graph", fromlist=["pagerank_oracle_sql"]
+    ).pagerank_oracle_sql(_PR_EDGES_SQL, n_iter=8),
+)
+def q_pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetrized part↔supplier co-occurrence graph
+    (8 fixed-point rounds): the iterative-graph companion to the
+    connected-components tier — rank concentration surfaces hub suppliers
+    / hot parts. Symmetrizing makes the bipartite graph dangling-free, so
+    the no-redistribution formulation conserves interpretation. Past-
+    window: per-round join+agg machinery is in-window via
+    dedup-cluster-adjacent shapes; full oracle (unrolled CTE chain) in
+    pytest."""
+    from market_flow_spark.operators import graph
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    pairs = li.select(
+        F.col("l_partkey").alias("p"),
+        (F.col("l_suppkey") + F.lit(10_000_000)).alias("s"),
+    ).distinct()
+    edges = pairs.select(F.col("p").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+    )
+    return graph.pagerank(edges, n_iter=8)
