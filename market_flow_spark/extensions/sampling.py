@@ -230,3 +230,87 @@ SELECT {cols}, mix_u, mix_rate
 FROM rated
 WHERE mix_u < mix_rate * {float(16**8)}
 """
+
+
+def assign_kfold(
+    df: DataFrame,
+    key_col: str,
+    k: int = 5,
+    salt: str = "kfold",
+    out_col: str = "fold",
+) -> DataFrame:
+    """Tag each row with a fold id in [0, k) as a pure function of its key
+    — content-addressed cross-validation folds with the same append-
+    stability guarantee as :func:`assign_split` (new rows never move old
+    rows between folds; every (train, holdout) rotation is reproducible
+    from the data alone). One map-only projection."""
+    bucket = F.conv(hash_bucket(F.col(key_col), salt), 16, 10).cast("bigint")
+    return df.withColumn(
+        out_col, F.pmod(bucket, F.lit(int(k))).cast("int")
+    )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the ``n`` rows
+    per group with the largest exponential keys u^(1/w) — Efraimidis-
+    Spirakis A-Res, with the uniform u drawn content-addressed from the
+    row key (md5), so the sample is a pure function of the data. Rows
+    with NULL or non-positive weight are excluded (zero mass).
+
+    Ranks order by ln(u)/w DESCENDING (monotone in u^(1/w), numerically
+    safer), ties broken by the key for a total order. One window shuffle
+    on the group key; for a group holding half the corpus compose with
+    the two-level subsplit trick of ``cap_per_group`` — at the usual
+    "n per domain" scale the plain window is the right plan."""
+    u = (
+        F.conv(hash_bucket(F.col(key_col), salt), 16, 10).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(HEX_SPACE))  # uniform in (0, 1]
+    es_key = F.log(u) / F.col(weight_col).cast("double")
+    filtered = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("__es", es_key)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__es").desc(), F.col(key_col).asc()
+    )
+    return (
+        filtered.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(n))
+        .drop("__es", "__rn")
+    )
+
+
+def weighted_sample_oracle_sql(
+    table: str,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "wsample",
+) -> str:
+    """DuckDB twin of :func:`weighted_sample_per_group` (same md5 uniform,
+    same ln(u)/w ranking)."""
+    u = (
+        f"((CAST(('0x' || substr(md5('{salt}:' || CAST({key_col} AS VARCHAR)),"
+        f" 1, 8)) AS UBIGINT) + 1.0) / {float(16**8)})"
+    )
+    return f"""
+WITH s AS (
+  SELECT *, ln({u}) / CAST({weight_col} AS DOUBLE) AS es
+  FROM {table}
+  WHERE {weight_col} IS NOT NULL AND {weight_col} > 0
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY {group_col} ORDER BY es DESC, {key_col} ASC) AS rn
+  FROM s
+)
+SELECT * EXCLUDE (es, rn) FROM r WHERE rn <= {n}
+"""

@@ -916,3 +916,61 @@ def embedding_neardup_pairs_ivf(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def mmr_select(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    lambda_: float = 0.7,
+) -> list[int]:
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein 1998):
+    greedily pick ``k`` vectors maximizing
+    ``lambda * cos(d, q) - (1 - lambda) * max over selected s of cos(d, s)``
+    — the diversity-aware top-k an eval-set or few-shot-pool builder wants
+    (plain top-k returns k near-duplicates of the best hit).
+
+    MMR is INHERENTLY sequential (pick i+1 depends on picks 1..i), so this
+    is a driver loop of exactly ``k`` bounded actions — each round ONE
+    corpus scan: relevance and the already-selected vectors (at most k-1,
+    kilobytes) are recomputed JVM-side with the selected set inlined as a
+    literal array-of-arrays, and the argmax plans as TakeOrdered(1). No
+    corpus data ever sits on the driver; ties break by vec_id so the
+    selection is deterministic. Cost: k scans — the right trade at
+    eval-pool scale (k in the tens); for k in the thousands use
+    clustering (``train_ivf_centroids``) instead."""
+    q = F.lit([float(x) for x in query_vec])
+    norm = F.sqrt(_norm_sq(F.col("embedding")))
+    rel = _dot(F.col("embedding"), q) / (
+        norm * F.lit(float(sum(x * x for x in query_vec)) ** 0.5)
+    )
+    base = embeddings.select(
+        "vec_id", "embedding", norm.alias("nrm"), rel.alias("rel")
+    )
+    selected: list[int] = []
+    sel_vecs: list[list[float]] = []
+    for _ in range(k):
+        cand = base.filter(~F.col("vec_id").isin(selected)) if selected else base
+        if sel_vecs:
+            sims = [
+                _dot(F.col("embedding"), F.lit(v))
+                / (F.col("nrm") * F.lit(float(sum(x * x for x in v)) ** 0.5))
+                for v in sel_vecs
+            ]
+            max_sim = sims[0]
+            for s in sims[1:]:
+                max_sim = F.greatest(max_sim, s)
+            score = F.lit(lambda_) * F.col("rel") - F.lit(1 - lambda_) * max_sim
+        else:
+            score = F.col("rel")
+        top = (
+            cand.select("vec_id", "embedding", score.alias("score"))
+            .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        selected.append(top[0]["vec_id"])
+        sel_vecs.append([float(x) for x in top[0]["embedding"]])
+    return selected

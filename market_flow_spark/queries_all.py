@@ -129,6 +129,10 @@ incremental-MinHash operators, per the round-3 brief):
 - pagerank_part_supplier (fixed-point iterative rank; per-round join+agg
                        -> dedup_clusters_minhash covers the checkpointed
                        iterative machinery; unrolled-CTE oracle in pytest)
+- kfold_orders        (content-addressed fold assignment ->
+                       train_test_split covers the hash-draw machinery)
+- weighted_sample_docs (A-Res weighted draw -> quota_cap covers the
+                       per-group window-rank machinery)
 All r4 additions are full-oracle-checked in tests/test_oracle_parity.
 """
 

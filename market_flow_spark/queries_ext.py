@@ -3211,3 +3211,64 @@ def q_pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("s").alias("src"), F.col("p").alias("dst"))
     )
     return graph.pagerank(edges, n_iter=8)
+
+
+@register(
+    "kfold_orders",
+    """
+SELECT CAST(CAST(('0x' || substring(md5('kfold:' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+            AS UBIGINT) % 5 AS INT) AS fold,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders
+GROUP BY 1
+""",
+)
+def q_kfold_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed 5-fold assignment over orders, summarized as
+    per-fold row / customer counts (balance check). Append-stable: a new
+    order never moves an old one between folds. Past-window: the
+    hash-draw machinery is in-window via train_test_split; full oracle in
+    pytest."""
+    from market_flow_spark.extensions import sampling
+
+    folded = sampling.assign_kfold(
+        load_tables(spark, sf_dir)["orders"], "o_orderkey", k=5
+    )
+    return folded.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@register(
+    "weighted_sample_docs",
+    """
+WITH s AS (
+  SELECT doc_id, lang, n_chars,
+         ln((CAST(('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)),
+              1, 8)) AS UBIGINT) + 1.0) / 4294967296.0)
+           / CAST(n_chars AS DOUBLE) AS es
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+r AS (
+  SELECT doc_id, lang, n_chars, ROW_NUMBER() OVER (
+    PARTITION BY lang ORDER BY es DESC, doc_id ASC) AS rn
+  FROM s
+)
+SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20
+""",
+)
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement: 20 docs
+    per language, inclusion probability proportional to length — the
+    deterministic 'sample long documents preferentially' draw a mixture
+    builder runs. Past-window: the window-rank machinery is in-window via
+    quota_cap; full oracle in pytest."""
+    from market_flow_spark.extensions import sampling
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return sampling.weighted_sample_per_group(
+        docs, group_col="lang", key_col="doc_id", weight_col="n_chars", n=20
+    ).select("doc_id", "lang", "n_chars")

@@ -93,3 +93,53 @@ def test_pmi_favors_exclusive_pairs(spark):
     assert (top["w1"], top["w2"]) == ("san", "francisco")
     # every surviving pair respects min_count
     assert all(r["c_pair"] >= 5 for r in rows)
+
+
+def test_kfold_partitions_and_is_stable(spark, tables):
+    from market_flow_spark.extensions.sampling import assign_kfold
+
+    orders = tables["orders"]
+    folded = assign_kfold(orders, "o_orderkey", k=5)
+    counts = {r["fold"]: r["n"] for r in folded.groupBy("fold").count().withColumnRenamed("count", "n").collect()}
+    assert set(counts) == {0, 1, 2, 3, 4}
+    total = orders.count()
+    assert sum(counts.values()) == total
+    # roughly balanced (within 3x of each other on the small SF)
+    assert max(counts.values()) < 3 * min(counts.values())
+    # append-stability: folding a subset gives the same fold per key
+    sub = assign_kfold(orders.limit(50), "o_orderkey", k=5)
+    joined = sub.select("o_orderkey", "fold").join(
+        folded.select("o_orderkey", F.col("fold").alias("fold_full")),
+        "o_orderkey",
+    )
+    assert joined.filter(F.col("fold") != F.col("fold_full")).count() == 0
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """With weights 1000 vs 1, the heavy rows should dominate the sample."""
+    from market_flow_spark.extensions.sampling import weighted_sample_per_group
+
+    rows = [("g", i, 1000.0 if i < 50 else 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "grp string, id bigint, w double")
+    out = weighted_sample_per_group(df, "grp", "id", "w", n=30)
+    got = [r["id"] for r in out.collect()]
+    assert len(got) == 30
+    heavy = sum(1 for i in got if i < 50)
+    assert heavy >= 25  # heavy rows are 50/500 of the pool but ~all of the mass
+
+
+def test_mmr_selects_relevant_but_diverse(spark):
+    """Three near-identical top-relevance vectors: plain top-3 takes all
+    three; MMR takes one of them plus the two diverse directions."""
+    from market_flow_spark.extensions.similarity import mmr_select
+
+    rows = [
+        (0, [0.9, 0.3, 0.0]),    # relevant
+        (1, [0.9, 0.301, 0.0]),  # near-duplicate of 0 (mutual cos ~1)
+        (2, [0.9, -0.3, 0.0]),   # equally relevant, diverse from 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    picked = mmr_select(df, [1.0, 0.0, 0.0], k=2, lambda_=0.5)
+    assert picked[0] == 0  # most relevant (ties broken by vec_id)
+    # plain top-2 would take the near-dup 1; MMR must take the diverse 2
+    assert picked == [0, 2]
