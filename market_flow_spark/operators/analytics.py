@@ -437,3 +437,43 @@ def corr_regression_panel(
         det_round(slope, 6).alias("slope"),
         det_round(intercept, 6).alias("intercept"),
     )
+
+
+def profile_columns(
+    df: DataFrame, columns: list[str] | None = None, exact: bool = False
+) -> DataFrame:
+    """Long-format column profile — (column, n_nulls, n_distinct,
+    min_value, max_value), one row per profiled column — the
+    dataset-viewer panel as ONE scan: every per-column statistic is an
+    aggregate over the same pass, and the single result row unpivots
+    lazily via inline(array(structs)) (no collect, no per-column scan).
+
+    ``exact=False`` (default, the 100 TB path) uses HLL++
+    ``approx_count_distinct`` — single-pass, mergeable, ±~2%;
+    ``exact=True`` uses COUNT(DISTINCT), which Catalyst expands into one
+    extra shuffle per distinct column — the oracle-checkable mode the
+    registered query runs at test scale. min/max are cast to string
+    AFTER aggregating so the schema is column-type-agnostic."""
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"__n_{c}"))
+        aggs.append(
+            (F.countDistinct(c) if exact else F.approx_count_distinct(c)).alias(
+                f"__d_{c}"
+            )
+        )
+        aggs.append(F.min(c).cast("string").alias(f"__mn_{c}"))
+        aggs.append(F.max(c).cast("string").alias(f"__mx_{c}"))
+    row = df.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"__n_{c}").alias("n_nulls"),
+            F.col(f"__d_{c}").alias("n_distinct"),
+            F.col(f"__mn_{c}").alias("min_value"),
+            F.col(f"__mx_{c}").alias("max_value"),
+        )
+        for c in cols
+    ]
+    return row.select(F.inline(F.array(*entries)))

@@ -98,3 +98,43 @@ def run_star_schema_checks(tables: dict[str, DataFrame]) -> list[CheckResult]:
         ),
     ]
     return results
+
+
+def run_checks_fused(
+    df: DataFrame,
+    not_null: list[str] | None = None,
+    accepted_values: dict[str, list] | None = None,
+    positive: list[str] | None = None,
+    table: str = "",
+) -> list[CheckResult]:
+    """All scan-local checks (not_null / accepted_values / positive) in ONE
+    aggregate over ONE scan — at 100 TB the difference between a quality
+    gate that costs one pass and one that costs one pass per declared
+    check. unique/relationship stay separate (they need a shuffle/join by
+    nature)."""
+    aggs = []
+    labels: list[tuple[str, str]] = []
+    for c in not_null or []:
+        aggs.append(F.sum(F.col(c).isNull().cast("bigint")))
+        labels.append(("not_null", c))
+    for c, vals in (accepted_values or {}).items():
+        aggs.append(
+            F.sum(
+                (F.col(c).isNotNull() & ~F.col(c).isin(vals)).cast("bigint")
+            )
+        )
+        labels.append(("accepted_values", c))
+    for c in positive or []:
+        aggs.append(
+            F.sum(
+                (F.col(c).isNotNull() & (F.col(c) <= 0)).cast("bigint")
+            )
+        )
+        labels.append(("positive", c))
+    if not aggs:
+        return []
+    row = df.agg(*[a.alias(f"v{i}") for i, a in enumerate(aggs)]).collect()[0]
+    return [
+        CheckResult(check, table, col, int(row[f"v{i}"] or 0))
+        for i, (check, col) in enumerate(labels)
+    ]

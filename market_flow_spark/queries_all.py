@@ -133,6 +133,8 @@ incremental-MinHash operators, per the round-3 brief):
                        train_test_split covers the hash-draw machinery)
 - weighted_sample_docs (A-Res weighted draw -> quota_cap covers the
                        per-group window-rank machinery)
+- profile_orders      (one-scan fused column profile -> table_audit
+                       covers the fused-aggregate machinery in-window)
 All r4 additions are full-oracle-checked in tests/test_oracle_parity.
 """
 

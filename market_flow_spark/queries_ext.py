@@ -3272,3 +3272,36 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.weighted_sample_per_group(
         docs, group_col="lang", key_col="doc_id", weight_col="n_chars", n=20
     ).select("doc_id", "lang", "n_chars")
+
+
+def _profile_oracle(cols: list[str]) -> str:
+    legs = ",\n  ".join(
+        f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_{c},\n"
+        f"  COUNT(DISTINCT {c}) AS d_{c},\n"
+        f"  CAST(MIN({c}) AS VARCHAR) AS mn_{c},\n"
+        f"  CAST(MAX({c}) AS VARCHAR) AS mx_{c}"
+        for c in cols
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column, n_{c} AS n_nulls, d_{c} AS n_distinct,"
+        f" mn_{c} AS min_value, mx_{c} AS max_value FROM g"
+        for c in cols
+    )
+    return f"WITH g AS (\n  SELECT {legs}\n  FROM orders\n)\n{unions}"
+
+
+@register(
+    "profile_orders",
+    _profile_oracle(["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"]),
+)
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan column profile of orders (nulls / exact distinct / min /
+    max per column, lazily unpivoted). Past-window: the fused-aggregate
+    machinery is in-window via table_audit; full oracle in pytest. The
+    approx (HLL++) mode is the 100 TB default and is tolerance-tested in
+    pytest instead (engine-specific registers, no oracle)."""
+    return an.profile_columns(
+        load_tables(spark, sf_dir)["orders"],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"],
+        exact=True,
+    )

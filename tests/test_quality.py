@@ -62,3 +62,42 @@ def test_pipeline_run_is_json_serializable_path_mapping(spark, sf_dir, tmp_path)
     assert blob == dict(run)
     assert all(isinstance(v, str) for v in blob.values())
     assert "quality" not in blob and run.quality
+
+
+def test_fused_checks_match_individual(spark, tables):
+    from market_flow_spark import quality as Q
+
+    orders = tables["orders"]
+    fused = Q.run_checks_fused(
+        orders,
+        not_null=["o_orderkey", "o_custkey"],
+        accepted_values={"o_orderstatus": ["O", "F", "P"]},
+        positive=["o_totalprice"],
+        table="orders",
+    )
+    by_key = {(r.check, r.column): r.violations for r in fused}
+    assert by_key[("not_null", "o_orderkey")] == Q.check_not_null(
+        orders, "o_orderkey"
+    ).violations
+    assert by_key[("accepted_values", "o_orderstatus")] == Q.check_accepted_values(
+        orders, "o_orderstatus", ["O", "F", "P"]
+    ).violations
+    assert ("positive", "o_totalprice") in by_key
+
+
+def test_profile_columns_approx_within_tolerance(spark, tables):
+    """The HLL++ scale path tracks the exact profile within its error
+    bound; nulls and min/max are exact in both modes."""
+    from market_flow_spark.operators.analytics import profile_columns
+
+    orders = tables["orders"]
+    cols = ["o_orderkey", "o_orderstatus"]
+    exact = {r["column"]: r for r in profile_columns(orders, cols, exact=True).collect()}
+    approx = {r["column"]: r for r in profile_columns(orders, cols, exact=False).collect()}
+    for c in cols:
+        assert approx[c]["n_nulls"] == exact[c]["n_nulls"]
+        assert approx[c]["min_value"] == exact[c]["min_value"]
+        assert approx[c]["max_value"] == exact[c]["max_value"]
+        assert abs(approx[c]["n_distinct"] - exact[c]["n_distinct"]) <= max(
+            5, 0.1 * exact[c]["n_distinct"]
+        )
