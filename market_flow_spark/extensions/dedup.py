@@ -1325,3 +1325,83 @@ def span_dedup(
             "n_chunks_removed"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# String-grain fuzzy matching (entity resolution) — deletion-neighborhood
+# blocked edit-distance join
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_pairs_lev1(
+    df: DataFrame, id_col: str = "id", text_col: str = "name"
+) -> DataFrame:
+    """All (id1, id2) pairs whose strings are within Levenshtein distance 1
+    — the entity-resolution join (customer/vendor name reconciliation) as
+    an EXACT blocked equi-join, never an all-pairs distance matrix.
+
+    Blocking is the SymSpell deletion neighborhood: each string indexes
+    under itself plus its ``len`` single-character deletions. Completeness
+    by case analysis — equal strings share the identity key; a
+    substitution at i makes both sides' delete-at-i variants equal; an
+    insertion's delete-at-the-inserted-position equals the shorter string's
+    identity key. Survivors verify with the real ``levenshtein`` in-row,
+    so false candidates cost one distance evaluation, and the index is
+    (len+1) rows per string — linear in corpus bytes, shuffled once on the
+    variant key. The same alias-self-join canonicalization as the shingle
+    tiers: one exchange, ReusedExchange for the other side.
+
+    For distance d > 1 the same scheme composes (delete up to d chars,
+    index size C(len, d)); d=1 covers the dominant typo class and keeps
+    the index linear."""
+    variants = F.expr(
+        f"array_union(array({text_col}), "
+        f"transform(sequence(0, length({text_col}) - 1), "
+        f"i -> concat(substr({text_col}, 1, i), substr({text_col}, i + 2))))"
+    )
+    idx = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("nm"),
+        F.explode(variants).alias("v"),
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    lev = F.levenshtein(F.col("a.nm"), F.col("b.nm"))
+    return (
+        a.join(b, F.col("a.v") == F.col("b.v"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.nm").alias("name1"),
+            F.col("b.nm").alias("name2"),
+        )
+        .distinct()
+        .withColumn("distance", F.levenshtein("name1", "name2").cast("int"))
+        .filter(F.col("distance") <= 1)
+    )
+
+
+def fuzzy_pairs_lev1_oracle_sql(
+    table: str, id_col: str, text_col: str
+) -> str:
+    """DuckDB twin of :func:`fuzzy_pairs_lev1` (same deletion-neighborhood
+    blocking, same verify)."""
+    return f"""
+WITH idx AS (
+  SELECT {id_col} AS id, {text_col} AS nm,
+         unnest(list_distinct(list_append(
+           list_transform(range(0, length({text_col})),
+             i -> substr({text_col}, 1, i) || substr({text_col}, i + 2)),
+           {text_col}))) AS v
+  FROM {table}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2, a.nm AS name1, b.nm AS name2
+  FROM idx a JOIN idx b ON a.v = b.v
+  WHERE a.id < b.id
+)
+SELECT id1, id2, name1, name2,
+       CAST(levenshtein(name1, name2) AS INT) AS distance
+FROM cand
+WHERE levenshtein(name1, name2) <= 1
+"""

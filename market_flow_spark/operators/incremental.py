@@ -199,3 +199,43 @@ def scd2_merge(
         .unionByName(closed.select(*cols))
         .unionByName(inserted.select(*cols))
     )
+
+
+def apply_cdc(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    on: list[str],
+    op_col: str = "op",
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Apply a CDC batch (rows tagged ``op`` ∈ {'I','U','D'}) to a
+    snapshot: inserts/updates win over the snapshot, deletes remove the
+    key — the Debezium-style apply step as a pure transform
+    (MERGE INTO ... WHEN MATCHED/NOT MATCHED, without a table format).
+
+    ``ts_col`` compacts multi-change keys first (latest change per key
+    wins, ties broken by op descending so 'U' beats 'D' beats 'I' at
+    identical timestamps — deterministic either way). Without it the
+    batch must be pre-compacted (one change per key); violations raise at
+    plan time via a uniqueness check left to the caller's quality gate.
+
+    Plan shape: one per-key window over the (small) change batch, one
+    left_anti of the snapshot against changed keys, one union — the
+    snapshot never shuffles more than once, and at 100 TB the changed-key
+    side is typically broadcast by AQE."""
+    payload = [c for c in snapshot.columns]
+    ch = changes
+    if ts_col is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*on).orderBy(
+            F.col(ts_col).desc(), F.col(op_col).desc()
+        )
+        ch = (
+            ch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    untouched = snapshot.join(ch.select(*on), on=on, how="left_anti")
+    upserts = ch.filter(F.col(op_col) != "D").select(*payload)
+    return untouched.unionByName(upserts)

@@ -135,6 +135,11 @@ incremental-MinHash operators, per the round-3 brief):
                        per-group window-rank machinery)
 - profile_orders      (one-scan fused column profile -> table_audit
                        covers the fused-aggregate machinery in-window)
+- fuzzy_customer_names (deletion-neighborhood blocked self-join ->
+                       dedup_exact / simhash_pairs cover the blocked
+                       equi-join machinery in-window)
+- cdc_apply_orders    (anti-join + union apply -> upsert_plan covers the
+                       keyed-merge machinery in-window)
 All r4 additions are full-oracle-checked in tests/test_oracle_parity.
 """
 

@@ -3305,3 +3305,70 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"],
         exact=True,
     )
+
+
+@register(
+    "fuzzy_customer_names",
+    dedup.fuzzy_pairs_lev1_oracle_sql("customer", "c_custkey", "c_name"),
+)
+def q_fuzzy_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join: customer-name pairs within edit
+    distance 1, via SymSpell deletion-neighborhood blocking + in-row
+    levenshtein verify — exact, never an all-pairs matrix. Past-window:
+    the blocked self-join machinery is in-window via dedup_exact /
+    simhash_pairs; full oracle in pytest."""
+    return dedup.fuzzy_pairs_lev1(
+        load_tables(spark, sf_dir)["customer"], "c_custkey", "c_name"
+    )
+
+
+@register(
+    "cdc_apply_orders",
+    """
+WITH ch AS (
+  SELECT CASE WHEN o_orderkey % 100 = 0 THEN 'D'
+              WHEN o_orderkey % 100 = 1 THEN 'U'
+              ELSE NULL END AS op,
+         o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 100 = 1 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders
+  WHERE o_orderkey % 100 IN (0, 1)
+),
+untouched AS (
+  SELECT o.* FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.o_orderkey = o.o_orderkey)
+)
+SELECT * FROM untouched
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM ch WHERE op <> 'D'
+""",
+)
+def q_cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: a change batch (deletes for keys %100==0, price bumps
+    for %100==1) merged onto the orders snapshot — deletes vanish,
+    updates win, the rest pass through. Past-window: the anti-join +
+    union machinery is in-window via upsert_plan; full oracle in
+    pytest."""
+    from market_flow_spark.operators import incremental
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    changes = (
+        orders.filter(F.col("o_orderkey") % 100 < 2)
+        .withColumn(
+            "op",
+            F.when(F.col("o_orderkey") % 100 == 0, F.lit("D")).otherwise(
+                F.lit("U")
+            ),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 100 == 1, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    return incremental.apply_cdc(orders, changes, on=["o_orderkey"])

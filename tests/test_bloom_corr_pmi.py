@@ -143,3 +143,48 @@ def test_mmr_selects_relevant_but_diverse(spark):
     assert picked[0] == 0  # most relevant (ties broken by vec_id)
     # plain top-2 would take the near-dup 1; MMR must take the diverse 2
     assert picked == [0, 2]
+
+
+def test_fuzzy_lev1_complete_vs_brute_force(spark):
+    """Deletion-neighborhood blocking must find EVERY distance<=1 pair a
+    brute-force cross join finds (substitution, insertion, deletion, and
+    equal-string cases all present)."""
+    from itertools import combinations
+
+    from market_flow_spark.extensions.dedup import fuzzy_pairs_lev1
+
+    names = [
+        (1, "smith"), (2, "smyth"),   # substitution
+        (3, "smiths"),                # insertion vs 1
+        (4, "mith"),                  # deletion vs 1
+        (5, "smith"),                 # duplicate of 1
+        (6, "jones"),                 # unrelated
+        (7, "jonas"),                 # substitution vs 6
+        (8, "xavier"),                # isolated
+    ]
+
+    def lev(a, b):
+        import numpy as np
+
+        d = np.zeros((len(a) + 1, len(b) + 1), dtype=int)
+        d[:, 0] = range(len(a) + 1)
+        d[0, :] = range(len(b) + 1)
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                d[i, j] = min(
+                    d[i - 1, j] + 1,
+                    d[i, j - 1] + 1,
+                    d[i - 1, j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return int(d[len(a), len(b)])
+
+    want = sorted(
+        (i1, i2)
+        for (i1, n1), (i2, n2) in combinations(names, 2)
+        if lev(n1, n2) <= 1
+    )
+    df = spark.createDataFrame(names, "id bigint, name string")
+    got = sorted(
+        (r["id1"], r["id2"]) for r in fuzzy_pairs_lev1(df, "id", "name").collect()
+    )
+    assert got == want and len(want) >= 5

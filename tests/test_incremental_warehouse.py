@@ -93,3 +93,26 @@ def test_scd2_null_attribute_not_a_change(spark):
         dim, _scd2_batch(spark, [(1, None)]), ["k"], ["v"], 2
     ).collect()
     assert len(out) == 1 and out[0].is_current and out[0].valid_from == 1
+
+
+def test_apply_cdc_compacts_multi_change_keys(spark):
+    """With ts_col, only each key's LATEST change applies: an update then
+    delete removes the key; a delete then update keeps the updated row."""
+    from market_flow_spark.operators.incremental import apply_cdc
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", "U", 1), (1, None, "D", 2),   # ends deleted
+            (2, None, "D", 1), (2, "b2", "U", 2),   # ends updated
+            (4, "d", "I", 1),                        # fresh insert
+        ],
+        "k bigint, v string, op string, ts bigint",
+    )
+    out = sorted(
+        (r["k"], r["v"])
+        for r in apply_cdc(snap, changes, on=["k"], ts_col="ts").collect()
+    )
+    assert out == [(2, "b2"), (3, "c"), (4, "d")]
