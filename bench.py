@@ -187,6 +187,26 @@ def main() -> None:
     # steady-state timings so the compressed tiers have recorded perf too
     from market_flow_spark.extensions import similarity  # noqa: E402
 
+    # bloom A/B: the exact contamination join vs its Bloom-pruned twin.
+    # The filter build (one corpus-fingerprint scan + bounded collect) is
+    # a one-time index cost, so it is timed separately — steady-state is
+    # the per-batch cost a nightly probe actually pays against a prebuilt
+    # filter.
+    corpus_docs = docs.filter(F.col("doc_id") % 10 != 0)
+    probe_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    t0 = time.perf_counter()
+    bloomed = dedup.exact_contamination_bloomed(
+        corpus_docs, probe_docs, prefix_len=80
+    )
+    bloom_build_s = round(time.perf_counter() - t0, 3)
+    contamination_ab = {
+        "exact_plain": steady(
+            dedup.exact_contamination(corpus_docs, probe_docs, prefix_len=80)
+        ),
+        "exact_bloomed_steady": steady(bloomed),
+        "bloom_build_s": bloom_build_s,
+    }
+
     emb = load_tables(spark, sf_dir)["embeddings"]
     library_ops = {
         "pq_topk": steady(
@@ -230,6 +250,7 @@ def main() -> None:
         "word_jaccard_strategies": strategies,
         "scaling": scaling,
         "library_ops": library_ops,
+        "contamination_bloom_ab": contamination_ab,
         "sf": sf_val,
     }
     Path(__file__).resolve().parent.joinpath("bench_detail.json").write_text(

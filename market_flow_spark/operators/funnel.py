@@ -133,3 +133,38 @@ def cohort_retention(
             ),
         )
     )
+
+
+def event_transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    (from_type, to_type, n, prob) where prob = n / Σ n over the from_type
+    row — the behavioral-model summary (what follows a view?) a product
+    funnel generalizes.
+
+    One window shuffle on the user key (lag over (user, ts)) feeding one
+    map-side-combined pair count; the per-row normalizer is a second
+    window over the (tiny, type²-bounded) count table, not the events.
+    Ties at identical timestamps order by event id for determinism."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col("event_id").asc()
+    )
+    pairs = (
+        events.withColumn("__next", F.lead(type_col).over(w))
+        .filter(F.col("__next").isNotNull())
+        .groupBy(
+            F.col(type_col).alias("from_type"),
+            F.col("__next").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wrow = Window.partitionBy("from_type")
+    return pairs.withColumn(
+        "prob", det_round(F.col("n") / F.sum("n").over(wrow), 6)
+    )

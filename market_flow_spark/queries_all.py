@@ -140,6 +140,8 @@ incremental-MinHash operators, per the round-3 brief):
                        equi-join machinery in-window)
 - cdc_apply_orders    (anti-join + union apply -> upsert_plan covers the
                        keyed-merge machinery in-window)
+- event_transitions   (lag window + normalized counts -> rolling_ma30 /
+                       session_windows cover the machinery in-window)
 All r4 additions are full-oracle-checked in tests/test_oracle_parity.
 """
 

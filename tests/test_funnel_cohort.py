@@ -90,3 +90,45 @@ def test_rolling_zscore_flags_injected_spike(spark):
     # t=13 compares against a window CONTAINING the spike -> inflated std
     # swallows the return to normal: not anomalous
     assert not out[13].is_anomaly
+
+
+def test_transition_matrix_rows_sum_to_one(spark, tables):
+    from market_flow_spark.operators.funnel import event_transition_matrix
+
+    tm = event_transition_matrix(tables["events"])
+    rows = tm.collect()
+    assert rows, "no transitions found"
+    by_from: dict[str, float] = {}
+    for r in rows:
+        by_from[r["from_type"]] = by_from.get(r["from_type"], 0.0) + r["prob"]
+    for ft, total in by_from.items():
+        assert abs(total - 1.0) < 1e-3, (ft, total)
+
+
+def test_transition_matrix_counts_small_sequence(spark):
+    from pyspark.sql import functions as F
+
+    from market_flow_spark.operators.funnel import event_transition_matrix
+
+    rows = [
+        (1, 10, "2020-01-01 00:00:00", "view"),
+        (2, 10, "2020-01-01 00:01:00", "click"),
+        (3, 10, "2020-01-01 00:02:00", "view"),
+        (4, 10, "2020-01-01 00:03:00", "click"),
+        (5, 10, "2020-01-01 00:04:00", "purchase"),
+        (6, 20, "2020-01-01 00:00:00", "view"),
+        (7, 20, "2020-01-01 00:01:00", "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+        for r in event_transition_matrix(df).collect()
+    }
+    assert got[("view", "click")][0] == 2
+    assert got[("view", "view")][0] == 1
+    assert got[("click", "view")][0] == 1
+    assert got[("click", "purchase")][0] == 1
+    assert abs(got[("view", "click")][1] - 0.666667) < 1e-6
+    assert abs(got[("click", "purchase")][1] - 0.5) < 1e-9
