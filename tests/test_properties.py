@@ -148,3 +148,62 @@ def test_dedup_clusters_empty_and_self_pairs(spark):
     empty = spark.createDataFrame([], "doc1 long, doc2 long")
     out = dedup_keep_list(docs, empty).collect()
     assert len(out) == 5 and all(r.keep and r.cluster_id == r.doc_id for r in out)
+
+
+def test_fuzzy_lev1_random_strings_match_brute_force(spark):
+    """One Spark job over a deterministic random pool of short strings:
+    the deletion-neighborhood join must equal the brute-force distance
+    filter exactly (completeness AND soundness)."""
+    import random
+    from itertools import combinations
+
+    from market_flow_spark.extensions.dedup import fuzzy_pairs_lev1
+
+    rng = random.Random(7)
+    alphabet = "abc"  # tiny alphabet => dense distance-1 neighborhoods
+    pool = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6))))
+        for i in range(120)
+    ]
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[len(b)]
+
+    want = sorted(
+        (i1, i2)
+        for (i1, s1), (i2, s2) in combinations(pool, 2)
+        if lev(s1, s2) <= 1
+    )
+    df = spark.createDataFrame(pool, "id bigint, name string")
+    got = sorted(
+        (r["id1"], r["id2"])
+        for r in fuzzy_pairs_lev1(df, "id", "name").collect()
+    )
+    assert got == want
+    assert len(want) > 100  # the pool genuinely exercises dense matches
+
+
+def test_bloom_no_false_negatives_random_membership(spark):
+    """Random member/probe mix: every true member must survive the prune
+    regardless of filter size (down to heavily-saturated 256-bit filters)."""
+    from pyspark.sql import functions as F
+
+    from market_flow_spark.extensions import sketches
+
+    for n_bits in (1 << 8, 1 << 12):
+        members = spark.range(0, 300).select(
+            F.md5(F.col("id").cast("string")).alias("k")
+        )
+        words = sketches.bloom_words(
+            sketches.bloom_build(members, "k", n_bits, 3), n_bits
+        )
+        kept = sketches.bloom_prune(members, "k", words, n_bits, 3)
+        assert kept.count() == 300, f"false negative at n_bits={n_bits}"
