@@ -202,3 +202,170 @@ FROM (
 )
 WHERE rn <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Hashed TF-IDF sparse-cosine document similarity
+# ---------------------------------------------------------------------------
+
+TFIDF_DIM = 256
+_W_SCALE = 1_000  # 1e-3 fixed-point quantization of the tf-idf weight
+
+
+def hashed_tfidf_weights(
+    docs: DataFrame, dim: int = TFIDF_DIM, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, bucket, w_fixed): hashed TF-IDF document vectors in sparse
+    form — term counts folded into ``dim`` md5 buckets (the hashing trick:
+    fixed feature space, no vocabulary state), weighted by bucket-grain
+    idf ``ln(N / df_bucket)`` and quantized to 1e-3 fixed point so every
+    downstream dot product is exact integer arithmetic (associativity-safe
+    AND engine-reproducible — the same determinism recipe as the DSIR
+    log-ratios).
+
+    Two map-side-combined aggregates over one tokenize pass (per-doc
+    bucket counts; bucket dfs, bounded by ``dim``) plus a broadcast of
+    the df table back onto the counts. No UDFs, no driver state."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    clean = F.filter(toks, lambda t: t != F.lit(""))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint"),
+        F.lit(dim),
+    )
+    counts = (
+        spread_to_cores(docs)
+        .select("doc_id", F.explode(clean).alias("term"))
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("bw"))
+    )
+    # corpus size as a broadcast one-row singleton (the bm25 N/avgdl
+    # pattern) — keeps the whole build lazy, no construction-time action
+    nd = counts.agg(F.countDistinct("doc_id").alias("n_docs"))
+    dfs = counts.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("df_b")
+    )
+    w = F.col("bw") * F.log(F.col("n_docs").cast("double") / F.col("df_b"))
+    return (
+        counts.join(F.broadcast(dfs), "bucket")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "bucket",
+            F.floor(w * _W_SCALE + F.lit(0.5)).cast("bigint").alias("w_fixed"),
+        )
+    )
+
+
+def tfidf_doc_topk(
+    docs: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    dim: int = TFIDF_DIM,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k most similar corpus documents per query document (doc_id <
+    n_queries), by hashed-TF-IDF sparse cosine — lexical doc-to-doc
+    similarity search, the inverted-index complement to the dense
+    embedding tiers (``similarity.cosine_topk``) and to query-scoring
+    BM25.
+
+    The dot product is a bucket equi-join of the (tiny) query weight set
+    against the corpus weights with map-side-combined pair sums — cost
+    scales with the matched postings, never N². All sums are exact
+    BIGINTs; one sqrt + division per (query, doc) pair at the end, then
+    det-rounding before the rank window so the k-cut is total-ordered."""
+    weights = hashed_tfidf_weights(docs, dim, text_col)
+    norms = weights.groupBy("doc_id").agg(
+        F.sum(F.col("w_fixed") * F.col("w_fixed")).alias("norm_sq")
+    )
+    qw = weights.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"),
+        "bucket",
+        F.col("w_fixed").alias("qw"),
+    )
+    dots = (
+        weights.join(F.broadcast(qw), "bucket")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("w_fixed") * F.col("qw")).alias("dot"))
+    )
+    qn = norms.select(
+        F.col("doc_id").alias("query_id"), F.col("norm_sq").alias("q_norm_sq")
+    )
+    cos = F.col("dot") / F.sqrt(
+        F.col("norm_sq").cast("double") * F.col("q_norm_sq").cast("double")
+    )
+    scored = (
+        dots.join(norms, "doc_id")
+        .join(F.broadcast(qn), "query_id")
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            det_round(cos, 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def tfidf_topk_oracle_sql(
+    n_queries: int = 5, k: int = 5, dim: int = TFIDF_DIM
+) -> str:
+    """DuckDB twin of :func:`tfidf_doc_topk` over the `documents` view."""
+    return f"""
+WITH postings AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(term), 1, 8)) AS UBIGINT) % {dim} AS bucket
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+  ) WHERE term <> ''
+),
+counts AS (
+  SELECT doc_id, bucket, COUNT(*) AS bw FROM postings GROUP BY 1, 2
+),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM counts),
+dfs AS (SELECT bucket, COUNT(*) AS df_b FROM counts GROUP BY 1),
+weights AS (
+  SELECT c.doc_id, c.bucket,
+         CAST(FLOOR(c.bw * ln(CAST(nd.n_docs AS DOUBLE) / d.df_b)
+                    * {_W_SCALE} + 0.5) AS BIGINT) AS w_fixed
+  FROM counts c JOIN dfs d USING (bucket) CROSS JOIN nd
+),
+norms AS (
+  SELECT doc_id, SUM(w_fixed * w_fixed) AS norm_sq FROM weights GROUP BY 1
+),
+qw AS (
+  SELECT doc_id AS query_id, bucket, w_fixed AS qw
+  FROM weights WHERE doc_id < {n_queries}
+),
+dots AS (
+  SELECT w.doc_id, q.query_id, SUM(w.w_fixed * q.qw) AS dot
+  FROM weights w JOIN qw q USING (bucket)
+  WHERE w.doc_id <> q.query_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.doc_id AS neighbor_id,
+         FLOOR(d.dot / sqrt(CAST(n1.norm_sq AS DOUBLE)
+                            * CAST(n2.norm_sq AS DOUBLE))
+               * 1000000 + 0.5) / 1000000 AS cosine
+  FROM dots d
+  JOIN norms n1 ON n1.doc_id = d.doc_id
+  JOIN norms n2 ON n2.doc_id = d.query_id
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {k}
+"""

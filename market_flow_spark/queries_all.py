@@ -142,6 +142,8 @@ incremental-MinHash operators, per the round-3 brief):
                        keyed-merge machinery in-window)
 - event_transitions   (lag window + normalized counts -> rolling_ma30 /
                        session_windows cover the machinery in-window)
+- tfidf_doc_similarity (hashed TF-IDF postings join -> dedup_word_jaccard
+                       / cosine_topk cover the machinery in-window)
 All r4 additions are full-oracle-checked in tests/test_oracle_parity.
 """
 

@@ -3414,3 +3414,22 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from market_flow_spark.operators.funnel import event_transition_matrix
 
     return event_transition_matrix(load_tables(spark, sf_dir)["events"])
+
+
+@register(
+    "tfidf_doc_similarity",
+    __import__(
+        "market_flow_spark.extensions.retrieval", fromlist=["tfidf_topk_oracle_sql"]
+    ).tfidf_topk_oracle_sql(n_queries=5, k=5),
+)
+def q_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed TF-IDF sparse-cosine doc-to-doc top-k: the inverted-index
+    lexical complement to dense-embedding cosine_topk and query-scoring
+    BM25; all dot products exact fixed-point BIGINT sums. Past-window:
+    the postings-join machinery is in-window via dedup_word_jaccard /
+    cosine_topk; full oracle in pytest."""
+    from market_flow_spark.extensions import retrieval
+
+    return retrieval.tfidf_doc_topk(
+        load_tables(spark, sf_dir)["documents"], n_queries=5, k=5
+    )
