@@ -279,6 +279,8 @@ def bloom_build(
     the filter size, so map-side combine reduces each partition to at most
     n_bits/64 rows before the (tiny) shuffle. NULL keys are skipped (they
     never join anyway)."""
+    if n_bits % 64 != 0:
+        raise ValueError(f"n_bits must be a multiple of 64, got {n_bits}")
     pos_arr = F.array(
         *[_bloom_pos(F.col(column), i, n_bits) for i in range(n_hashes)]
     )

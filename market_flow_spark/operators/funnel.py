@@ -140,6 +140,7 @@ def event_transition_matrix(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    id_col: str = "event_id",
 ) -> DataFrame:
     """First-order Markov transition matrix over per-user event sequences:
     (from_type, to_type, n, prob) where prob = n / Σ n over the from_type
@@ -153,7 +154,7 @@ def event_transition_matrix(
     from pyspark.sql import Window
 
     w = Window.partitionBy(user_col).orderBy(
-        F.col(ts_col).asc(), F.col("event_id").asc()
+        F.col(ts_col).asc(), F.col(id_col).asc()
     )
     pairs = (
         events.withColumn("__next", F.lead(type_col).over(w))

@@ -214,8 +214,8 @@ def apply_cdc(
     (MERGE INTO ... WHEN MATCHED/NOT MATCHED, without a table format).
 
     ``ts_col`` compacts multi-change keys first (latest change per key
-    wins, ties broken by op descending so 'U' beats 'D' beats 'I' at
-    identical timestamps — deterministic either way). Without it the
+    wins, ties broken by op descending — 'U' > 'I' > 'D' at identical
+    timestamps, deterministic either way). Without it the
     batch must be pre-compacted (one change per key); violations raise at
     plan time via a uniqueness check left to the caller's quality gate.
 
