@@ -477,3 +477,106 @@ def profile_columns(
         for c in cols
     ]
     return row.select(F.inline(F.array(*entries)))
+
+
+def profile_drift(
+    df_old: DataFrame,
+    df_new: DataFrame,
+    columns: list[str] | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """Column-level drift report between two snapshots of one schema:
+    (column, n_nulls_old, n_nulls_new, n_distinct_old, n_distinct_new,
+    null_rate_delta, distinct_delta) — the data-contract check a nightly
+    load runs before promoting a batch (did a upstream change silently
+    null out a column? did cardinality collapse?).
+
+    Two :func:`profile_columns` scans (one per snapshot — they are
+    different datasets; there is nothing to fuse) joined on the column
+    name, deltas computed on the (columns-count-sized) profile rows.
+    Columns present in only one snapshot surface with NULLs on the other
+    side via the full outer join — schema drift and stats drift in one
+    report."""
+    cols_old = columns or df_old.columns
+    cols_new = columns or df_new.columns
+    # row counts ride as broadcast one-row singletons so the whole report
+    # stays lazy (no construction-time count() actions)
+    po = (
+        profile_columns(df_old, cols_old, exact=exact)
+        .crossJoin(F.broadcast(df_old.agg(F.count(F.lit(1)).alias("__rows_old"))))
+        .select(
+            "column",
+            F.col("n_nulls").alias("n_nulls_old"),
+            F.col("n_distinct").alias("n_distinct_old"),
+            "__rows_old",
+        )
+    )
+    pn = (
+        profile_columns(df_new, cols_new, exact=exact)
+        .crossJoin(F.broadcast(df_new.agg(F.count(F.lit(1)).alias("__rows_new"))))
+        .select(
+            "column",
+            F.col("n_nulls").alias("n_nulls_new"),
+            F.col("n_distinct").alias("n_distinct_new"),
+            "__rows_new",
+        )
+    )
+    null_rate_delta = det_round(
+        F.coalesce(
+            F.col("n_nulls_new") / F.greatest(F.col("__rows_new"), F.lit(1)),
+            F.lit(0.0),
+        )
+        - F.coalesce(
+            F.col("n_nulls_old") / F.greatest(F.col("__rows_old"), F.lit(1)),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    return (
+        po.join(pn, "column", "full_outer")
+        .select(
+            "column",
+            "n_nulls_old",
+            "n_nulls_new",
+            "n_distinct_old",
+            "n_distinct_new",
+            null_rate_delta.alias("null_rate_delta"),
+            (
+                F.coalesce(F.col("n_distinct_new"), F.lit(0))
+                - F.coalesce(F.col("n_distinct_old"), F.lit(0))
+            ).alias("distinct_delta"),
+        )
+    )
+
+
+def top_values_per_column(
+    df: DataFrame, columns: list[str], k: int = 3
+) -> DataFrame:
+    """(column, value, n, rank): the k most frequent values of each listed
+    (categorical) column — the rest of the profiler panel. One unpivot of
+    the listed columns via inline(array(structs)) feeding ONE grouped
+    count + one rank window; cost is one scan regardless of how many
+    columns are profiled. Values are stringified for a uniform schema;
+    NULLs are profiled too (they are usually the interesting value). Ties
+    break by value for a deterministic cut."""
+    from pyspark.sql import Window
+
+    entries = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(c).cast("string").alias("value"),
+        )
+        for c in columns
+    ]
+    counts = (
+        df.select(F.inline(F.array(*entries)))
+        .groupBy("column", "value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("column").orderBy(
+        F.col("n").desc(), F.col("value").asc_nulls_last()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

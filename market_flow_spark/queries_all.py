@@ -144,6 +144,10 @@ incremental-MinHash operators, per the round-3 brief):
                        session_windows cover the machinery in-window)
 - tfidf_doc_similarity (hashed TF-IDF postings join -> dedup_word_jaccard
                        / cosine_topk cover the machinery in-window)
+- profile_drift_orders (two fused profiles + outer join -> table_audit /
+                       snapshot_diff_orders cover the machinery)
+- top_values_orders   (unpivot + rank -> top10_products covers the
+                       rank-filter machinery in-window)
 All r4 additions are full-oracle-checked in tests/test_oracle_parity.
 """
 

@@ -3433,3 +3433,88 @@ def q_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.tfidf_doc_topk(
         load_tables(spark, sf_dir)["documents"], n_queries=5, k=5
     )
+
+
+@register(
+    "profile_drift_orders",
+    """
+WITH old_side AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+new_side AS (SELECT * FROM orders WHERE o_orderkey % 2 = 1),
+go AS (
+  SELECT SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_cust,
+         COUNT(DISTINCT o_custkey) AS d_cust,
+         SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS n_stat,
+         COUNT(DISTINCT o_orderstatus) AS d_stat,
+         COUNT(*) AS rows_old
+  FROM old_side
+),
+gn AS (
+  SELECT SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_cust,
+         COUNT(DISTINCT o_custkey) AS d_cust,
+         SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS n_stat,
+         COUNT(DISTINCT o_orderstatus) AS d_stat,
+         COUNT(*) AS rows_new
+  FROM new_side
+),
+legs AS (
+  SELECT 'o_custkey' AS "column", go.n_cust AS n_nulls_old, gn.n_cust AS n_nulls_new,
+         go.d_cust AS n_distinct_old, gn.d_cust AS n_distinct_new,
+         go.rows_old, gn.rows_new
+  FROM go CROSS JOIN gn
+  UNION ALL
+  SELECT 'o_orderstatus', go.n_stat, gn.n_stat, go.d_stat, gn.d_stat,
+         go.rows_old, gn.rows_new
+  FROM go CROSS JOIN gn
+)
+SELECT "column", n_nulls_old, n_nulls_new, n_distinct_old, n_distinct_new,
+       FLOOR((COALESCE(n_nulls_new / GREATEST(rows_new, 1), 0)
+              - COALESCE(n_nulls_old / GREATEST(rows_old, 1), 0))
+             * 1000000 + 0.5) / 1000000 AS null_rate_delta,
+       COALESCE(n_distinct_new, 0) - COALESCE(n_distinct_old, 0)
+         AS distinct_delta
+FROM legs
+""",
+)
+def q_profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift report between the even- and odd-key halves of
+    orders (null counts, exact distincts, null-rate and cardinality
+    deltas per column). Past-window: the fused-profile machinery is
+    in-window via table_audit; full oracle in pytest."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    return an.profile_drift(
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        orders.filter(F.col("o_orderkey") % 2 == 1),
+        ["o_custkey", "o_orderstatus"],
+        exact=True,
+    )
+
+
+@register(
+    "top_values_orders",
+    """
+WITH unp AS (
+  SELECT 'o_orderstatus' AS "column", CAST(o_orderstatus AS VARCHAR) AS value
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+),
+counts AS (
+  SELECT "column", value, COUNT(*) AS n FROM unp GROUP BY 1, 2
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY "column" ORDER BY n DESC, value ASC NULLS LAST) AS rank
+  FROM counts
+)
+SELECT "column", value, n, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3
+""",
+)
+def q_top_values_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most frequent values of the categorical orders columns in
+    one unpivoted scan. Past-window: the unpivot+rank machinery is
+    in-window via top10_products; full oracle in pytest."""
+    return an.top_values_per_column(
+        load_tables(spark, sf_dir)["orders"],
+        ["o_orderstatus", "o_orderpriority"],
+        k=3,
+    )
