@@ -581,3 +581,123 @@ CROSS JOIN t_uni CROSS JOIN t_bi
 ORDER BY pmi DESC, b.w1 ASC, b.w2 ASC
 LIMIT {k}
 """
+
+
+def bigram_logprob(
+    docs: DataFrame, lam: float = 0.7, text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean token log-probability under an interpolated
+    bigram corpus model — the next rung above :func:`unigram_logprob` on
+    the fluency ladder (word order now matters: scrambled text scores
+    visibly lower than natural phrasing with the same vocabulary).
+
+    score(d) = avg over positions i>=2 of
+        ln( lam * p(w_i | w_{i-1}) + (1 - lam) * p(w_i) )
+    with p(w|v) = c(v w)/c(v ·) from corpus bigram counts and p(w) the
+    corpus unigram frequency. The unigram interpolation floor keeps every
+    observed token scoreable (no zero for unseen-in-context bigrams), so
+    no extra smoothing constant is needed. Single-token documents (no
+    bigram positions) score NULL.
+
+    Plan shape: one tokenize pass explodes positional bigrams; corpus
+    bigram counts aggregate map-side (vocabulary²-bounded but sparse —
+    only observed pairs); each position joins its bigram count (left —
+    unseen pairs hit the unigram floor) and its context/unigram counts
+    (vocab-bounded sides, AQE broadcasts when they fit); one fold back to
+    doc grain. No self-joins, no driver state."""
+    norm = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    toked = spread_to_cores(docs).select(
+        "doc_id",
+        F.filter(F.split(norm, r"\s+"), lambda x: x != "").alias("toks"),
+    )
+    pos_pairs = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN "
+        "transform(sequence(1, size(toks)-1), "
+        "i -> struct(toks[i-1] AS prev, toks[i] AS w)) "
+        "ELSE cast(array() as array<struct<prev:string,w:string>>) END"
+    )
+    occurrences = toked.select(
+        "doc_id", F.explode(pos_pairs).alias("p")
+    ).select("doc_id", "p.prev", "p.w")
+    uni = (
+        toked.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    total = uni.agg(F.sum("c_w").alias("c_total"))
+    bi = occurrences.groupBy("prev", "w").agg(
+        F.count(F.lit(1)).alias("c_bi")
+    )
+    ctx = uni.select(F.col("w").alias("prev"), F.col("c_w").alias("c_prev"))
+    # context count c(v ·) = c(v) - [v ends a document]; using the raw
+    # unigram count keeps the model a proper mixture up to that boundary
+    # term and saves a second positional aggregate — a DEFINITIONAL
+    # choice mirrored exactly in the oracle.
+    p_bi = F.coalesce(
+        F.col("c_bi") / F.col("c_prev"), F.lit(0.0)
+    )
+    p_uni = F.col("c_w") / F.col("c_total")
+    lp = F.log(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni)
+    scored = (
+        occurrences.join(F.broadcast(bi), ["prev", "w"], "left")
+        .join(F.broadcast(ctx), "prev")
+        .join(F.broadcast(uni), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            det_round(F.avg(lp), 4).alias("avg_logprob"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "avg_logprob",
+        )
+    )
+
+
+def bigram_logprob_oracle_sql(lam: float = 0.7) -> str:
+    """DuckDB twin of :func:`bigram_logprob` over the `documents` view."""
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+occ AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 2 THEN
+           list_transform(range(2, len(toks) + 1),
+                          i -> {{'prev': toks[i-1], 'w': toks[i]}})
+         ELSE [] END, recursive := true)
+  FROM base
+),
+uni AS (
+  SELECT w, COUNT(*) AS c_w FROM (SELECT unnest(toks) AS w FROM base)
+  GROUP BY w
+),
+total AS (SELECT SUM(c_w) AS c_total FROM uni),
+bi AS (SELECT prev, w, COUNT(*) AS c_bi FROM occ GROUP BY 1, 2),
+scored AS (
+  SELECT o.doc_id,
+         COUNT(*) AS n_bigrams,
+         FLOOR(AVG(ln({lam} * COALESCE(b.c_bi / cx.c_w, 0)
+                       + {1.0 - lam} * (u.c_w / t.c_total)))
+               * 10000 + 0.5) / 10000 AS avg_logprob
+  FROM occ o
+  LEFT JOIN bi b ON b.prev = o.prev AND b.w = o.w
+  JOIN uni cx ON cx.w = o.prev
+  JOIN uni u ON u.w = o.w
+  CROSS JOIN total t
+  GROUP BY o.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       s.avg_logprob
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""

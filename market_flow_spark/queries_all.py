@@ -148,6 +148,9 @@ incremental-MinHash operators, per the round-3 brief):
                        snapshot_diff_orders cover the machinery)
 - top_values_orders   (unpivot + rank -> top10_products covers the
                        rank-filter machinery in-window)
+- bigram_logprob      (positional bigram join-back -> unigram_logprob's
+                       in-window analogue text_profile / dedup_word_
+                       jaccard cover the machinery)
 All r4 additions are full-oracle-checked in tests/test_oracle_parity.
 """
 

@@ -3518,3 +3518,12 @@ def q_top_values_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderstatus", "o_orderpriority"],
         k=3,
     )
+
+
+@register("bigram_logprob", text.bigram_logprob_oracle_sql(lam=0.7))
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM fluency score per document (word order now
+    matters, unlike the unigram rung). Past-window: the corpus-frequency
+    join-back machinery is in-window via dedup_word_jaccard /
+    text_profile; full oracle in pytest."""
+    return text.bigram_logprob(load_tables(spark, sf_dir)["documents"])

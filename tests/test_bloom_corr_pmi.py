@@ -188,3 +188,18 @@ def test_fuzzy_lev1_complete_vs_brute_force(spark):
         (r["id1"], r["id2"]) for r in fuzzy_pairs_lev1(df, "id", "name").collect()
     )
     assert got == want and len(want) >= 5
+
+
+def test_bigram_logprob_penalizes_scrambled_text(spark):
+    """Same vocabulary, scrambled order: the bigram model must score the
+    natural phrasing higher (the property the unigram rung cannot see)."""
+    from market_flow_spark.extensions.text import bigram_logprob
+
+    natural = "the quick brown fox jumps over the lazy dog"
+    scrambled = "dog the over quick lazy jumps fox brown the"
+    docs = [(i, natural) for i in range(20)]
+    docs += [(100, natural), (101, scrambled), (102, "single")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    assert out[100]["avg_logprob"] > out[101]["avg_logprob"]
+    assert out[102]["n_bigrams"] == 0 and out[102]["avg_logprob"] is None
