@@ -151,6 +151,8 @@ incremental-MinHash operators, per the round-3 brief):
 - bigram_logprob      (positional bigram join-back -> unigram_logprob's
                        in-window analogue text_profile / dedup_word_
                        jaccard cover the machinery)
+- langid_trigram      (trigram rank profiles + OOP distance ->
+                       text_profile / top10_products cover the machinery)
 All r4 additions are full-oracle-checked in tests/test_oracle_parity.
 """
 

@@ -3527,3 +3527,13 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-back machinery is in-window via dedup_word_jaccard /
     text_profile; full oracle in pytest."""
     return text.bigram_logprob(load_tables(spark, sf_dir)["documents"])
+
+
+@register("langid_trigram", text.char_trigram_langid_oracle_sql())
+def q_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar-Trenkle char-trigram language ID: per-language rank
+    profiles from the corpus's own labels, out-of-place distance
+    classification — all-integer arithmetic. Past-window: the
+    explode/rank machinery is in-window via text_profile /
+    top10_products; full oracle in pytest."""
+    return text.char_trigram_langid(load_tables(spark, sf_dir)["documents"])

@@ -203,3 +203,37 @@ def test_bigram_logprob_penalizes_scrambled_text(spark):
     out = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
     assert out[100]["avg_logprob"] > out[101]["avg_logprob"]
     assert out[102]["n_bigrams"] == 0 and out[102]["avg_logprob"] is None
+
+
+def test_trigram_langid_separates_real_languages(spark):
+    """On actual language text the Cavnar-Trenkle classifier must be
+    near-perfect (the synthetic corpus only weakly encodes its labels —
+    there the diagonal still dominates, checked in the oracle run)."""
+    from market_flow_spark.extensions.text import char_trigram_langid
+
+    en = [
+        "the cat sat on the mat and looked at the door",
+        "there is a house in the village near the river",
+        "we went to the market to buy bread and cheese",
+        "this is the best way to learn something new every day",
+    ]
+    fr = [
+        "le chat est assis sur le tapis et regarde la porte",
+        "il y a une maison dans le village pres de la riviere",
+        "nous sommes alles au marche pour acheter du pain et du fromage",
+        "c'est la meilleure facon d'apprendre quelque chose de nouveau",
+    ]
+    de = [
+        "die katze sitzt auf der matte und schaut auf die tuer",
+        "es gibt ein haus im dorf in der naehe des flusses",
+        "wir gingen auf den markt um brot und kaese zu kaufen",
+        "das ist der beste weg jeden tag etwas neues zu lernen",
+    ]
+    rows = [(i, "en", t) for i, t in enumerate(en)]
+    rows += [(100 + i, "fr", t) for i, t in enumerate(fr)]
+    rows += [(200 + i, "de", t) for i, t in enumerate(de)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    out = char_trigram_langid(df, profile_size=60)
+    got = {r["doc_id"]: (r["lang"], r["predicted_lang"]) for r in out.collect()}
+    correct = sum(1 for lang, pred in got.values() if lang == pred)
+    assert correct >= 11  # >= 11/12 on clearly-separated real text
