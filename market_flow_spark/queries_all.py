@@ -153,6 +153,8 @@ incremental-MinHash operators, per the round-3 brief):
                        jaccard cover the machinery)
 - langid_trigram      (trigram rank profiles + OOP distance ->
                        text_profile / top10_products cover the machinery)
+- dedup_cluster_sizes (two-level aggregate over the in-window
+                       dedup_minhash_lsh component machinery)
 All r4 additions are full-oracle-checked in tests/test_oracle_parity.
 """
 

@@ -3537,3 +3537,32 @@ def q_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode/rank machinery is in-window via text_profile /
     top10_products; full oracle in pytest."""
     return text.char_trigram_langid(load_tables(spark, sf_dir)["documents"])
+
+
+@register(
+    "dedup_cluster_sizes",
+    f"""
+WITH keep AS ({_clusters_oracle()}),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM keep GROUP BY 1
+)
+SELECT cluster_size, COUNT(*) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+FROM sizes GROUP BY 1
+""",
+)
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution (how much of the corpus sits in
+    2-doc pairs vs big boilerplate families) — the dedup-audit readout a
+    curation run reports. Derives from the same components as
+    dedup_clusters_minhash; one extra two-level aggregate. Past-window;
+    full oracle (recursive CTE) in pytest."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    keep = dedup.dedup_keep_list(docs, dedup.minhash_lsh_pairs(docs, threshold=0.8))
+    sizes = keep.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+    )

@@ -113,3 +113,31 @@ def test_streaming_corpus_ingest_dedup(spark, tmp_path):
     ).coalesce(1).write.parquet(str(landing / "b2"))
     run_once()
     assert {r.doc_id for r in spark.read.parquet(corpus_path).collect()} == {1, 4}
+
+
+def test_ingest_replay_with_same_checkpoint_is_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """Re-starting the availableNow ingest against the SAME checkpoint
+    with no new files must add nothing — the exactly-once property the
+    checkpoint exists to provide (a crashed-and-restarted nightly load
+    must not double the warehouse)."""
+    events, landing = _landing(spark, sf_dir, tmp_path, with_duplicates=False)
+    warehouse = str(tmp_path / "wh_idem")
+    ck = str(tmp_path / "ck_idem")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .parquet(landing)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "24 hours")
+        )
+        q = start_ingest(stream, warehouse, ck).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(warehouse).agg(F.sum("n_events")).collect()[0][0]
+    run_once()  # replay: same checkpoint, no new data
+    second = spark.read.parquet(warehouse).agg(F.sum("n_events")).collect()[0][0]
+    assert first == second, f"replay changed totals: {first} -> {second}"
