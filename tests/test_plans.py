@@ -88,6 +88,10 @@ INTENTIONAL_TINY_CROSSJOIN = {
     "feature_encode_panel",  # one-row frequency-denominator singleton
     "contamination_exact_bloomed",  # one-row bloom-word-array broadcast
     "pmi_collocations",  # two one-row token/bigram-total singletons
+    "tfidf_doc_similarity",  # one-row corpus-size singleton
+    "bigram_logprob",  # one-row token-total singleton
+    "profile_drift_orders",  # two one-row row-count singletons
+    "langid_trigram",  # docs x 5-row candidate-language scaffold
 }
 
 
