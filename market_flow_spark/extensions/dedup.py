@@ -839,38 +839,48 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return s.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
-def simhash_pairs(
-    docs: DataFrame, max_hamming: int = 3, n_tables: int = 4
+def hamming_block_pairs(
+    sigs: DataFrame,
+    sig_col: str = "simhash",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_tables: int = 4,
+    total_bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+    """All (doc1, doc2, hamming) pairs whose BIGINT bit-signatures are
+    within Hamming distance ``max_hamming`` — the generic rotated-block
+    scheme shared by text SimHash and image perceptual hashes.
 
-    The 64-bit signature is split into ``n_tables`` 16-bit blocks; by
-    pigeonhole, any pair within Hamming distance < n_tables agrees EXACTLY
-    on at least one block, so candidates come from ``n_tables`` equi-joins
-    on (block_idx, block_value) — the rotated-prefix-table scheme that
-    stays selective at corpus scale (2^16 buckets per table instead of the
-    old 16-bit signature's 256 saturating blocks). Built as one
-    inline-explode + alias self-join; bit_count(xor) verifies in-row."""
+    The ``total_bits``-bit signature is split into ``n_tables`` equal
+    blocks; by pigeonhole, any pair within Hamming distance < n_tables
+    agrees EXACTLY on at least one block, so candidates come from
+    ``n_tables`` equi-joins on (block_idx, block_value) — selective at
+    corpus scale (2^(bits/tables) buckets per table). Built as one
+    inline-explode + alias self-join (ReusedExchange for the other side);
+    bit_count(xor) verifies in-row. Never an all-pairs distance matrix."""
     # pigeonhole completeness: <= max_hamming differing bits can touch at
     # most max_hamming blocks, leaving one exact-match block only if
     # max_hamming < n_tables
     assert max_hamming < n_tables, "need max_hamming < n_tables"
-    width = SIMHASH_BITS // n_tables
+    assert total_bits % n_tables == 0, "n_tables must divide total_bits"
+    width = total_bits // n_tables
     mask = (1 << width) - 1
     entries = [
         F.struct(
             F.lit(b).alias("block_idx"),
-            F.shiftright(F.col("simhash"), b * width)
+            F.shiftright(F.col(sig_col), b * width)
             .bitwiseAND(F.lit(mask))
             .alias("block_val"),
         )
         for b in range(n_tables)
     ]
-    blocked = simhash_signatures(docs).select(
-        "doc_id", "simhash", F.inline(F.array(*entries))
+    blocked = sigs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(sig_col).alias("__sig"),
+        F.inline(F.array(*entries)),
     )
     b1, b2 = blocked.alias("b1"), blocked.alias("b2")
-    ham = F.bit_count(F.col("b1.simhash").bitwiseXOR(F.col("b2.simhash")))
+    ham = F.bit_count(F.col("b1.__sig").bitwiseXOR(F.col("b2.__sig")))
     return (
         b1.join(
             b2,
@@ -884,6 +894,26 @@ def simhash_pairs(
             ham.cast("int").alias("hamming"),
         )
         .distinct()
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, n_tables: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    The 64-bit signature is split into ``n_tables`` 16-bit blocks; by
+    pigeonhole, any pair within Hamming distance < n_tables agrees EXACTLY
+    on at least one block, so candidates come from ``n_tables`` equi-joins
+    on (block_idx, block_value) — the rotated-prefix-table scheme that
+    stays selective at corpus scale (2^16 buckets per table instead of the
+    old 16-bit signature's 256 saturating blocks). Delegates to
+    :func:`hamming_block_pairs` (the shared rotated-block join)."""
+    return hamming_block_pairs(
+        simhash_signatures(docs),
+        sig_col="simhash",
+        max_hamming=max_hamming,
+        n_tables=n_tables,
     )
 
 

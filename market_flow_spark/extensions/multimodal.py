@@ -168,6 +168,79 @@ def sample_frames(
     return assets.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+AHASH_SCHEMA = "doc_id bigint, ahash bigint"
+
+
+def ahash_bits(buf: bytes, grid: int = 8) -> int:
+    """Perceptual average-hash of one image payload (pure function, shared
+    by the Spark stage and its test replica): decode (stubbed to the
+    deterministic fake) → block-mean resize to grid×grid → each cell
+    contributes bit 1 iff its mean exceeds the grid's overall mean. Bits
+    are packed row-major into a SIGNED 64-bit int (bit grid²-1 as the
+    two's-complement sign term — the same packing as the text SimHash) so
+    the signature joins with plain BIGINT arithmetic."""
+    img = _fake_decode_image(buf)
+    small = _block_mean_resize(img, grid, grid).ravel()
+    mean = small.mean()
+    n_bits = grid * grid
+    sig = 0
+    for i, v in enumerate(small):
+        if v > mean:
+            sig |= 1 << i
+    if sig >= 1 << (n_bits - 1):
+        sig -= 1 << n_bits
+    return sig
+
+
+def image_ahash(assets: DataFrame, grid: int = 8) -> DataFrame:
+    """Per-asset perceptual hash table (doc_id, ahash) via mapInPandas —
+    Arrow-batched, partition-preserving, no shuffle. The real pipeline
+    swaps `_fake_decode_image` for PIL/libvips inside the same loop; the
+    hash itself (block-mean + mean-threshold, the classic aHash) is
+    decoder-agnostic. grid=8 gives the standard 64-bit signature."""
+    if grid * grid > 64:
+        raise ValueError("grid*grid must fit a 64-bit signature")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ahash": [ahash_bits(b, grid) for b in pdf["content"]],
+                }
+            )
+
+    return assets.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def image_neardup_pairs(
+    assets: DataFrame,
+    max_hamming: int = 3,
+    n_tables: int = 4,
+    grid: int = 8,
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash Hamming distance —
+    the visual-dedup tier of a multimodal training pipeline (crops,
+    re-encodes, and minor edits survive aHash within a few bits).
+
+    Composition of the two scale-safe halves: :func:`image_ahash` is a
+    map-only Python stage producing one BIGINT per asset, and the pairing
+    reuses :func:`market_flow_spark.extensions.dedup.hamming_block_pairs`
+    — rotated-block equi-joins, exact by pigeonhole for
+    max_hamming < n_tables, never an all-pairs distance matrix. At 100 TB
+    the hash table is corpus-row-sized (16 bytes/asset), so the join cost
+    tracks near-dup density, not payload bytes."""
+    from market_flow_spark.extensions.dedup import hamming_block_pairs
+
+    return hamming_block_pairs(
+        image_ahash(assets, grid),
+        sig_col="ahash",
+        max_hamming=max_hamming,
+        n_tables=n_tables,
+        total_bits=grid * grid,
+    )
+
+
 def featurize_assets(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """mapInPandas featurization: Arrow-batched, partition-preserving map —
     no shuffle. Each batch arrives as a pandas DataFrame with the binary

@@ -525,3 +525,68 @@ def test_kmv_overlap_estimates(spark):
         "v",
     ).collect()[0]
     assert small.est_union == 150 and small.est_intersection == 50
+
+
+def test_image_ahash_matches_replica(spark, tables):
+    """The Spark aHash stage equals the pure-python packing replica, and
+    every signature fits a signed 64-bit int."""
+    from market_flow_spark.extensions.multimodal import ahash_bits, image_ahash
+
+    docs = tables["documents"].limit(20)
+    src = {r.doc_id: r.text.encode() for r in docs.collect()}
+    rows = image_ahash(to_binary_assets(docs)).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.ahash == ahash_bits(src[r.doc_id])
+        assert -(2**63) <= r.ahash < 2**63
+
+
+def test_image_neardup_pairs_complete_vs_brute_force(spark, tables):
+    """Pigeonhole completeness of the rotated-block join for the image
+    tier: pairs within Hamming<=3 match a brute-force all-pairs scan of
+    the hash table exactly (both directions — no extras either)."""
+    from market_flow_spark.extensions.multimodal import (
+        ahash_bits,
+        image_neardup_pairs,
+    )
+
+    docs = tables["documents"].limit(60)
+    src = {r.doc_id: r.text.encode() for r in docs.collect()}
+    sigs = {i: ahash_bits(b) for i, b in src.items()}
+    expect = set()
+    ids = sorted(sigs)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            h = bin((sigs[ids[i]] ^ sigs[ids[j]]) & (2**64 - 1)).count("1")
+            if h <= 3:
+                expect.add((ids[i], ids[j], h))
+    got = {
+        (r.doc1, r.doc2, r.hamming)
+        for r in image_neardup_pairs(to_binary_assets(docs)).collect()
+    }
+    assert got == expect
+
+
+def test_image_neardup_detects_minor_edit(spark):
+    """A payload with a few flipped bytes stays within the Hamming budget;
+    an unrelated payload does not pair."""
+    import numpy as np
+
+    from market_flow_spark.extensions.multimodal import image_neardup_pairs
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, size=4096, dtype=np.uint8)
+    edited = base.copy()
+    edited[100:104] = 255  # tiny local edit
+    other = rng.randint(0, 256, size=4096, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(base.tobytes()), "image/x-fake", 4096),
+            (2, bytearray(edited.tobytes()), "image/x-fake", 4096),
+            (3, bytearray(other.tobytes()), "image/x-fake", 4096),
+        ],
+        "doc_id long, content binary, media_type string, byte_len int",
+    )
+    pairs = {(r.doc1, r.doc2) for r in image_neardup_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
