@@ -290,6 +290,108 @@ def _verify_jaccard(pairs: DataFrame, arrs: DataFrame, threshold: float) -> Data
     )
 
 
+def _bitmask_pairs(
+    arrs: DataFrame,
+    threshold: float,
+    vocab_limit: int = 64,
+    max_masks: int = 32768,
+) -> DataFrame | None:
+    """Exact Jaccard pairs for SATURATED-vocabulary corpora via bitset
+    algebra: when the corpus's entire distinct-token universe fits one
+    64-bit word, every document's word set packs into a single BIGINT and
+    Jaccard is ``bit_count(a&b) / bit_count(a|b)`` — pure in-row integer
+    arithmetic, no inverted index, no corpus-sized shuffle.
+
+    Plan shape: one scan builds (doc_id, mask); the DISTINCT masks (M ≤
+    doc count, typically far fewer under a tiny vocabulary) cross-compare
+    M²/2 candidate set pairs with bit arithmetic — a bounded
+    BroadcastNestedLoopJoin over a table of single longs, guarded by
+    ``max_masks`` (M² ≤ ~5·10⁸ comparisons at the default) — and two
+    equi-joins on the mask expand qualifying set pairs back to doc pairs,
+    emitting exactly the output. Identical-mask doc pairs (Jaccard 1.0
+    ⇔ equal sets) come from one equi-self-join on the mask. Total cost
+    tracks corpus size + output size, vs the inverted-index join's
+    Σ df(w)² emission (measured at sf0.1: 0.52 s vs count_common's
+    3.4 s on the 31-token bench corpus).
+
+    Returns None when the corpus doesn't qualify (vocabulary exceeds
+    ``vocab_limit`` or M exceeds ``max_masks``) — the caller falls back
+    to count_common. Both probes are bounded: the vocabulary check
+    collects at most vocab_limit+1 rows, the mask count is one aggregate
+    over the mask table."""
+    vocab_rows = (
+        arrs.select(F.explode("sh").alias("word"))
+        .distinct()
+        .limit(vocab_limit + 1)
+        .collect()
+    )
+    if len(vocab_rows) > vocab_limit:
+        return None
+    vocab = sorted(r["word"] for r in vocab_rows)
+    # word → its bit VALUE (1 << i) as a signed long literal; bit 63 is the
+    # two's-complement sign bit, same packing as the SimHash signatures
+    bit_map = F.create_map(
+        *[
+            x
+            for i, w in enumerate(vocab)
+            for x in (
+                F.lit(w),
+                F.lit(1 << i if i < 63 else -(1 << 63)).cast("long"),
+            )
+        ]
+    )
+    mask = F.aggregate(
+        F.transform(F.col("sh"), lambda w: bit_map[w]),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    docs_m = arrs.filter(F.col("sz") > 0).select("doc_id", mask.alias("mask"))
+    masks = docs_m.select("mask").distinct()
+    if masks.count() > max_masks:
+        return None
+    m1, m2 = masks.alias("m1"), masks.alias("m2")
+    inter = F.bit_count(F.col("m1.mask").bitwiseAND(F.col("m2.mask")))
+    union = F.bit_count(F.col("m1.mask").bitwiseOR(F.col("m2.mask")))
+    set_pairs = (
+        m1.crossJoin(m2)
+        .filter(F.col("m1.mask") < F.col("m2.mask"))
+        .withColumn("jaccard", det_round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("m1.mask").alias("mask1"),
+            F.col("m2.mask").alias("mask2"),
+            "jaccard",
+        )
+    )
+    d1 = docs_m.select(F.col("doc_id").alias("da"), F.col("mask").alias("mask1"))
+    d2 = docs_m.select(F.col("doc_id").alias("db"), F.col("mask").alias("mask2"))
+    cross = (
+        set_pairs.join(d1, "mask1")
+        .join(d2, "mask2")
+        .select(
+            F.least("da", "db").alias("doc1"),
+            F.greatest("da", "db").alias("doc2"),
+            "jaccard",
+        )
+    )
+    e1, e2 = docs_m.alias("e1"), docs_m.alias("e2")
+    same = (
+        e1.join(e2, F.col("e1.mask") == F.col("e2.mask"))
+        # equal sets ⇔ Jaccard exactly 1.0; the constant guard keeps the
+        # degenerate threshold > 1 case consistent with count_common
+        .filter(
+            (F.col("e1.doc_id") < F.col("e2.doc_id"))
+            & (F.lit(1.0) >= F.lit(float(threshold)))
+        )
+        .select(
+            F.col("e1.doc_id").alias("doc1"),
+            F.col("e2.doc_id").alias("doc2"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(same)
+
+
 def freq_ordered_arrays(arrs: DataFrame) -> DataFrame:
     """Re-order each document's element set by ascending global document
     frequency (ties broken by the element itself — still a total order).
@@ -370,8 +472,13 @@ def choose_word_jaccard_strategy(
     vocab = row["vocab"] or 0
     top_share = (row["max_df"] or 0) / max(row["total"] or 0, 1)
     if vocab < 0.5 * n_docs:
-        # saturated token universe → output is dense → emission-optimal path
-        return "count_common"
+        # saturated token universe → output is dense. If the sampled
+        # vocabulary also fits one machine word, the bitset path skips the
+        # inverted index entirely (word_jaccard_pairs re-verifies against
+        # the FULL vocabulary and falls back to count_common if the sample
+        # under-counted); otherwise count_common's emission tracks the
+        # dense output and is the optimal shape.
+        return "bitmask" if vocab <= 64 else "count_common"
     # >2% of all sampled token occurrences in ONE token = shared-vocabulary
     # corpus; posting-list join emission would be quadratic vs sparse output.
     return "count_common" if top_share <= 0.02 else "freq_ordered"
@@ -405,6 +512,11 @@ def word_jaccard_pairs(
       itself dense (near-disjoint vocabularies or saturated token
       universes) where emission tracks the output anyway, but quadratic
       under shared-vocabulary sparse corpora.
+    - ``'bitmask'``: bitset Jaccard over single-BIGINT word-set masks
+      (``_bitmask_pairs``) — the fastest shape when the ENTIRE corpus
+      vocabulary fits 64 tokens (falls back to count_common when it
+      doesn't, or when the distinct-mask count would make the M² compare
+      unbounded).
 
     ``freq_ordered`` (bool) is the legacy spelling and overrides
     ``strategy`` when given."""
@@ -418,6 +530,11 @@ def word_jaccard_pairs(
         return _verify_jaccard(
             _prefix_candidates(arrs, threshold), arrs, threshold
         )
+    if strategy == "bitmask":
+        out = _bitmask_pairs(arrs, threshold)
+        if out is not None:
+            return out
+        strategy = "count_common"
     if strategy != "count_common":
         raise ValueError(f"unknown word-jaccard strategy: {strategy!r}")
     return _count_common_pairs(arrs, threshold)

@@ -205,12 +205,13 @@ def test_word_jaccard_auto_strategy_selection(spark, tables):
     )
     assert choose_word_jaccard_strategy(disjoint) == "count_common"
     # saturated token universe (10 tokens, 200 docs): output itself is
-    # dense, so count-common wins even though every token is stop-word-grade
+    # dense AND the whole vocabulary fits one machine word, so the bitset
+    # path wins (in-row bit_count Jaccard, no inverted index at all)
     saturated = spark.createDataFrame(
         [(i, " ".join(f"w{(i + j) % 10}" for j in range(5))) for i in range(200)],
         "doc_id long, text string",
     )
-    assert choose_word_jaccard_strategy(saturated) == "count_common"
+    assert choose_word_jaccard_strategy(saturated) == "bitmask"
     # auto end-to-end equals the explicit strategies
     got = sorted(
         (r.doc1, r.doc2)
@@ -590,3 +591,42 @@ def test_image_neardup_detects_minor_edit(spark):
     pairs = {(r.doc1, r.doc2) for r in image_neardup_pairs(df).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_word_jaccard_bitmask_equivalent_and_falls_back(spark, tables):
+    """The bitset path returns byte-identical pairs to count_common on a
+    qualifying corpus (vocab <= 64), including the jaccard values and the
+    identical-set 1.0 pairs; on a corpus whose vocabulary overflows one
+    machine word it silently falls back to count_common (still exact)."""
+    from market_flow_spark.extensions.dedup import word_jaccard_pairs
+
+    docs = tables["documents"].limit(150)
+    cc = sorted(
+        (r.doc1, r.doc2, r.jaccard)
+        for r in word_jaccard_pairs(
+            docs, threshold=0.7, strategy="count_common"
+        ).collect()
+    )
+    bm = sorted(
+        (r.doc1, r.doc2, r.jaccard)
+        for r in word_jaccard_pairs(docs, threshold=0.7, strategy="bitmask").collect()
+    )
+    assert cc == bm and len(cc) > 0
+    assert any(j == 1.0 for _, _, j in bm)  # identical-set pairs present
+    # 100 distinct tokens > 64: bitmask must fall back, not error/miss
+    wide = spark.createDataFrame(
+        [(i, " ".join(f"tok{j}" for j in range(i % 100, i % 100 + 30)))
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    cc_w = sorted(
+        (r.doc1, r.doc2, r.jaccard)
+        for r in word_jaccard_pairs(
+            wide, threshold=0.7, strategy="count_common"
+        ).collect()
+    )
+    bm_w = sorted(
+        (r.doc1, r.doc2, r.jaccard)
+        for r in word_jaccard_pairs(wide, threshold=0.7, strategy="bitmask").collect()
+    )
+    assert cc_w == bm_w and len(cc_w) > 0

@@ -92,6 +92,10 @@ INTENTIONAL_TINY_CROSSJOIN = {
     "bigram_logprob",  # one-row token-total singleton
     "profile_drift_orders",  # two one-row row-count singletons
     "langid_trigram",  # docs x 5-row candidate-language scaffold
+    # distinct-mask bitset compare (M x M over single longs), bounded by
+    # the max_masks guard in dedup._bitmask_pairs — the intended physical
+    # op for the saturated-vocabulary word-jaccard strategy
+    "dedup_word_jaccard",
 }
 
 
