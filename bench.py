@@ -207,8 +207,20 @@ def main() -> None:
         "bloom_build_s": bloom_build_s,
     }
 
+    from market_flow_spark.extensions import multimodal  # noqa: E402
+
+    assets = multimodal.to_binary_assets(docs)
     emb = load_tables(spark, sf_dir)["embeddings"]
     library_ops = {
+        "image_neardup_pairs": steady(multimodal.image_neardup_pairs(assets)),
+        "image_neardup_incremental": steady(
+            multimodal.image_neardup_against(
+                assets.filter(F.col("doc_id") % 10 == 0),
+                multimodal.image_ahash(
+                    assets.filter(F.col("doc_id") % 10 != 0)
+                ),
+            )
+        ),
         "pq_topk": steady(
             similarity.pq_topk(emb, n_queries=5, k=5, m=16, n_codes=32)
         ),

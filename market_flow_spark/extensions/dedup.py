@@ -1014,6 +1014,59 @@ def hamming_block_pairs(
     )
 
 
+def hamming_block_pairs_against(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    sig_col: str = "simhash",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_tables: int = 4,
+    total_bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Incremental variant of :func:`hamming_block_pairs`: pairs between a
+    NEW batch's signatures and an EXISTING corpus signature table within
+    Hamming distance ``max_hamming`` — the shape a nightly ingest runs
+    (tonight's images/documents against the indexed corpus). The band
+    join is cross-side only, so cost scales with |new| × collision rate,
+    not |corpus|²; in production the corpus side's blocked rows are a
+    persisted table each batch reuses. Returns
+    (new_doc_id, corpus_doc_id, hamming); same pigeonhole-completeness
+    guarantee as the self-join form."""
+    assert max_hamming < n_tables, "need max_hamming < n_tables"
+    assert total_bits % n_tables == 0, "n_tables must divide total_bits"
+    width = total_bits // n_tables
+    mask = (1 << width) - 1
+    entries = [
+        F.struct(
+            F.lit(b).alias("block_idx"),
+            F.shiftright(F.col(sig_col), b * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("block_val"),
+        )
+        for b in range(n_tables)
+    ]
+
+    def blocked(sigs: DataFrame, side: str) -> DataFrame:
+        return sigs.select(
+            F.col(id_col).alias(f"{side}_doc_id"),
+            F.col(sig_col).alias(f"__sig_{side}"),
+            F.inline(F.array(*entries)),
+        )
+
+    ham = F.bit_count(F.col("__sig_new").bitwiseXOR(F.col("__sig_corpus")))
+    return (
+        blocked(new_sigs, "new")
+        .join(blocked(corpus_sigs, "corpus"), ["block_idx", "block_val"])
+        .filter(ham <= max_hamming)
+        .select(
+            "new_doc_id",
+            "corpus_doc_id",
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
 def simhash_pairs(
     docs: DataFrame, max_hamming: int = 3, n_tables: int = 4
 ) -> DataFrame:
@@ -1028,6 +1081,30 @@ def simhash_pairs(
     :func:`hamming_block_pairs` (the shared rotated-block join)."""
     return hamming_block_pairs(
         simhash_signatures(docs),
+        sig_col="simhash",
+        max_hamming=max_hamming,
+        n_tables=n_tables,
+    )
+
+
+def simhash_pairs_against(
+    new_docs: DataFrame,
+    corpus_sigs: DataFrame,
+    max_hamming: int = 3,
+    n_tables: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental SimHash dedup: near-dup pairs between a NEW batch and a
+    PREBUILT corpus signature table (``simhash_signatures`` output,
+    persisted once — 16 bytes/doc). Only the batch is re-signed; the band
+    join is cross-side only. Returns (new_doc_id, corpus_doc_id,
+    hamming); completes the incremental-ingest trio alongside
+    :func:`minhash_lsh_pairs_against` (Jaccard) and
+    :func:`market_flow_spark.extensions.multimodal.image_neardup_against`
+    (visual)."""
+    return hamming_block_pairs_against(
+        simhash_signatures(new_docs, text_col),
+        corpus_sigs,
         sig_col="simhash",
         max_hamming=max_hamming,
         n_tables=n_tables,

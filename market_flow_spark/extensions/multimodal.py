@@ -241,6 +241,32 @@ def image_neardup_pairs(
     )
 
 
+def image_neardup_against(
+    new_assets: DataFrame,
+    corpus_hashes: DataFrame,
+    max_hamming: int = 3,
+    n_tables: int = 4,
+    grid: int = 8,
+) -> DataFrame:
+    """Incremental visual dedup: near-dup pairs between a NEW asset batch
+    and a PREBUILT corpus hash table (the output of :func:`image_ahash`,
+    persisted once — 16 bytes/asset) — tonight's crawl against the indexed
+    corpus without re-hashing a single stored image. Cross-side band join
+    only (cost scales with |new| × collision rate, not |corpus|²), same
+    pigeonhole completeness as :func:`image_neardup_pairs`. Returns
+    (new_doc_id, corpus_doc_id, hamming)."""
+    from market_flow_spark.extensions.dedup import hamming_block_pairs_against
+
+    return hamming_block_pairs_against(
+        image_ahash(new_assets, grid),
+        corpus_hashes,
+        sig_col="ahash",
+        max_hamming=max_hamming,
+        n_tables=n_tables,
+        total_bits=grid * grid,
+    )
+
+
 def featurize_assets(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """mapInPandas featurization: Arrow-batched, partition-preserving map —
     no shuffle. Each batch arrives as a pandas DataFrame with the binary

@@ -745,23 +745,51 @@ def char_trigram_langid(
     base = (
         spread_to_cores(docs)
         .select("doc_id", F.col(lang_col).alias("lang"), padded.alias("__padded"))
-        .filter(F.length("__padded") >= 3)
+        # the explicit doc_id/lang not-null guards match the constraint the
+        # final inner join INFERS into the doc-profile branch — with them
+        # stated up front, every consumer of the shared count aggregate
+        # below canonicalizes identically and AQE reuses ONE exchange for
+        # all three (doc profile, language profile, language universe)
+        # instead of re-running the corpus trigram explode per branch
+        .filter(
+            (F.length("__padded") >= 3)
+            & F.col("doc_id").isNotNull()
+            & F.col("lang").isNotNull()
+        )
         .select("doc_id", "lang", F.explode(grams).alias("g"))
     )
     from pyspark.sql import Window
 
-    # per-language rank profile (rank 1 = most frequent; ties by trigram)
-    lang_counts = base.groupBy("lang", "g").agg(
+    # ONE corpus-sized explode: both rank profiles derive from the same
+    # (doc_id, lang, g) count aggregate (lang is functionally dependent on
+    # doc_id, so the extra grouping key changes nothing semantically). The
+    # two consumers' plans share the aggregate's exchange verbatim, so the
+    # explode + partial agg runs once (ReusedExchange) instead of twice —
+    # the language rollup then sums doc-grain counts, which is exact.
+    base_counts = base.groupBy("doc_id", "lang", "g").agg(
         F.count(F.lit(1)).alias("c")
     )
+    # per-language rank profile (rank 1 = most frequent; ties by trigram)
+    lang_counts = base_counts.groupBy("lang", "g").agg(F.sum("c").alias("c"))
     wl = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("g").asc())
     profiles = (
         lang_counts.withColumn("r_lang", F.row_number().over(wl))
         .filter(F.col("r_lang") <= profile_size)
         .select(F.col("lang").alias("cand_lang"), "g", "r_lang")
     )
-    # per-document rank profile
-    doc_counts = base.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    # per-document rank profile (straight projection of the shared agg)
+    doc_counts = base_counts.select("doc_id", "g", "c")
+    # candidate-language universe: every lang owning >= 1 trigram-bearing
+    # document ⇔ every lang the profiles cover. Derived from a LIGHT scan
+    # (length test only — no explode): a pruned branch off the shared
+    # aggregate would drop its count expression, break the canonical
+    # match, and silently re-run the corpus trigram pass
+    langs = (
+        docs.select(F.col(lang_col).alias("cand_lang"), padded.alias("__p"))
+        .filter((F.length("__p") >= 3) & F.col("cand_lang").isNotNull())
+        .select("cand_lang")
+        .distinct()
+    )
     wd = Window.partitionBy("doc_id").orderBy(
         F.col("c").desc(), F.col("g").asc()
     )
@@ -770,7 +798,6 @@ def char_trigram_langid(
         .filter(F.col("r_doc") <= profile_size)
         .select("doc_id", "g", "r_doc")
     )
-    langs = profiles.select("cand_lang").distinct()
     oop = F.coalesce(
         F.abs(F.col("r_doc") - F.col("r_lang")), F.lit(profile_size)
     )

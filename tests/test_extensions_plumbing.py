@@ -630,3 +630,60 @@ def test_word_jaccard_bitmask_equivalent_and_falls_back(spark, tables):
         for r in word_jaccard_pairs(wide, threshold=0.7, strategy="bitmask").collect()
     )
     assert cc_w == bm_w and len(cc_w) > 0
+
+
+def test_image_neardup_against_matches_union_cross_pairs(spark, tables):
+    """The incremental visual-dedup join finds exactly the cross-side
+    pairs the full self-join finds — persisting the corpus hash table and
+    banding only the batch is equivalent to re-running over everything."""
+    from pyspark.sql import functions as F
+
+    from market_flow_spark.extensions.multimodal import (
+        image_ahash,
+        image_neardup_against,
+        image_neardup_pairs,
+    )
+
+    docs = tables["documents"].limit(80)
+    assets = to_binary_assets(docs)
+    corpus = assets.filter(F.expr("doc_id % 5 <> 0"))
+    new = assets.filter(F.expr("doc_id % 5 = 0"))
+    incr = {
+        (r.new_doc_id, r.corpus_doc_id, r.hamming)
+        for r in image_neardup_against(new, image_ahash(corpus)).collect()
+    }
+    union_cross = set()
+    for r in image_neardup_pairs(assets).collect():
+        a_new, b_new = r.doc1 % 5 == 0, r.doc2 % 5 == 0
+        if a_new != b_new:
+            nd, cd = (r.doc1, r.doc2) if a_new else (r.doc2, r.doc1)
+            union_cross.add((nd, cd, r.hamming))
+    assert incr == union_cross
+
+
+def test_simhash_against_matches_union_cross_pairs(spark, tables):
+    """Incremental SimHash (batch vs persisted corpus signatures) finds
+    exactly the cross-side pairs of the full self-join."""
+    from pyspark.sql import functions as F
+
+    from market_flow_spark.extensions.dedup import (
+        simhash_pairs,
+        simhash_pairs_against,
+        simhash_signatures,
+    )
+
+    docs = tables["documents"]
+    corpus = docs.filter(F.expr("doc_id % 10 <> 0"))
+    new = docs.filter(F.expr("doc_id % 10 = 0"))
+    incr = {
+        (r.new_doc_id, r.corpus_doc_id, r.hamming)
+        for r in simhash_pairs_against(new, simhash_signatures(corpus)).collect()
+    }
+    union_cross = set()
+    for r in simhash_pairs(docs).collect():
+        a_new, b_new = r.doc1 % 10 == 0, r.doc2 % 10 == 0
+        if a_new != b_new:
+            nd, cd = (r.doc1, r.doc2) if a_new else (r.doc2, r.doc1)
+            union_cross.add((nd, cd, r.hamming))
+    assert incr == union_cross
+    assert len(incr) > 0
