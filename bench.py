@@ -251,6 +251,26 @@ def main() -> None:
         )
     scaling["embedding_neardup"] = emb_curve
 
+    # --- executed-plan metric accounting ------------------------------
+    # Measured bytes off every query's executed SQLMetrics (shuffle
+    # written, spill, broadcast payload, exchange counts) at sf0.01 —
+    # bounded collects, the quantitative twin of the plan-shape audit.
+    import os as _os
+
+    from market_flow_spark.metrics import collect_and_measure  # noqa: E402
+
+    met_dir = "/root/testdata/sf0.01"
+    if not _os.path.isdir(met_dir):
+        met_dir = sf_dir
+    plan_metrics: dict[str, dict] = {}
+    for name in names:
+        try:
+            n_rows, m = collect_and_measure(QUERIES[name](spark, met_dir))
+            m["rows"] = n_rows
+            plan_metrics[name] = m
+        except Exception as exc:  # pragma: no cover - diagnostics only
+            plan_metrics[name] = {"error": str(exc)[:200]}
+
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
         "cold_queries": cold,
@@ -263,6 +283,7 @@ def main() -> None:
         "scaling": scaling,
         "library_ops": library_ops,
         "contamination_bloom_ab": contamination_ab,
+        "plan_metrics": {"sf_dir": met_dir, "queries": plan_metrics},
         "sf": sf_val,
     }
     Path(__file__).resolve().parent.joinpath("bench_detail.json").write_text(

@@ -53,6 +53,73 @@ def salted_join(
     return joined.drop("__salt")
 
 
+def key_skew_profile(
+    df: DataFrame, on: str, sample_rows: int = 100_000, top_k: int = 5
+) -> dict:
+    """Measured join-key skew from a BOUNDED sample: the top keys' share
+    of rows plus the sampled row count. One small Spark job (limit →
+    aggregate → top-k collect of ``top_k`` rows); at 100 TB this reads a
+    few input splits, never the table.
+
+    Returns {"n_sampled", "top_keys": [(key, count)], "top_share"} where
+    top_share is the heaviest key's fraction of sampled rows — the number
+    that decides whether a plain hash join would funnel a corpus-fraction
+    of rows through one task."""
+    sample = df.select(on).limit(sample_rows)
+    counts = (
+        sample.groupBy(on)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col(on).asc())
+        .limit(top_k)
+        .collect()
+    )
+    n = sample.count()
+    top = [(r[on], int(r["c"])) for r in counts]
+    return {
+        "n_sampled": n,
+        "top_keys": top,
+        "top_share": (top[0][1] / n) if (top and n) else 0.0,
+    }
+
+
+def auto_salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt_source: str | None = None,
+    skew_threshold: float = 0.2,
+    max_salt: int = 64,
+    target_parallelism: int | None = None,
+) -> DataFrame:
+    """Cost-based :func:`salted_join`: measure the big side's key skew
+    from a bounded sample, and salt ONLY if one key holds more than
+    ``skew_threshold`` of sampled rows — with the salt factor sized so
+    the hot key's rows spread to roughly ``target_parallelism`` tasks
+    (default: the session's shuffle-partition count), capped at
+    ``max_salt``. A balanced key space joins plain (salting costs a
+    small-side explode; paying it unconditionally is waste).
+
+    The probe is one bounded sample job at plan time (the same sanctioned
+    pattern as ``choose_word_jaccard_strategy`` / the IVF quantizer
+    sample); the decision is returned on the DataFrame's plan, so reruns
+    of the returned frame pay nothing further."""
+    prof = key_skew_profile(big, on)
+    if prof["top_share"] <= skew_threshold:
+        return big.join(small, on=on, how=how)
+    if target_parallelism is None:
+        target_parallelism = int(
+            big.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    buckets = min(
+        max_salt,
+        max(2, int(prof["top_share"] * target_parallelism * 2)),
+    )
+    return salted_join(
+        big, small, on, how=how, salt_buckets=buckets, salt_source=salt_source
+    )
+
+
 def write_bucketed(
     df: DataFrame, table: str, bucket_col: str, num_buckets: int = 16
 ) -> None:

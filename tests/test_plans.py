@@ -160,19 +160,20 @@ def test_minhash_has_no_forced_broadcast(spark, sf_dir):
 def test_word_jaccard_auto_selects_by_corpus_shape(spark, sf_dir):
     """The registered word tier auto-selects its physical shape from
     sampled corpus stats. The test corpus has a SATURATED vocabulary
-    (~31 tokens across 500 docs → dense qualifying-pair output), so auto
-    must pick count-common (emission tracks output; measured 3.4× faster
-    here); the freq-ordered prefix shape stays available and pinned below.
-    """
+    (~31 tokens across 500 docs, well under one machine word), so auto
+    must pick the bitset path: word sets pack into single BIGINT masks,
+    Jaccard is bit_count arithmetic, and the only nested-loop join is the
+    bounded distinct-mask cross-compare (M ≤ max_masks single longs) —
+    no inverted index, no collect_list canonicalization. The freq-ordered
+    and count-common shapes stay available and pinned below."""
     from market_flow_spark.extensions.dedup import choose_word_jaccard_strategy
     from market_flow_spark.tables import load_tables
 
     docs = load_tables(spark, sf_dir)["documents"]
-    assert choose_word_jaccard_strategy(docs) == "count_common"
+    assert choose_word_jaccard_strategy(docs) == "bitmask"
     plan = _executed_plan(QUERIES["dedup_word_jaccard"](spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "partial_count" in plan  # count-common chosen on this corpus
+    assert "bit_count" in plan  # bitset Jaccard chosen on this corpus
     assert "collect_list" not in plan
 
 

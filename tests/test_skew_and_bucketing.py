@@ -77,3 +77,41 @@ def test_bucketed_join_has_no_shuffle(spark, tables):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE b_lineitem")
         spark.sql("DROP TABLE b_orders")
+
+
+def test_key_skew_profile_detects_hot_key(spark):
+    from market_flow_spark.operators.skew import key_skew_profile
+
+    hot = spark.createDataFrame(
+        [(1 if i % 2 == 0 else i, i) for i in range(2000)], "k long, v long"
+    )
+    prof = key_skew_profile(hot, "k")
+    assert prof["n_sampled"] == 2000
+    assert prof["top_keys"][0][0] == 1
+    assert abs(prof["top_share"] - 0.5) < 0.05
+    flat = spark.range(2000).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    assert key_skew_profile(flat, "k")["top_share"] < 0.01
+
+
+def test_auto_salted_join_equivalent_and_conditional(spark):
+    """auto_salted_join returns the plain-join rows exactly; it salts a
+    hot-keyed big side (small side exploded N ways) and leaves a balanced
+    one unsalted (no crossJoin of salts in the plan)."""
+    from market_flow_spark.operators.skew import auto_salted_join
+
+    big_hot = spark.createDataFrame(
+        [(1 if i % 2 == 0 else i % 50, i) for i in range(4000)],
+        "k long, payload long",
+    )
+    small = spark.createDataFrame([(i, f"d{i}") for i in range(50)], "k long, d string")
+    plain = big_hot.join(small, "k").orderBy("payload").collect()
+    salted = auto_salted_join(big_hot, small, "k", salt_source="payload")
+    assert salted.orderBy("payload").collect() == plain
+    assert "__salt" in salted._jdf.queryExecution().analyzed().toString()
+    # balanced side: decision is NOT to salt -> no salt column anywhere
+    big_flat = spark.createDataFrame(
+        [(i % 50, i) for i in range(4000)], "k long, payload long"
+    )
+    unsalted = auto_salted_join(big_flat, small, "k")
+    assert "__salt" not in unsalted._jdf.queryExecution().analyzed().toString()
+    assert unsalted.count() == 4000
