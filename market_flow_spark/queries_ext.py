@@ -3566,3 +3566,54 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum("cluster_size").cast("bigint").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Native DataSketches layer (round 4): mergeable theta / HLL / KLL
+# ---------------------------------------------------------------------------
+
+from market_flow_spark.extensions import datasketches  # noqa: E402
+
+
+@register(
+    "theta_rollup_custkeys",
+    datasketches.theta_rollup_oracle_sql("orders", "o_orderpriority", "o_custkey"),
+)
+def q_theta_rollup_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch distinct rollup: per-priority distinct customer
+    counts plus a grand total computed by UNION-MERGING the per-group
+    sketches — the sketch-cube pattern (coarse grain answered from the
+    fine grain's sketch table, no second scan). Exact mode below 2^lgk
+    entries makes the whole thing hash-checkable against DuckDB's exact
+    GROUPING SETS oracle at sf0.01 (per-group ~1.3k, total 1.5k distinct
+    — every group count genuinely differs), while the identical plan
+    degrades to ±1.6% estimates at 100 TB. Reference has no approx
+    aggregates (SURVEY §2.4); this is the production tier above the
+    oracle-exact KMV."""
+    return datasketches.theta_distinct_rollup(
+        load_tables(spark, sf_dir)["orders"], "o_orderpriority", "o_custkey"
+    )
+
+
+@register(
+    "theta_overlap_years",
+    datasketches.theta_overlap_oracle_sql(
+        "orders",
+        "o_custkey",
+        "year(o_orderdate) = 1995",
+        "year(o_orderdate) = 2001",
+    ),
+)
+def q_theta_overlap_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta set algebra between two corpora: union / intersection /
+    difference of the customer sets active in 1995 vs 2001 (a customer-
+    churn readout), from ONE sketch per side — a 1x1 crossJoin at any
+    scale. The difference estimator is the capability KMV's Jaccard
+    combinator cannot express; exact mode keeps every estimate
+    oracle-checked here."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    return datasketches.theta_overlap(
+        orders.filter(F.year("o_orderdate") == 1995),
+        orders.filter(F.year("o_orderdate") == 2001),
+        "o_custkey",
+    )

@@ -96,6 +96,7 @@ INTENTIONAL_TINY_CROSSJOIN = {
     # the max_masks guard in dedup._bitmask_pairs — the intended physical
     # op for the saturated-vocabulary word-jaccard strategy
     "dedup_word_jaccard",
+    "theta_overlap_years",  # 1x1 join of two one-row theta sketches
 }
 
 
