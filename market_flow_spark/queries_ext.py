@@ -3617,3 +3617,71 @@ def q_theta_overlap_years(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.year("o_orderdate") == 2001),
         "o_custkey",
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured tier + UNPIVOT (round 4)
+# ---------------------------------------------------------------------------
+
+from market_flow_spark.functions import semistructured  # noqa: E402
+
+
+@register(
+    "variant_events_stats",
+    """
+SELECT event_type AS etype,
+       COUNT(*) AS n_events,
+       FLOOR(SUM(CAST(value AS DECIMAL(27,6))) * 100.0 + 0.5) / 100.0
+         AS sum_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+         AS max_k
+FROM events
+GROUP BY 1
+""",
+)
+def q_variant_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT round trip: compose each event into one JSON document,
+    parse_json it ONCE into a binary variant, pull four typed columns
+    back out with try_variant_get (string / double / array index /
+    nested path), and aggregate those. The oracle aggregates the SOURCE
+    columns directly, so the hash match proves construct→parse→extract
+    is value-exact. This is the 100 TB semi-structured tier above
+    q_json_props_stats' per-field string re-parse: one parse per row,
+    and parquet variant shredding restores pruning for paths."""
+    return semistructured.variant_round_trip_stats(
+        load_tables(spark, sf_dir)["events"]
+    )
+
+
+@register(
+    "unpivot_flag_metrics",
+    """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+         CAST(SUM(l_extendedprice) AS DOUBLE) AS sum_price,
+         CAST(COUNT(*) AS DOUBLE) AS n_rows
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, metric, value
+FROM wide
+UNPIVOT (value FOR metric IN (sum_qty, sum_price, n_rows))
+""",
+)
+def q_unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via the native UNPIVOT operator (Expand, one
+    pass, no join/union-of-selects): per-returnflag metric panel melted
+    to (flag, metric, value) rows — the shape feature stores and metric
+    sinks ingest. Unpivot is the one relational reshape the repo's pivot
+    coverage (pivot_returnflag) didn't yet exercise; DuckDB's UNPIVOT is
+    the exact oracle."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.sum("l_extendedprice").cast("double").alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "n_rows"], "metric", "value"
+    )
