@@ -57,6 +57,9 @@ def get_spark(
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource connectors (sources/pyds.py) prune fetch
+        # partitions via pushFilters; the capability is config-gated
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # local-mode note: driver == executors == one JVM, so this bounds
         # the WHOLE engine's heap; 16g keeps long many-query sessions (the
         # bench, the full pytest suite) out of GC-pressure territory on the
