@@ -155,6 +155,19 @@ incremental-MinHash operators, per the round-3 brief):
                        text_profile / top10_products cover the machinery)
 - dedup_cluster_sizes (two-level aggregate over the in-window
                        dedup_minhash_lsh component machinery)
+Rotated out in round 5 (each driver-green in r1-r4; the swap lets the
+driver certify the r4 VARIANT / theta-sketch / winnowing / span tiers):
+- forecast_horizon    (UD2 horizon computation  -> linear_forecast covers
+                       the per-group applyInPandas fit; country_month_avg
+                       the grouped date-agg shape)
+- page_and_tail       (O3 offset/limit + O5 last-N -> top10_products
+                       covers the TakeOrderedAndProject rank-filter;
+                       every ordered query the presentation ORDER BY)
+- float_key_join      (J8 float-key equi-join -> normalized_join covers
+                       the normalized-key equi-join idiom in-window)
+- ann_lsh_topk        (sign-bucket LSH ANN -> dedup_minhash_lsh covers
+                       the hash-bucket equi-join; ivf_topk the bucketed
+                       cosine-scoring machinery in-window)
 All r4 additions are full-oracle-checked in tests/test_oracle_parity.
 """
 
@@ -182,7 +195,6 @@ _PRIORITY: list[str] = [
     "table_audit",
     "top10_products",
     "rolling_ma30",
-    "page_and_tail",
     "filter_suite",
     # imputation
     "mean_impute",
@@ -191,7 +203,6 @@ _PRIORITY: list[str] = [
     # joins / incremental
     "anti_join_missing_months",
     "normalized_join",
-    "float_key_join",
     "upsert_plan",
     # text analysis
     "text_profile",
@@ -204,17 +215,21 @@ _PRIORITY: list[str] = [
     "dedup_minhash_lsh",
     "dedup_minhash_incremental",
     "simhash_pairs",
+    # r5 rotation: winnowing containment + C4 span scrub driver-certified
+    "winnow_containment",
+    "span_dedup",
     # similarity search
     "cosine_topk",
-    "ann_lsh_topk",
     "ivf_topk",
     "embedding_near_dup",
-    # sketches / multimodal
+    # sketches / semi-structured / multimodal (r5 rotation: theta sketch
+    # algebra + VARIANT round-trip driver-certified)
     "kmv_distinct_parts",
+    "theta_rollup_custkeys",
+    "variant_events_stats",
     "multimodal_frames",
     # forecasting
     "linear_forecast",
-    "forecast_horizon",
     "best_markets",
     "pivot_returnflag",
     # time windows (streaming twins; sliding is past-window — same window()

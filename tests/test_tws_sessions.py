@@ -5,7 +5,16 @@ the batch session_window aggregate on closed sessions."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
+
+# Spark's streaming Python runner for transformWithStateInPandas imports
+# google.protobuf at worker startup (state-server protocol); without it the
+# worker dies with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE before any
+# operator code runs. Gate the whole module like the Prophet smoke
+# (test_stateful_and_cache.py) so the suite stays green where protobuf is
+# absent and the tests execute for real wherever it is installed.
+pytest.importorskip("google.protobuf")
 
 from market_flow_spark.streaming.tws import finalized_user_sessions
 
