@@ -1,12 +1,21 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+JSON line with totals plus only the slowest-N per-query timings (the full
+per-query map — every pass, spreads, scaling curves, plan metrics — lives
+in bench_detail.json; the printed line is kept < 1800 bytes because the
+driver captures only the tail of stdout).
 
 Each query is fully materialized through the noop sink (all columns computed,
 nothing collected to the driver) — the honest cost of the plan, not of
 toPandas.
+
+Noise control (round-6): each query runs 1 cold + N warm passes (N =
+$SPARK_GRAFT_WARM_PASSES, default 5) and the steady-state number is the
+MEDIAN of the warm passes; the min and the max/min spread are recorded in
+bench_detail.json so a round-over-round move can be attributed to code vs
+environment (the r4->r5 0.79x "improvement" was pure variance — median-of-5
+bounds that).
 """
 
 from __future__ import annotations
@@ -61,31 +70,52 @@ def main() -> None:
         spark._jvm.System.gc()
         return dt
 
-    # Three passes per query over ONE constructed DataFrame. The cold pass
-    # carries the per-query one-time costs — Python-side plan construction
-    # (~0.7 s/query of py4j traffic, measured) and whole-stage-codegen
-    # compilation — while the warm passes re-execute the same logical plan
-    # (AQE replans physically each run), so `value` is the steady-state
+    # 1 cold + N warm passes per query over ONE constructed DataFrame. The
+    # cold pass carries the per-query one-time costs — Python-side plan
+    # construction (~0.7 s/query of py4j traffic, measured) and whole-stage-
+    # codegen compilation — while the warm passes re-execute the same logical
+    # plan (AQE replans physically each run), so `value` is the steady-state
     # EXECUTION cost, which is what scales with data. The steady number per
-    # query is the MIN of the two warm passes — the least-noise estimator
-    # on a shared box (GC pauses and scheduler jitter only ever add time).
-    # All three passes run back-to-back PER QUERY and the DataFrame is
-    # released before the next query starts: keeping every plan alive for
-    # suite-wide passes (the old layout) held ~80 query plans plus their
+    # query is the MEDIAN of the warm passes: with N >= 5 the median is
+    # robust both to one-sided noise (GC pauses, scheduler jitter add time)
+    # and to a single lucky pass, so a round-over-round move >~1.3x is
+    # attributable to code. min and max/min spread are recorded alongside.
+    # All passes run back-to-back PER QUERY and the DataFrame is released
+    # before the next query starts: keeping every plan alive for suite-wide
+    # passes (the old layout) held ~80 query plans plus their
     # broadcast/shuffle state live in the one local-mode JVM, and the heap
     # pressure inflated heavy queries' "warm" numbers up to 4x (measured:
     # bm25 0.95 s isolated vs 4.1 s under the old layout at 78 queries).
     # All passes land in bench_detail.json (keeping the printed line small
     # enough for the driver's capture buffer — metric/value/sf lead it).
-    cold, warm1, warm2 = {}, {}, {}
+    n_warm = max(2, int(os.environ.get("SPARK_GRAFT_WARM_PASSES", "5")))
+    cold: dict[str, float] = {}
+    construct: dict[str, float] = {}
+    warm_passes: dict[str, list[float]] = {}
     for name in names:
+        # cold = Python-side plan construction (py4j expression traffic,
+        # recorded separately in `construct`) + first execution (codegen
+        # compile, parquet footer reads, and — for the checkpointed
+        # iterative queries — the entire loop, whose localCheckpoint the
+        # warm passes then reuse). See PLANS.md "Cold-start anatomy".
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
-        cold[name] = round(time.perf_counter() - t0 + run(df), 3)
-        warm1[name] = run(df)
-        warm2[name] = run(df)
+        construct[name] = round(time.perf_counter() - t0, 3)
+        cold[name] = round(construct[name] + run(df), 3)
+        warm_passes[name] = [run(df) for _ in range(n_warm)]
         del df
-    warm = {name: min(warm1[name], warm2[name]) for name in names}
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return round(s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2, 3)
+
+    warm = {name: median(ps) for name, ps in warm_passes.items()}
+    warm_min = {name: min(ps) for name, ps in warm_passes.items()}
+    warm_spread = {
+        name: round(max(ps) / max(min(ps), 1e-9), 2)
+        for name, ps in warm_passes.items()
+    }
 
     # --- word-jaccard strategy A/B + dedup-ladder scaling curve ----------
     # Both physical shapes of the unigram tier are timed head-to-head, and
@@ -107,6 +137,39 @@ def main() -> None:
         strat: steady(dedup.word_jaccard_pairs(docs, threshold=0.7, strategy=strat))
         for strat in ("count_common", "freq_ordered")
     }
+
+    # freq_ordered showcase (round-6): the bench corpus is saturated-vocab
+    # (count_common's home turf), so build the OTHER shape — sparse per-doc
+    # vocabularies sharing a handful of ubiquitous stop tokens. Here
+    # count_common's inverted-index join must emit ~|stop| * N^2/2 rows
+    # (every doc pair meets on every stop word) while the rarest-first
+    # prefix (len = floor(0.3*25)+1 = 8 <= 15 unique tokens) keeps stop
+    # words out of the index entirely — candidate emission ~0. This is the
+    # corpus family choose_word_jaccard_strategy's top_share>2% branch
+    # exists for; the recorded selector choice proves it picks freq_ordered
+    # here without being told.
+    stop_words = "the of and to in a is it for on"  # 10 ubiquitous tokens
+    sw_docs = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.expr(
+                "concat_ws(' ', transform(sequence(1, 15),"
+                " i -> concat('tok', doc_id, 'x', i)))"
+            ),
+            F.lit(stop_words),
+        ).alias("text"),
+    )
+    stopword_strategies = {
+        strat: steady(dedup.word_jaccard_pairs(sw_docs, threshold=0.7, strategy=strat))
+        for strat in ("count_common", "freq_ordered")
+    }
+    stopword_strategies["selector_choice"] = dedup.choose_word_jaccard_strategy(
+        sw_docs
+    )
+    stopword_strategies["bench_corpus_selector_choice"] = (
+        dedup.choose_word_jaccard_strategy(docs)
+    )
 
     half = docs.filter(F.col("doc_id") % 2 == 0)
     tiers = {
@@ -182,6 +245,40 @@ def main() -> None:
                 }
             )
         scaling[tier_name] = curve
+
+    # --- >=10x scaling point for the heavy text tier (round-6) ----------
+    # The round-5 scaling evidence stopped at x4/20k docs and only covered
+    # the dedup tiers; the near-linearity claims for langid / hashed-TF-IDF
+    # / bigram-LM had no measured point past the bench corpus. Each heavy
+    # tier here runs at full corpus and at a 10x inflated corpus (same
+    # perturbation scheme as the dedup curve, so near-dup structure does
+    # not collapse); one cold pass is discarded and ONE warm pass is timed
+    # — at >=10 s wall the relative noise a median would remove is small,
+    # and a second full pass would double a multi-minute block.
+    from market_flow_spark.extensions import retrieval, text  # noqa: E402
+
+    heavy_tiers = {
+        "langid_trigram": lambda d: text.char_trigram_langid(d),
+        "tfidf_doc_similarity": lambda d: retrieval.tfidf_doc_topk(
+            d, n_queries=5, k=5
+        ),
+        "bigram_logprob": lambda d: text.bigram_logprob(d),
+        "dedup_minhash_lsh": lambda d: dedup.minhash_lsh_pairs(d, threshold=0.8),
+    }
+    big = inflate(10)
+    for tier_name, build in heavy_tiers.items():
+        curve = scaling.setdefault(tier_name, [])
+        if not any(p["subset"] == "full" for p in curve):
+            df_full = build(docs)
+            run(df_full)
+            curve.append(
+                {"subset": "full", "rows": docs.count(), "sec": run(df_full)}
+            )
+            del df_full
+        df_big = build(big)
+        run(df_big)  # cold: codegen + construction, discarded
+        curve.append({"subset": "x10", "rows": big.count(), "sec": run(df_big)})
+        del df_big
 
     # library-only ANN ops (no SQL oracle, so not registered queries):
     # steady-state timings so the compressed tiers have recorded perf too
@@ -275,11 +372,17 @@ def main() -> None:
     detail = {
         "cold_queries": cold,
         "cold_total": round(sum(cold.values()), 3),
-        "warm_pass1": warm1,
-        "warm_pass2": warm2,
-        "warm_queries": warm,
+        "construct_queries": construct,
+        "construct_total": round(sum(construct.values()), 3),
+        "n_warm_passes": n_warm,
+        "warm_passes": warm_passes,
+        "warm_queries": warm,  # median of warm passes
+        "warm_min": warm_min,
+        "warm_spread_max_over_min": warm_spread,
         "warm_total": round(sum(warm.values()), 3),
+        "warm_total_min": round(sum(warm_min.values()), 3),
         "word_jaccard_strategies": strategies,
+        "word_jaccard_stopword_fixture": stopword_strategies,
         "scaling": scaling,
         "library_ops": library_ops,
         "contamination_bloom_ab": contamination_ab,
@@ -297,8 +400,10 @@ def main() -> None:
     # dropping entries until the line is guaranteed < 1800 bytes; the full
     # per-query map (all three passes) lives in bench_detail.json.
     slowest = sorted(warm.items(), key=lambda kv: -kv[1])
-    n_top = min(15, len(slowest))
-    while n_top > 0:
+    # n_top counts DOWN TO 0 inclusive, so `line` is always bound: the
+    # final n_top=0 rendering (totals only, no per-query map) is ~220
+    # bytes and genuinely < 1800 — the invariant is enforced, not assumed.
+    for n_top in range(min(15, len(slowest)), -1, -1):
         line = json.dumps(
             {
                 "metric": "headline_queries_total_wall_steady_state",
@@ -315,7 +420,6 @@ def main() -> None:
         )
         if len(line) < 1800:
             break
-        n_top -= 1
     print(line)
     spark.stop()
 

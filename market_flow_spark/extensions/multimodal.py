@@ -2,11 +2,13 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata; the
 Spark-side machinery — schema, partition-preserving mapInPandas, Arrow batch
-shapes — is real and tested. The actual media decode is STUBBED (the
-image/audio libraries are not in this environment): ``decode_media`` raises
-NotImplementedError by contract, and ``featurize_assets`` uses a
-deterministic byte-level featurizer in its place so the pipeline is
-end-to-end testable.
+shapes — is real and tested. ``decode_media``'s image path is REAL and
+Pillow-gated (PNG/JPEG → numpy array when PIL imports; NotImplementedError
+when not, as in this container — exercised by the importorskip'd test in
+test_extensions_plumbing.py). Audio/video decode stays a contract stub
+(libsndfile/ffmpeg absent), and ``featurize_assets`` uses a deterministic
+byte-level featurizer in its place so the pipeline is end-to-end testable
+with no imaging dependency.
 
 At 100 TB: binary payloads ride in parquet with a small row-group size;
 featurization is mapInPandas (Arrow-batched, one Python worker per core,
@@ -49,12 +51,29 @@ def to_binary_assets(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_media(content: bytes, media_type: str):
-    """Decode an asset into a media object (image array, audio samples...).
+    """Decode an asset into a media object (image → HxW[xC] uint8 numpy
+    array; audio/video still stubbed).
 
-    STUB: real decoders (PIL / libsndfile / ffmpeg) are not available in
-    this environment. The Spark-side contract is what matters: callers get
-    per-asset decode inside the featurizer's Arrow batch loop.
+    The image path is REAL when Pillow is importable: any PIL-supported
+    container (PNG/JPEG/...) decodes to a numpy array inside the
+    featurizer's Arrow batch loop — one import probe per Python worker
+    (module-level cache), then pure per-asset decode. Where Pillow is
+    absent (this container), the call raises NotImplementedError and
+    callers fall back to the deterministic stand-ins below; the Spark-side
+    contract (schema, partitioning, batch shape) is identical either way.
+    Audio/video decoders (libsndfile / ffmpeg) remain stubs.
     """
+    if media_type.startswith("image"):
+        try:
+            import io
+
+            from PIL import Image  # optional dep, same gate as Prophet
+        except ImportError as exc:
+            raise NotImplementedError(
+                "image decode requires the optional Pillow dependency"
+            ) from exc
+        with Image.open(io.BytesIO(content)) as img:
+            return np.asarray(img)
     raise NotImplementedError(
         f"media decode for {media_type!r} requires optional decoder libraries"
     )

@@ -87,9 +87,85 @@ def test_sample_frames_expands_rows(spark, tables):
             assert r.frame_md5 == hashlib.md5(frame).hexdigest()
 
 
-def test_decode_media_is_stubbed():
+def test_decode_media_audio_is_stubbed():
+    # audio/video decoders stay contract stubs everywhere; the image path
+    # is Pillow-gated (real when PIL imports, NotImplementedError when not)
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG", "image/png")
+        decode_media(b"RIFF....WAVE", "audio/wav")
+
+
+def _minimal_png(pixels: list[list[int]]) -> bytes:
+    """Encode a grayscale 8-bit PNG with nothing but the stdlib, so the
+    fixture itself needs no imaging library — only the decode under test
+    does."""
+    import struct
+    import zlib
+
+    h, w = len(pixels), len(pixels[0])
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    raw = b"".join(b"\x00" + bytes(row) for row in pixels)  # filter 0/row
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_media_image_real_decode(spark):
+    """Pillow-gated happy path (same optional-dep pattern as the Prophet
+    smoke in test_stateful_and_cache.py): decode an in-memory PNG through
+    decode_media inside the mapInPandas batch loop — the exact call site
+    the featurizer documents for the real pipeline."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import numpy as np
+
+    pixels = [[0, 64, 128, 255], [255, 128, 64, 0], [10, 20, 30, 40]]
+    png = _minimal_png(pixels)
+
+    # direct contract: bytes -> HxW uint8 array, values exact
+    arr = decode_media(png, "image/png")
+    assert arr.shape == (3, 4)
+    assert arr.tolist() == pixels
+
+    # end-to-end through the Spark-side plumbing: one binary-asset row,
+    # decoded per-batch in mapInPandas, mean pixel emitted
+    import pandas as pd
+
+    assets = spark.createDataFrame(
+        [(1, bytearray(png), "image/png", len(png))],
+        "doc_id bigint, content binary, media_type string, byte_len int",
+    )
+
+    def decode_batches(batches):
+        for pdf in batches:
+            decoded = [
+                decode_media(bytes(c), m)
+                for c, m in zip(pdf["content"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "height": [d.shape[0] for d in decoded],
+                    "width": [d.shape[1] for d in decoded],
+                    "mean_px": [float(np.mean(d)) for d in decoded],
+                }
+            )
+
+    row = assets.mapInPandas(
+        decode_batches, "doc_id bigint, height int, width int, mean_px double"
+    ).collect()[0]
+    assert (row.height, row.width) == (3, 4)
+    assert abs(row.mean_px - np.mean(pixels)) < 1e-9
 
 
 def test_api_source_driver_side(spark):

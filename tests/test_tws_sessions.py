@@ -13,8 +13,17 @@ from pyspark.sql import functions as F
 # worker dies with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE before any
 # operator code runs. Gate the whole module like the Prophet smoke
 # (test_stateful_and_cache.py) so the suite stays green where protobuf is
-# absent and the tests execute for real wherever it is installed.
-pytest.importorskip("google.protobuf")
+# absent and the tests execute for real wherever it is installed. protobuf
+# is declared in [project.optional-dependencies] test, but it CANNOT be
+# installed in the build sandbox (network-less; pip/apt installs are
+# prohibited by environment policy — `import google` fails with
+# ModuleNotFoundError: No module named 'google'), so these tests skip here
+# and run under any normal `pip install .[test]` CI environment.
+pytest.importorskip(
+    "google.protobuf",
+    reason="protobuf absent and uninstallable in this sandbox (no network, "
+    "installs prohibited); declared in the [test] extra — runs in normal CI",
+)
 
 from market_flow_spark.streaming.tws import finalized_user_sessions
 
