@@ -1,4 +1,4 @@
-"""Custom stateful streaming operator via applyInPandasWithState
+"""Custom stateful streaming operators via applyInPandasWithState
 (north-star extension; the reference has no streaming at all, SURVEY §2.9).
 
 ``running_user_totals`` maintains per-user cumulative (count, sum) state
@@ -6,6 +6,16 @@ across micro-batches — the canonical arbitrary-stateful shape
 (sessionization, running CDC merges, and online feature aggregation all
 look like this). State lives in the state store (checkpointed, rescalable
 by key); each micro-batch touches only the keys present in the batch.
+
+``finalized_user_sessions_legacy`` is gap sessionization with emit-once
+semantics on THIS (Spark 3.x-era) API: per-key EventTimeTimeout stands in
+for the explicit event-time timers of Spark 4's
+transformWithStateInPandas. It is semantically identical to
+``tws.finalized_user_sessions`` — same output schema, same
+one-row-per-closed-session contract — and exists precisely so the session
+design is EXECUTED and oracle-checked in environments where the Spark-4
+state-server protocol cannot run (its Python worker needs protobuf, absent
+here); the tws twin then only ports verified logic onto the newer handles.
 """
 
 from __future__ import annotations
@@ -42,4 +52,133 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+SESSION_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, total_value double"
+)
+# state timestamps in MICROSECONDS since epoch: the events tables carry
+# us-precision timestamps, and a coarser state unit would shift emitted
+# session bounds off the batch session_window oracle (ms truncation was
+# a real, test-caught bug)
+_SESSION_STATE = "start_us bigint, end_us bigint, n bigint, total double"
+
+
+def _sessionize_batch(pdfs, gap_us: int, open_state):
+    """Fold a micro-batch's rows (plus the carried open session, if any)
+    into gap sessions. Returns [(start_us, end_us, n, total), ...]
+    (timestamps in MICROSECONDS since epoch — full parquet us precision,
+    so emitted bounds match session_window exactly) in event-time order —
+    every entry but the LAST was closed by a later event more than
+    `gap_us` after it; the last is the still-open session.
+
+    Vectorized (one sort + one diff over the batch, no per-event Python
+    loop): session boundaries are exactly the positions where consecutive
+    event-time deltas exceed the gap. Shared by BOTH stateful APIs — the
+    applyInPandasWithState operator below (executed + oracle-checked in
+    this repo's suite) and the transformWithStateInPandas twin in tws.py
+    — so the session algebra is verified once and ported nowhere.
+
+    Out-of-order events are handled exactly within a batch (the sort) and
+    bounded across batches by the watermark contract: an event older than
+    the watermark never reaches the operator, and the carried open session
+    merges with the batch's FIRST session when within the gap (min/max
+    fold). An event that lands between two already-separate sessions of
+    the key can only arrive while the earlier one is still open —
+    otherwise the watermark (>= closed end + gap) would have dropped it."""
+    import numpy as np
+
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if not frames:
+        return [open_state] if open_state is not None else []
+    pdf = pd.concat(frames, ignore_index=True).sort_values("ts")
+    ts_us = (pdf["ts"].astype("int64") // 1_000).to_numpy()
+    vals = pdf["value"].to_numpy()
+    starts = np.flatnonzero(np.diff(ts_us) > gap_us) + 1
+    segs = np.split(np.arange(len(ts_us)), starts)
+    sessions = [
+        (int(ts_us[s[0]]), int(ts_us[s[-1]]), len(s), float(vals[s].sum()))
+        for s in segs
+    ]
+    if open_state is not None:
+        s0, e0, n0, t0 = open_state
+        fs, fe, fn, ft = sessions[0]
+        if fs <= e0 + gap_us:
+            sessions[0] = (min(s0, fs), max(e0, fe), n0 + fn, t0 + ft)
+        else:
+            sessions.insert(0, (s0, e0, n0, t0))
+    return sessions
+
+
+def finalized_user_sessions_legacy(
+    events: DataFrame, gap: str = "5 minutes", watermark_delay: str = "0 seconds"
+) -> DataFrame:
+    """Append-mode stream of COMPLETED per-user sessions (classic gap
+    sessionization) on applyInPandasWithState + EventTimeTimeout.
+
+    Semantics (identical to tws.finalized_user_sessions):
+    - events for a user extend their open session while they arrive
+      within `gap` of the current end (event time);
+    - when the watermark passes session_end + gap, the state times out,
+      ONE finalized row (user_id, session_start, session_end, n_events,
+      total_value) is emitted, and the state is removed — state size
+      tracks OPEN sessions only, which is what keeps a 100 TB/day
+      stream's RocksDB store bounded;
+    - late events beyond the watermark are dropped by the engine before
+      the operator sees them (standard watermark contract).
+
+    `events` needs (user_id, ts timestamp, value double).
+    """
+    unit_ms = {"seconds": 1_000, "minutes": 60_000, "hours": 3_600_000}
+    qty, unit = gap.split()
+    gap_ms = int(qty) * unit_ms[unit]
+    gap_us = gap_ms * 1_000
+
+    def emit(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [key_id for key_id, *_ in rows],
+                "session_start": [pd.Timestamp(s, unit="us") for _, s, *_ in rows],
+                "session_end": [pd.Timestamp(e, unit="us") for _, _, e, *_ in rows],
+                "n_events": [n for *_, n, _ in rows],
+                "total_value": [t for *_, t in rows],
+            }
+        )
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # watermark passed end + gap: finalize exactly once, clear
+            start_us, end_us, n, total = state.get
+            state.remove()
+            yield emit([(key[0], start_us, end_us, n, total)])
+            return
+        sessions = _sessionize_batch(pdfs, gap_us, state.get if state.exists else None)
+        if not sessions:
+            return
+        # the last (latest) session stays open: store it, re-arm the
+        # timeout at its end + gap (the legacy API keeps one timeout per
+        # key — exactly the one live timer the tws twin maintains
+        # explicitly). Every earlier session was CLOSED by a later
+        # in-batch event beyond the gap, so it is final the moment the
+        # batch is processed — emit now rather than waiting for the
+        # watermark, same rows session_window would produce.
+        state.update(sessions[-1])
+        # the engine's timeout clock is ms-epoch; round the us-precision
+        # session end UP so the timeout never fires a sub-ms early
+        state.setTimeoutTimestamp(-(-sessions[-1][1] // 1_000) + gap_ms)
+        if len(sessions) > 1:
+            yield emit([(key[0], *s) for s in sessions[:-1]])
+
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

@@ -3,8 +3,13 @@ arbitrary-stateful API — north-star extension; the reference has no
 streaming at all, SURVEY §2.9).
 
 `stateful.running_user_totals` covers the legacy applyInPandasWithState
-shape (one blob of state per key, emit every batch). This operator uses
-what the new API adds on top:
+shape (one blob of state per key, emit every batch), and
+`stateful.finalized_user_sessions_legacy` is THIS operator's semantic twin
+on that API — same output schema, same emit-once contract, and the same
+shared `_sessionize_batch` core, so the session algebra is executed and
+oracle-checked (tests/test_stateful_sessions.py) even where this module's
+Python worker cannot start (it needs protobuf). This operator uses what
+the new API adds on top:
 
 - **named, typed state handles** (a ValueState per concern instead of
   one packed tuple),
@@ -48,49 +53,72 @@ OUTPUT_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
     "n_events bigint, total_value double"
 )
-_SESS_SCHEMA = "start_ms bigint, end_ms bigint, n bigint, total double"
+# state timestamps in MICROSECONDS since epoch (full parquet precision;
+# same rationale and layout as stateful._SESSION_STATE)
+_SESS_SCHEMA = "start_us bigint, end_us bigint, n bigint, total double"
 
 
 class SessionFinalizer(StatefulProcessor):
     def __init__(self, gap_ms: int) -> None:
         self.gap_ms = gap_ms
+        self.gap_us = gap_ms * 1_000
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self.handle = handle
         self.sess = handle.getValueState("sess", _SESS_SCHEMA)
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
-        start_ms = end_ms = None
-        n = 0
-        total = 0.0
-        if self.sess.exists():
-            start_ms, end_ms, n, total = self.sess.get()
-        for pdf in rows:
-            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).to_numpy()
-            lo, hi = int(ts_ms.min()), int(ts_ms.max())
-            start_ms = lo if start_ms is None else min(start_ms, lo)
-            end_ms = hi if end_ms is None else max(end_ms, hi)
-            n += len(pdf)
-            total += float(pdf["value"].sum())
-        if start_ms is None:
+        # session algebra shared with (and executed/oracle-checked via)
+        # the applyInPandasWithState twin — see stateful._sessionize_batch
+        from market_flow_spark.streaming.stateful import _sessionize_batch
+
+        sessions = _sessionize_batch(
+            rows, self.gap_us, self.sess.get() if self.sess.exists() else None
+        )
+        if not sessions:
             return iter(())
-        # one live timer per key: re-arm at the new session end + gap
+        # the last (latest) session stays open; one live timer per key,
+        # re-armed at the new session end + gap. Every earlier session was
+        # closed by a later in-batch event beyond the gap — final now, so
+        # emit immediately (the same rows session_window would produce)
+        # instead of waiting for the watermark.
         for t in self.handle.listTimers():
             self.handle.deleteTimer(t)
-        self.sess.update((start_ms, end_ms, n, total))
-        self.handle.registerTimer(end_ms + self.gap_ms)
-        return iter(())
+        self.sess.update(sessions[-1])
+        # the timer clock is ms-epoch; round the us session end UP so the
+        # timer never fires a sub-ms early
+        self.handle.registerTimer(-(-sessions[-1][1] // 1_000) + self.gap_ms)
+        closed = sessions[:-1]
+        if not closed:
+            return iter(())
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "user_id": [key[0]] * len(closed),
+                        "session_start": [
+                            pd.Timestamp(s, unit="us") for s, *_ in closed
+                        ],
+                        "session_end": [
+                            pd.Timestamp(e, unit="us") for _, e, *_ in closed
+                        ],
+                        "n_events": [n for _, _, n, _ in closed],
+                        "total_value": [t for *_, t in closed],
+                    }
+                )
+            ]
+        )
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
         if not self.sess.exists():
             return iter(())
-        start_ms, end_ms, n, total = self.sess.get()
+        start_us, end_us, n, total = self.sess.get()
         self.sess.clear()
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
-                "session_start": [pd.Timestamp(start_ms, unit="ms")],
-                "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(end_us, unit="us")],
                 "n_events": [n],
                 "total_value": [total],
             }
