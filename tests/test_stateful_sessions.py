@@ -172,3 +172,57 @@ def test_closed_sessions_match_batch_session_window(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+# ---- property test for the shared session core (no Spark involved) ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from market_flow_spark.streaming.stateful import _sessionize_batch
+
+
+def _naive_sessions(ts_us_sorted, vals, gap_us):
+    out = []
+    for t, v in zip(ts_us_sorted, vals):
+        if out and t <= out[-1][1] + gap_us:
+            s, e, n, tot = out[-1]
+            out[-1] = (s, max(e, t), n + 1, tot + v)
+        else:
+            out.append((t, t, 1, v))
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    ts=st.lists(st.integers(0, 10_000_000), min_size=1, max_size=60),
+    gap_us=st.integers(1, 2_000_000),
+    carry=st.booleans(),
+)
+def test_sessionize_batch_matches_naive(ts, gap_us, carry):
+    """The vectorized diff/split sessionizer equals an event-at-a-time
+    fold for any event-time multiset and gap — including the carried
+    open-state merge path both streaming operators share."""
+    ts_sorted = sorted(ts)
+    vals = [float(i) for i in range(len(ts_sorted))]
+    order = sorted(range(len(ts)), key=lambda i: ts[i])
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime([t * 1_000 for t in ts], unit="ns"),
+            "value": [vals[order.index(i)] for i in range(len(ts))],
+        }
+    )
+    open_state = (-5_000_000, -5_000_000, 2, 7.0) if carry else None
+    got = _sessionize_batch([pdf], gap_us, open_state)
+
+    exp = _naive_sessions(ts_sorted, vals, gap_us)
+    if open_state is not None:
+        s0, e0, n0, t0 = open_state
+        fs, fe, fn, ft = exp[0]
+        if fs <= e0 + gap_us:
+            exp[0] = (min(s0, fs), max(e0, fe), n0 + fn, t0 + ft)
+        else:
+            exp.insert(0, open_state)
+    assert [(s, e, n) for s, e, n, _ in got] == [(s, e, n) for s, e, n, _ in exp]
+    for (_, _, _, g), (_, _, _, x) in zip(got, exp):
+        assert abs(g - x) < 1e-9
