@@ -255,7 +255,16 @@ def main() -> None:
     # not collapse); one cold pass is discarded and ONE warm pass is timed
     # — at >=10 s wall the relative noise a median would remove is small,
     # and a second full pass would double a multi-minute block.
-    from market_flow_spark.extensions import retrieval, text  # noqa: E402
+    from market_flow_spark.extensions import classify, retrieval, text, web  # noqa: E402
+    from market_flow_spark.queries_ext import _synth_url  # noqa: E402
+
+    def _nb_end_to_end(d):
+        train = d.filter(F.col("doc_id") % 5 != 0)
+        test = d.filter(F.col("doc_id") % 5 == 0)
+        grid, labels = classify.nb_train(train, "lang")
+        return classify.nb_confusion(
+            test, classify.nb_predict(test, grid, labels), "lang"
+        )
 
     heavy_tiers = {
         "langid_trigram": lambda d: text.char_trigram_langid(d),
@@ -264,6 +273,12 @@ def main() -> None:
         ),
         "bigram_logprob": lambda d: text.bigram_logprob(d),
         "dedup_minhash_lsh": lambda d: dedup.minhash_lsh_pairs(d, threshold=0.8),
+        # round-6 additions: the web-URL and NB-classifier tiers are both
+        # one-corpus-pass shapes — their x10 points pin that claim
+        "url_canonical_dedup": lambda d: web.url_dedup(
+            d.withColumn("url", _synth_url())
+        ),
+        "nb_classify_lang": _nb_end_to_end,
     }
     big = inflate(10)
     for tier_name, build in heavy_tiers.items():

@@ -1,0 +1,183 @@
+"""Distributed multinomial Naive Bayes over token counts — the
+fastText/CCNet-style linear quality/language classifier shape, trained
+and applied entirely as DataFrame algebra (no MLlib, no driver-side
+model object, no UDFs).
+
+A web-scale pipeline trains this on a labeled seed (wiki = high quality,
+raw crawl = background) and scores every document; the model IS three
+small DataFrames (per-(label, token) log-likelihoods, per-label defaults
+and priors), so train->apply is join+aggregate and the 100 TB cost is
+ONE tokenize pass over the corpus plus a vocab-bounded join.
+
+Determinism contract (mirrored in the DuckDB oracle): every
+log-likelihood is fixed-pointed to BIGINT micro-nats (``floor(ln(x)*1e6
++ 0.5)``) BEFORE any summation, so per-document scores are integer sums
+— order-independent across partitions and bit-identical across engines;
+the argmax tiebreak is (score desc, label asc).
+
+Reference anchor: the reference has no learned classifier; this extends
+its staging-quality-gate idea (market-flow `dags/sql/staging` filters)
+with the standard corpus-filtering classifier from the public
+CCNet/fastText recipe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+FP_SCALE = 1_000_000
+
+
+def _fp(col: Column) -> Column:
+    """ln -> BIGINT micro-nats (deterministic cross-engine rounding)."""
+    return F.floor(col * F.lit(float(FP_SCALE)) + F.lit(0.5)).cast("long")
+
+
+def _toks(text_col: str) -> Column:
+    norm = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    return F.filter(F.split(norm, r"\s+"), lambda x: x != "")
+
+
+def _feat(w: Column, hash_buckets: int | None) -> Column:
+    """Feature id for a token: the token itself, or — in hashed mode —
+    its murmur3 bucket. The hashing trick bounds the model grid at
+    ``hash_buckets x labels`` rows no matter how large the live vocab
+    gets (the web-scale mode; collisions trade a little accuracy for a
+    hard memory bound, exactly as in fastText). Hashed mode is
+    Spark-only (murmur3 has no DuckDB twin), so it is pytest-verified
+    rather than oracle-hashed."""
+    if hash_buckets is None:
+        return w
+    return F.pmod(F.hash(w), F.lit(int(hash_buckets))).cast("string")
+
+
+def nb_train(
+    train: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    alpha: float = 1.0,
+    hash_buckets: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit the model: returns ``(grid, labels)``.
+
+    ``grid``  : (label, w, loglik_fp) — Laplace-smoothed token
+                log-likelihood per class, fixed-point BIGINT; one row per
+                (class x vocab word), i.e. vocab-bounded, NOT
+                corpus-bounded.
+    ``labels``: (label, default_fp, prior_fp) — the unseen-token
+                log-likelihood and the class log-prior.
+
+    Plan: one tokenize+explode pass over the training corpus; (label, w)
+    counts aggregate map-side; the vocab x labels grid is a
+    vocab-bounded crossJoin against the handful-of-rows per-class totals
+    (broadcast — the BNLJ is the intended physical op).
+    """
+    a = float(alpha)
+    occ = train.select(
+        F.col(label_col).alias("label"), F.explode(_toks(text_col)).alias("w0")
+    ).select("label", _feat(F.col("w0"), hash_buckets).alias("w"))
+    counts = occ.groupBy("label", "w").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("label").agg(F.sum("c").alias("total"))
+    vocab = occ.select("w").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    doc_counts = train.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    n_all = train.agg(F.count(F.lit(1)).alias("n_all"))
+    denom = F.col("total") + F.lit(a) * F.col("v")
+    grid = (
+        vocab.crossJoin(F.broadcast(totals))
+        .join(counts, ["label", "w"], "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "label",
+            "w",
+            _fp(
+                F.log((F.coalesce(F.col("c"), F.lit(0)) + F.lit(a)) / denom)
+            ).alias("loglik_fp"),
+        )
+    )
+    labels = (
+        totals.join(doc_counts, "label")
+        .crossJoin(F.broadcast(vsize))
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "label",
+            _fp(F.log(F.lit(a) / denom)).alias("default_fp"),
+            _fp(
+                F.log(F.col("n_docs").cast("double") / F.col("n_all"))
+            ).alias("prior_fp"),
+        )
+    )
+    return grid, labels
+
+
+def nb_predict(
+    docs: DataFrame,
+    grid: DataFrame,
+    labels: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_buckets: int | None = None,
+) -> DataFrame:
+    """Score and argmax: returns (id_col, predicted, score_fp).
+
+    Plan: ONE tokenize+explode pass over the scored corpus; known tokens
+    inner-join the vocab-bounded grid (broadcast while the vocab fits —
+    at web scale this becomes a plain shuffled hash join on ``w`` with no
+    semantic change); per-(doc, label) integer sums; unseen tokens
+    contribute ``(n_tokens - n_known) * default_fp`` so no outer join
+    against the vocab is ever needed; a docs x labels broadcast scaffold
+    guarantees every document scores every class even with zero known
+    tokens. Argmax via per-doc row_number (doc-grain partitions — even).
+    """
+    base = docs.select(F.col(id_col), _toks(text_col).alias("toks"))
+    occ = base.select(id_col, F.explode("toks").alias("w0")).select(
+        id_col, _feat(F.col("w0"), hash_buckets).alias("w")
+    )
+    known = (
+        occ.join(F.broadcast(grid), "w")
+        .groupBy(id_col, "label")
+        .agg(
+            F.sum("loglik_fp").alias("known_fp"),
+            F.count(F.lit(1)).alias("n_known"),
+        )
+    )
+    scaffold = base.select(id_col, F.size("toks").alias("n_tokens")).crossJoin(
+        F.broadcast(labels)
+    )
+    scored = scaffold.join(known, [id_col, "label"], "left").select(
+        id_col,
+        "label",
+        (
+            F.coalesce(F.col("known_fp"), F.lit(0))
+            + (F.col("n_tokens") - F.coalesce(F.col("n_known"), F.lit(0)))
+            * F.col("default_fp")
+            + F.col("prior_fp")
+        ).alias("score_fp"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_fp").desc(), F.col("label").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col("label").alias("predicted"), "score_fp")
+    )
+
+
+def nb_confusion(
+    docs: DataFrame,
+    predictions: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Confusion-matrix rollup: (actual, predicted, n_docs)."""
+    return (
+        predictions.join(
+            docs.select(id_col, F.col(label_col).alias("actual")), id_col
+        )
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

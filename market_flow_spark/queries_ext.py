@@ -13,11 +13,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from market_flow_spark.extensions import (
+    classify,
     dedup,
     multimodal,
     similarity,
     sketches,
     text,
+    web,
 )
 from market_flow_spark.operators import analytics as an
 from market_flow_spark.operators import star, temporal
@@ -3684,4 +3686,242 @@ def q_unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return wide.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "n_rows"], "metric", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Web-corpus URL tier (extensions/web.py) — canonicalize / dedup / rollup
+# ---------------------------------------------------------------------------
+# documents.parquet carries no URL column, so each query synthesizes a
+# deterministic absolute URL per document (identically in Spark and in the
+# oracle) that exercises EVERY canonicalization rule: mixed case, www.,
+# an explicit :443, a '//' run, a trailing slash, tracking params, unsorted
+# params, and a fragment.
+
+
+def _synth_url() -> F.Column:
+    d = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    return F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Shop-"),
+        F.col("lang"),
+        F.lit(".COM"),
+        F.when(d % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/cat//"),
+        s(d % 40),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&b="),
+        F.col("lang"),
+        F.lit("&a="),
+        s(d % 5),
+        F.when(d % 4 == 0, F.concat(F.lit("&fbclid=x"), s(d))).otherwise(
+            F.lit("")
+        ),
+        F.when(d % 7 == 0, F.concat(F.lit("#sec"), s(d))).otherwise(F.lit("")),
+    )
+
+
+_SYNTH_URL_SQL = """
+'HTTPS://WWW.' || source || '.Shop-' || lang || '.COM'
+|| CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+|| '/cat//' || CAST(doc_id % 40 AS VARCHAR)
+|| CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+|| '?utm_source=feed&b=' || lang || '&a=' || CAST(doc_id % 5 AS VARCHAR)
+|| CASE WHEN doc_id % 4 = 0 THEN '&fbclid=x' || CAST(doc_id AS VARCHAR)
+   ELSE '' END
+|| CASE WHEN doc_id % 7 = 0 THEN '#sec' || CAST(doc_id AS VARCHAR)
+   ELSE '' END
+"""
+
+# DuckDB twin of web.canonical_url over a (doc_id, url) CTE named u:
+# fragment off first, then scheme/host/path/query by the same regexes.
+_CANON_CTE_SQL = f"""
+nf AS (
+  SELECT doc_id, regexp_replace(trim(url), '#.*', '') AS nofrag FROM u
+),
+parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(nofrag,
+      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(nofrag,
+        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+      '^www\\.', ''), ':(80|443)$', '') AS host,
+    regexp_extract(nofrag,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+    regexp_extract(nofrag, '\\?(.*)', 1) AS q
+  FROM nf
+),
+canon AS (
+  SELECT doc_id, scheme, host,
+    scheme || '://' || host
+      || (CASE WHEN p2 = '' THEN '/' ELSE p2 END)
+      || (CASE WHEN cq <> '' THEN '?' || cq ELSE '' END) AS canonical_url
+  FROM (
+    SELECT doc_id, scheme, host,
+      regexp_replace(regexp_replace(rawpath, '/{{2,}}', '/', 'g'),
+                     '/+$', '') AS p2,
+      array_to_string(list_sort(list_filter(string_split(q, '&'),
+        p -> p <> '' AND NOT regexp_matches(p,
+          '^(utm_[^=]*|fbclid|gclid|ref|mc_eid)(=|$)'))), '&') AS cq
+    FROM parts
+  )
+)
+"""
+
+
+@register(
+    "url_canonical_dedup",
+    f"""
+WITH u AS (
+  SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents
+),
+{_CANON_CTE_SQL}
+SELECT canonical_url,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_dups
+FROM canon
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup after canonicalization: the CommonCrawl-style
+    recrawl collapse (case, www., default port, '//' runs, trailing
+    slash, tracking params, param order, fragments all normalized away).
+    Scan-local column algebra + ONE hash aggregate on the canonical URL —
+    at 100 TB the shuffle key is high-cardinality and partitions evenly."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return web.url_dedup(docs.withColumn("url", _synth_url())).orderBy(
+        "canonical_url"
+    )
+
+
+@register(
+    "domain_url_stats",
+    f"""
+WITH u AS (
+  SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents
+),
+{_CANON_CTE_SQL}
+SELECT regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+       COUNT(*) AS n_pages,
+       COUNT(DISTINCT host) AS n_hosts,
+       COUNT(DISTINCT canonical_url) AS n_canonical,
+       {_floor_round_sql(
+           "COUNT(*) / COUNT(DISTINCT canonical_url)", 4
+       )} AS dup_ratio
+FROM canon
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_domain_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per registered-domain crawl rollup (pages, hosts, canonical URLs,
+    duplication ratio) — the quota/selection input of a crawl pipeline.
+    Host + canonical URL computed in the same scan projection; ONE
+    aggregate on domain."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return web.domain_stats(docs.withColumn("url", _synth_url())).orderBy(
+        "domain"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Naive-Bayes corpus classifier (extensions/classify.py)
+# ---------------------------------------------------------------------------
+
+_NB_ORACLE = """
+WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+tr_occ AS (
+  SELECT lang AS label,
+         unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'),
+           x -> x <> '')) AS w
+  FROM train
+),
+counts AS (SELECT label, w, COUNT(*) AS c FROM tr_occ GROUP BY 1, 2),
+totals AS (SELECT label, SUM(c) AS total FROM counts GROUP BY 1),
+vocab AS (SELECT DISTINCT w FROM tr_occ),
+vsize AS (SELECT COUNT(*) AS v FROM vocab),
+docn AS (SELECT lang AS label, COUNT(*) AS n_docs FROM train GROUP BY 1),
+nall AS (SELECT COUNT(*) AS n_all FROM train),
+grid AS (
+  SELECT t.label, vo.w,
+    CAST(FLOOR(ln((COALESCE(c.c, 0) + 1.0) / (t.total + 1.0 * s.v))
+               * 1000000 + 0.5) AS BIGINT) AS loglik_fp
+  FROM vocab vo
+  CROSS JOIN totals t
+  LEFT JOIN counts c ON c.label = t.label AND c.w = vo.w
+  CROSS JOIN vsize s
+),
+lab AS (
+  SELECT t.label,
+    CAST(FLOOR(ln(1.0 / (t.total + 1.0 * s.v)) * 1000000 + 0.5)
+         AS BIGINT) AS default_fp,
+    CAST(FLOOR(ln(CAST(d.n_docs AS DOUBLE) / a.n_all) * 1000000 + 0.5)
+         AS BIGINT) AS prior_fp
+  FROM totals t
+  JOIN docn d USING (label)
+  CROSS JOIN vsize s
+  CROSS JOIN nall a
+),
+te AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM test
+),
+te_occ AS (SELECT doc_id, unnest(toks) AS w FROM te),
+known AS (
+  SELECT o.doc_id, g.label,
+         SUM(g.loglik_fp) AS known_fp,
+         COUNT(*) AS n_known
+  FROM te_occ o JOIN grid g ON g.w = o.w
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT dg.doc_id, dg.lang, dg.label,
+    COALESCE(k.known_fp, 0)
+      + (dg.n_tokens - COALESCE(k.n_known, 0)) * dg.default_fp
+      + dg.prior_fp AS score_fp
+  FROM (SELECT te.doc_id, te.lang, len(te.toks) AS n_tokens,
+               l.label, l.default_fp, l.prior_fp
+        FROM te CROSS JOIN lab l) dg
+  LEFT JOIN known k ON k.doc_id = dg.doc_id AND k.label = dg.label
+),
+pred AS (
+  SELECT doc_id, lang AS actual, label AS predicted,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score_fp DESC, label ASC) AS rn
+  FROM scored
+)
+SELECT actual, predicted, COUNT(*) AS n_docs
+FROM pred WHERE rn = 1
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("nb_classify_lang", _NB_ORACLE)
+def q_nb_classify_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained on the doc_id%5!=0 split of the
+    corpus (label = lang), applied to the held-out split; output is the
+    confusion matrix (actual, predicted, n_docs). Fixed-point BIGINT
+    log-likelihoods make the scores integer sums — order-independent and
+    bit-identical to the oracle. ONE tokenize pass per split; the model
+    is a vocab-bounded grid, never a driver-side object."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    grid, labels = classify.nb_train(train, "lang")
+    pred = classify.nb_predict(test, grid, labels)
+    return classify.nb_confusion(test, pred, "lang").orderBy(
+        "actual", "predicted"
     )

@@ -29,6 +29,23 @@ def dedup_stream(events: DataFrame, key: str = "event_id") -> DataFrame:
     return events.dropDuplicatesWithinWatermark([key])
 
 
+def dedup_url_stream(
+    pages: DataFrame, url_col: str = "url", watermark_col: str = "fetch_ts"
+) -> DataFrame:
+    """Streaming crawl-feed URL dedup: canonicalize in the stream
+    projection, then exactly-once-per-canonical-URL within the watermark
+    horizon. The canonicalization is scan-local column algebra (no state);
+    only the per-canonical dedup key lives in the state store, and
+    watermark eviction bounds it — the property that lets a continuous
+    crawl feed run forever. Caller must have set
+    ``withWatermark(watermark_col, ...)`` upstream."""
+    from market_flow_spark.extensions.web import canonical_url
+
+    return pages.withColumn(
+        "canonical_url", canonical_url(F.col(url_col))
+    ).dropDuplicatesWithinWatermark(["canonical_url"])
+
+
 def hourly_stats_stream(events: DataFrame) -> DataFrame:
     return (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")

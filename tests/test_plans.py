@@ -97,6 +97,10 @@ INTENTIONAL_TINY_CROSSJOIN = {
     # op for the saturated-vocabulary word-jaccard strategy
     "dedup_word_jaccard",
     "theta_overlap_years",  # 1x1 join of two one-row theta sketches
+    # vocab x 5-row class totals grid, docs x 5-row label scaffold, and
+    # two one-row vocab-size/corpus-count singletons — all broadcast by
+    # construction (classify.nb_train/nb_predict)
+    "nb_classify_lang",
 }
 
 
@@ -310,3 +314,14 @@ def test_chunk_documents_map_only(spark, sf_dir):
     """Chunking is a pure map-side explode: zero exchanges of any kind."""
     plan = _executed_plan(QUERIES["chunk_documents"](spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_url_dedup_single_shuffle(spark, sf_dir):
+    """Canonicalization is scan-local column algebra; the ONLY hash
+    exchange in url_canonical_dedup is the final groupBy on the canonical
+    URL (plus no BNLJ/cartesian anywhere)."""
+    plan = _executed_plan(QUERIES["url_canonical_dedup"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

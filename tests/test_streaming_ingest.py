@@ -141,3 +141,45 @@ def test_ingest_replay_with_same_checkpoint_is_idempotent(
     run_once()  # replay: same checkpoint, no new data
     second = spark.read.parquet(warehouse).agg(F.sum("n_events")).collect()[0][0]
     assert first == second, f"replay changed totals: {first} -> {second}"
+
+
+def test_stream_url_dedup_canonicalizes_before_keying(spark, tmp_path):
+    """Crawl-feed shape: four surface forms of ONE canonical URL plus one
+    distinct URL arrive in-stream; dropDuplicatesWithinWatermark keyed on
+    the canonical form keeps exactly two pages."""
+    from market_flow_spark.streaming.ingest import dedup_url_stream
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "https://example.com/a"),
+        (2, "2024-01-01 00:01:00", "HTTPS://WWW.EXAMPLE.COM/a"),
+        (3, "2024-01-01 00:02:00", "https://example.com/a/"),
+        (4, "2024-01-01 00:03:00", "https://example.com/a?utm_source=x"),
+        (5, "2024-01-01 00:04:00", "https://example.com/b"),
+    ]
+    landing = str(tmp_path / "crawl")
+    df = spark.createDataFrame(rows, ["page_id", "fetch_ts", "url"]).withColumn(
+        "fetch_ts", F.col("fetch_ts").cast("timestamp")
+    )
+    df.coalesce(1).write.parquet(landing)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .parquet(landing)
+        .withWatermark("fetch_ts", "1 hour")
+    )
+    q = (
+        dedup_url_stream(stream)
+        .writeStream.format("memory")
+        .queryName("url_dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_url"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        "SELECT canonical_url FROM url_dedup_out ORDER BY canonical_url"
+    ).collect()
+    assert [r["canonical_url"] for r in out] == [
+        "https://example.com/a",
+        "https://example.com/b",
+    ]
