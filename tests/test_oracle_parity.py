@@ -39,3 +39,22 @@ def test_contract_alignment():
     o = e.oracle_sql()
     assert set(o.keys()) <= set(q.keys())
     assert len(q) >= 20
+
+
+def test_relation_cache_memoizes_per_session(spark, sf_dir):
+    """load_table returns the SAME resolved relation object for repeat
+    calls in one session (skipping per-call parquet footer/DataSource
+    resolution — measured as ~half of whole-registry construct cost),
+    distinct objects per sf_dir, and a fresh object after an explicit
+    cache clear."""
+    from market_flow_spark import tables
+
+    a = tables.load_table(spark, sf_dir, "lineitem")
+    b = tables.load_table(spark, sf_dir, "lineitem")
+    assert a is b
+    other = tables.load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    assert other is not a
+    tables.clear_table_cache()
+    c = tables.load_table(spark, sf_dir, "lineitem")
+    assert c is not a
+    assert c.count() == a.count()
