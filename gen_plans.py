@@ -94,7 +94,28 @@ SHOWCASE: dict[str, str] = {
         "singletons, the query weight set broadcasts into the postings "
         "join, dot products are exact BIGINT sums with map-side combine."
     ),
+    "url_canonical_dedup": (
+        "URL canonicalization is pure scan-local column algebra (regexp + "
+        "array ops inside the scan projection); the ONLY hash exchange is "
+        "the final keep-min aggregate on the canonical URL "
+        "(plan-asserted), with map-side partial combine."
+    ),
+    "nb_classify_lang": (
+        "Naive-Bayes train+apply as DataFrame algebra: one tokenize+"
+        "explode per split, the vocab-bounded model grid and the 5-row "
+        "label scaffold ride as broadcasts (declared tiny crossJoins), "
+        "per-doc scores are integer sums, argmax a doc-grain window."
+    ),
+    "ewma_monthly_price": (
+        "Recursive EWMA as a closed-form ordered prefix sum: monthly "
+        "pre-aggregation reduces the fact before the window, then ONE "
+        "keyed window exchange computes every y_n exactly — no UDF, no "
+        "per-group loop."
+    ),
 }
+
+
+HAND_MARKER = "<!-- hand-maintained below: gen_plans.py preserves this tail -->"
 
 
 def main() -> None:
@@ -132,10 +153,17 @@ def main() -> None:
             "```",
             "",
         ]
-    Path(__file__).resolve().parent.joinpath("PLANS.md").write_text(
-        "\n".join(out)
+    # Hand-maintained analysis sections (cold-start anatomy, bench-basis
+    # notes) live BELOW the marker and survive regeneration verbatim.
+    target = Path(__file__).resolve().parent.joinpath("PLANS.md")
+    preserved = ""
+    if target.exists() and HAND_MARKER in target.read_text():
+        preserved = HAND_MARKER + target.read_text().split(HAND_MARKER, 1)[1]
+    target.write_text("\n".join(out) + ("\n" + preserved if preserved else ""))
+    print(
+        f"PLANS.md written ({len(SHOWCASE)} queries"
+        + (", hand sections preserved)" if preserved else ")")
     )
-    print(f"PLANS.md written ({len(SHOWCASE)} queries)")
     spark.stop()
 
 

@@ -176,3 +176,63 @@ def gap_fill_series(
     return joined.select(
         group, period_col, *filled, is_gap.alias("is_gap")
     )
+
+
+def ewma(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average per group — the recursive
+    window shape (``y_n = alpha*x_n + (1-alpha)*y_{n-1}``, ``y_1 = x_1``,
+    pandas ``ewm(adjust=False)`` semantics) that a naive translation
+    would hand to a per-group Python loop.
+
+    Spark-first instead: the recursion has the closed form
+
+        y_n = q^n * S_n,   q = 1 - alpha,
+        S_n = prefix-sum of t_i,  t_1 = x_1 * q^-1,
+                                  t_i = alpha * x_i * q^-i   (i >= 2)
+
+    so ONE ordered prefix sum per group (hash shuffle + intra-partition
+    sort, identical cost to any keyed running aggregate) computes every
+    y_n exactly — no UDF, no iteration, no driver state.
+
+    Numeric bound (documented, not hidden): q^-i overflows double range
+    around i ~ ln(1.7e308)/(-ln q) — ~5 600 rows/group at alpha = 0.1,
+    ~2 000 at alpha = 0.3. EWMA over a 100 TB fact is therefore run on a
+    pre-aggregated grain (the registered query uses monthly averages:
+    decades of history stay thousands of times under the bound). For
+    raw-event-grain smoothing at unbounded length, segment the series and
+    carry the boundary y across segments (two passes); not implemented
+    until a consumer needs it.
+
+    Ordering contract: ``order_cols`` must be a total order within each
+    group (ties would make prefix sums nondeterministic — same rule as
+    every ordered window in the repo).
+    """
+    q = 1.0 - float(alpha)
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    with_rn = df.withColumn("__rn", F.row_number().over(w))
+    t = F.when(
+        F.col("__rn") == 1, F.col(value_col) * F.lit(1.0 / q)
+    ).otherwise(
+        F.lit(float(alpha))
+        * F.col(value_col)
+        * F.pow(F.lit(q), -F.col("__rn"))
+    )
+    ws = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_rn.withColumn("__t", t)
+        .withColumn(
+            out_col, F.pow(F.lit(q), F.col("__rn")) * F.sum("__t").over(ws)
+        )
+        .drop("__rn", "__t")
+    )

@@ -3925,3 +3925,79 @@ def q_nb_classify_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classify.nb_confusion(test, pred, "lang").orderBy(
         "actual", "predicted"
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA — recursive window as a closed-form prefix sum (operators/temporal.py)
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+
+
+def _ewma_oracle(alpha: float = _EWMA_ALPHA) -> str:
+    q = 1.0 - alpha
+    return f"""
+WITH monthly AS (
+  SELECT l_returnflag,
+         CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+         {_floor_round_sql(
+             "CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)"
+             " / COUNT(l_extendedprice)", 2
+         )} AS avg_price
+  FROM lineitem
+  GROUP BY 1, 2
+),
+rn AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                               ORDER BY month) AS rn
+  FROM monthly
+),
+t AS (
+  SELECT *, CASE WHEN rn = 1 THEN avg_price * {1.0 / q}
+                 ELSE {alpha} * avg_price * POWER({q}, -rn) END AS t
+  FROM rn
+),
+s AS (
+  SELECT l_returnflag, month, avg_price,
+         POWER({q}, rn)
+           * SUM(t) OVER (PARTITION BY l_returnflag ORDER BY month
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS y
+  FROM t
+)
+SELECT l_returnflag, month, avg_price,
+       {_floor_round_sql("y", 4)} AS ewma_price
+FROM s
+ORDER BY 1, 2
+"""
+
+
+@register("ewma_monthly_price", _ewma_oracle())
+def q_ewma_monthly_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA-smoothed monthly average price per returnflag — the recursive
+    y_n = a*x_n + (1-a)*y_{n-1} computed EXACTLY as one ordered prefix
+    sum per group (closed form in temporal.ewma; no UDF, no loop). The
+    fact scan pre-aggregates to monthly grain first, which both bounds
+    the series length under the documented double-range limit and is what
+    an analyst smooths anyway."""
+    from market_flow_spark.functions.aggregates import det_avg, det_round
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    monthly = li.groupBy(
+        "l_returnflag",
+        F.date_trunc("month", "l_shipdate").cast("date").alias("month"),
+    ).agg(det_avg("l_extendedprice").alias("avg_price"))
+    smoothed = temporal.ewma(
+        monthly,
+        group_cols=["l_returnflag"],
+        order_cols=["month"],
+        value_col="avg_price",
+        alpha=_EWMA_ALPHA,
+        out_col="__y",
+    )
+    return smoothed.select(
+        "l_returnflag",
+        "month",
+        "avg_price",
+        det_round(F.col("__y"), 4).alias("ewma_price"),
+    ).orderBy("l_returnflag", "month")

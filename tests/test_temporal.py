@@ -183,3 +183,29 @@ def test_range_join_negative_epoch_property(spark):
         if abs(l - r) <= tol
     )
     assert _range_pairs(spark, left, right, tol_us=tol) == expect
+
+
+def test_ewma_matches_recursive_model(spark):
+    """Closed-form prefix-sum EWMA == the defining recursion
+    y_n = a*x_n + (1-a)*y_{n-1}, y_1 = x_1 (pandas ewm(adjust=False))."""
+    from market_flow_spark.operators.temporal import ewma
+
+    alpha = 0.3
+    series = {
+        "g1": [10.0, 12.0, 11.0, 15.0, 14.5, 9.0],
+        "g2": [100.0, 100.0, 50.0, 75.0],
+    }
+    rows = [
+        (g, i, x) for g, xs in series.items() for i, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows, ["g", "i", "x"])
+    got = {
+        (r["g"], r["i"]): r["ewma"]
+        for r in ewma(df, ["g"], ["i"], "x", alpha).collect()
+    }
+    for g, xs in series.items():
+        y = xs[0]
+        assert abs(got[(g, 0)] - y) < 1e-9
+        for i, x in enumerate(xs[1:], start=1):
+            y = alpha * x + (1 - alpha) * y
+            assert abs(got[(g, i)] - y) < 1e-9, (g, i)
