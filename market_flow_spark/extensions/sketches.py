@@ -349,3 +349,137 @@ def bloom_prune(
     return out.filter(cond).drop(
         "__bwords", *[f"__bp{i}" for i in range(n_hashes)]
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: point-frequency estimation + heavy hitters
+# ---------------------------------------------------------------------------
+# The frequency-domain twin of KMV: a (depth x width) grid of counters,
+# mergeable by plain addition, answering "how often did item X occur" with
+# one-sided error (never an undercount; overcount bounded by 2N/width with
+# probability 1 - 2^-depth). Like KMV it is built from md5 + modular
+# arithmetic only, so DuckDB reproduces it bit-identically for the oracle.
+#
+# 100 TB shape: the corpus-sized work is ONE word-count aggregate (map-side
+# combined); the sketch itself is a depth*width-row table (4x512 default =
+# 2048 rows) that broadcasts everywhere, merges across corpora/days by
+# unionByName+sum, and answers point queries with a broadcast join — no
+# second corpus scan, ever.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def _cms_bucket(item: Column, d: Column, width: int) -> Column:
+    """Row d's bucket for an item: first 8 md5 hex chars of ``item#d`` as
+    an int, mod width — non-negative, identical in Spark and DuckDB."""
+    hexpfx = F.substring(
+        F.md5(F.concat(item.cast("string"), F.lit("#"), d.cast("string"))),
+        1,
+        8,
+    )
+    return F.conv(hexpfx, 16, 10).cast("bigint") % F.lit(width)
+
+
+def _cms_bucket_sql(item: str, d: str, width: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({item} AS VARCHAR) || '#' || "
+        f"CAST({d} AS VARCHAR)), 1, 8)) AS BIGINT) % {width}"
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    item_col: str,
+    weight_col: str | None = None,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Build the sketch: a (d int, bucket bigint, cnt bigint) DataFrame
+    with depth*width rows at most. NULL items are ignored (COUNT
+    semantics). When ``weight_col`` is given the input is treated as
+    pre-aggregated (item, weight) pairs — the cheap path when the caller
+    already has a word count — otherwise occurrences are counted here.
+
+    The corpus-sized aggregate happens BEFORE the depth-explode: rows are
+    first reduced to per-item totals (vocabulary-sized), and only that
+    reduction is replicated depth times. Sketches over disjoint corpora
+    merge with ``cms_merge`` — addition, the reason CMS works on a
+    1000-executor job."""
+    per_item = (
+        df.filter(F.col(item_col).isNotNull())
+        .groupBy(item_col)
+        .agg(
+            (
+                F.sum(weight_col) if weight_col else F.count(F.lit(1))
+            ).alias("__cms_w")
+        )
+    )
+    d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    return (
+        per_item.select(F.col(item_col).alias("__cms_item"), "__cms_w")
+        .select("__cms_item", "__cms_w", d)
+        .select(
+            "d",
+            _cms_bucket(F.col("__cms_item"), F.col("d"), width).alias(
+                "bucket"
+            ),
+            F.col("__cms_w").alias("__cms_w"),
+        )
+        .groupBy("d", "bucket")
+        .agg(F.sum("__cms_w").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Sketch of the union of the two inputs' corpora (same depth/width):
+    counter-wise addition."""
+    return (
+        a.unionByName(b)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    out_col: str = "cms_est",
+) -> DataFrame:
+    """Point-frequency estimates for every probe row: min over the depth
+    counters the item hashes to. All probe columns survive; probe rows
+    must be unique per item. The sketch side is <= depth*width rows and
+    broadcasts into the join; absent buckets count 0 (item never seen)."""
+    d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    keyed = probes.select("*", d).withColumn(
+        "bucket", _cms_bucket(F.col(item_col), F.col("d"), width)
+    )
+    joined = keyed.join(F.broadcast(sketch), ["d", "bucket"], "left")
+    return (
+        joined.groupBy(*probes.columns)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
+    )
+
+
+def cms_sketch_sql(
+    item_expr: str,
+    from_clause: str,
+    weight_expr: str = "COUNT(*)",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> str:
+    """DuckDB CTE body reproducing cms_build over ``from_clause`` (which
+    must yield one row per occurrence, or per item with ``weight_expr``
+    as the per-item total after the inner GROUP BY)."""
+    return f"""
+  SELECT d, {_cms_bucket_sql("item", "d", width)} AS bucket,
+         CAST(SUM(w) AS BIGINT) AS cnt
+  FROM (SELECT {item_expr} AS item, {weight_expr} AS w
+        FROM {from_clause}
+        WHERE {item_expr} IS NOT NULL GROUP BY 1) per_item,
+       range({depth}) t(d)
+  GROUP BY 1, 2
+"""

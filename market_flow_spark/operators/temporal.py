@@ -132,6 +132,97 @@ def range_join_binned(
     return joined.filter(within).drop(lb, lt, rt)
 
 
+def interval_lookup(
+    facts: DataFrame,
+    intervals: DataFrame,
+    point: str,
+    lo: str,
+    hi: str,
+    on: Sequence[str] = (),
+    strategy: str = "bucket",
+    bucket_width: float | None = None,
+    max_buckets_per_interval: int = 1024,
+) -> DataFrame:
+    """Inner-join each fact row to every interval row with
+    ``lo <= point <= hi`` (both bounds inclusive) and equal ``on`` keys —
+    the band-join / IP-range-lookup shape. Intervals may overlap (a fact
+    row then matches several intervals) and need no equi key at all,
+    which is exactly the case where a naive range join degenerates into
+    BroadcastNestedLoopJoin (small dim) or a cartesian (large dim).
+
+    ``strategy``:
+
+    - ``"bucket"`` (default, the 100 TB path): generalizes
+      ``range_join_binned`` to variable-width intervals. Pick a bucket
+      width ``w`` (median interval width, sampled via one bounded
+      2-scalar aggregate, unless ``bucket_width`` is given), replicate
+      each interval into every width-``w`` bucket it covers
+      (``sequence(floor(lo/w), floor(hi/w))`` — monotone floats, so a
+      point inside the interval always lands in a covered bucket), map
+      each fact to its single bucket, equi-join on (keys, bucket), then
+      apply the exact range predicate. Each qualifying pair meets in
+      exactly one bucket (the fact's), so no dedup pass is needed. Both
+      sides shuffle once, on (keys, bucket); fan-out is bounded by
+      ``max_buckets_per_interval`` (a wider-than-cap interval coarsens
+      ``w`` instead of exploding — correctness is unaffected, only
+      bucket selectivity).
+    - ``"broadcast"``: ``F.broadcast(intervals)`` + the raw range
+      predicate — a declared BroadcastNestedLoopJoin, the right plan
+      when the interval table is genuinely small (a dozen price bands);
+      callers own the plan-audit declaration.
+
+    Fact and interval column names must be disjoint (same contract as
+    ``range_join_binned``); all columns of both sides survive.
+    """
+    on = list(on)
+    pt = F.col(point).cast("double")
+    lo_c = F.col(lo).cast("double")
+    hi_c = F.col(hi).cast("double")
+
+    if strategy == "broadcast":
+        cond = [facts[k] == intervals[k] for k in on]
+        return facts.join(
+            F.broadcast(intervals), [*cond, (pt >= lo_c) & (pt <= hi_c)]
+        ).drop(*[intervals[k] for k in on])
+    if strategy != "bucket":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    if bucket_width is None:
+        stats = (
+            intervals.select((hi_c - lo_c).alias("__w"))
+            .agg(
+                F.expr("approx_percentile(__w, 0.5)").alias("med"),
+                F.max("__w").alias("mx"),
+            )
+            .first()
+        )
+        med = float(stats["med"] or 0.0)
+        mx = float(stats["mx"] or 0.0)
+        w = med if med > 0 else (mx if mx > 0 else 1.0)
+        # cap the per-interval replication factor: one freak interval
+        # must not explode into millions of bucket rows
+        if mx / w > max_buckets_per_interval:
+            w = mx / max_buckets_per_interval
+    else:
+        w = float(bucket_width)
+        if w <= 0:
+            raise ValueError("bucket_width must be > 0")
+
+    bk = "__il_bucket"
+    ints = intervals.withColumn(
+        bk,
+        F.explode(
+            F.sequence(
+                F.floor(lo_c / F.lit(w)).cast("long"),
+                F.floor(hi_c / F.lit(w)).cast("long"),
+            )
+        ),
+    )
+    fts = facts.withColumn(bk, F.floor(pt / F.lit(w)).cast("long"))
+    joined = fts.join(ints, on=[*on, bk], how="inner")
+    return joined.filter((pt >= lo_c) & (pt <= hi_c)).drop(bk)
+
+
 def gap_fill_series(
     df: DataFrame,
     group: str,

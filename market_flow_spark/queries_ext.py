@@ -4001,3 +4001,159 @@ def q_ewma_monthly_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_price",
         det_round(F.col("__y"), 4).alias("ewma_price"),
     ).orderBy("l_returnflag", "month")
+
+
+# ---------------------------------------------------------------------------
+# Interval band lookup — overlapping point-in-interval join (temporal.py)
+# ---------------------------------------------------------------------------
+
+_BANDS_SQL = f"""
+WITH stats AS (
+  SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS mn,
+         CAST(MAX(o_totalprice) AS DOUBLE) AS mx
+  FROM orders
+),
+bands AS (
+  SELECT band_id,
+         mn + band_id * ((mx - mn) / 9.0) AS lo,
+         mn + (band_id + 2) * ((mx - mn) / 9.0) AS hi
+  FROM range(8) t(band_id), stats
+),
+matched AS (
+  SELECT band_id, lo, hi, o_totalprice
+  FROM bands JOIN orders
+    ON o_totalprice >= lo AND o_totalprice <= hi
+)
+SELECT band_id,
+       {_floor_round_sql("lo", 2)} AS band_lo,
+       {_floor_round_sql("hi", 2)} AS band_hi,
+       COUNT(*) AS n_orders,
+       {det_avg_sql("o_totalprice")} AS avg_price
+FROM matched
+GROUP BY band_id, lo, hi
+ORDER BY band_id
+"""
+
+
+@register("interval_price_bands", _BANDS_SQL)
+def q_interval_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping order-price bands via temporal.interval_lookup — the
+    band-join shape (each order falls in 1-3 of 8 deliberately
+    overlapping price intervals) that a naive range join turns into a
+    nested loop. Runs the bucket strategy: intervals replicate into
+    median-width buckets, facts equi-join on bucket, exact predicate
+    after — two bounded shuffles at any scale. The 8-band dim derives
+    from a min/max aggregate riding a declared singleton crossJoin."""
+    from market_flow_spark.functions.aggregates import det_avg, det_round
+    from market_flow_spark.operators.temporal import interval_lookup
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    stats = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    step = (F.col("mx") - F.col("mn")) / F.lit(9.0)
+    bands = (
+        spark.range(8)
+        .withColumnRenamed("id", "band_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "band_id",
+            (F.col("mn") + F.col("band_id").cast("double") * step).alias("lo"),
+            (
+                F.col("mn")
+                + (F.col("band_id").cast("double") + F.lit(2.0)) * step
+            ).alias("hi"),
+        )
+    )
+    matched = interval_lookup(
+        orders.select(F.col("o_totalprice").alias("price")),
+        bands,
+        point="price",
+        lo="lo",
+        hi="hi",
+    )
+    return (
+        matched.groupBy("band_id", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            det_avg("price").alias("avg_price"),
+        )
+        .select(
+            "band_id",
+            det_round(F.col("lo"), 2).alias("band_lo"),
+            det_round(F.col("hi"), 2).alias("band_hi"),
+            "n_orders",
+            "avg_price",
+        )
+        .orderBy("band_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min heavy hitters — mergeable frequency sketch (sketches.py)
+# ---------------------------------------------------------------------------
+
+_CMS_D, _CMS_W, _CMS_TOPN = 4, 512, 20
+
+_CMS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                x -> x <> '')) AS tok
+  FROM documents
+),
+exact AS (SELECT tok, COUNT(*) AS exact_cnt FROM toks GROUP BY tok),
+sketch AS (
+{sketches.cms_sketch_sql("tok", "toks", depth=_CMS_D, width=_CMS_W)}
+),
+top AS (
+  SELECT tok, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, tok LIMIT {_CMS_TOPN}
+),
+probe AS (
+  SELECT tok, exact_cnt, d,
+         {sketches._cms_bucket_sql("tok", "d", _CMS_W)} AS bucket
+  FROM top, range({_CMS_D}) t(d)
+)
+SELECT p.tok, p.exact_cnt,
+       MIN(COALESCE(s.cnt, 0)) AS cms_est,
+       MIN(COALESCE(s.cnt, 0)) - p.exact_cnt AS overcount
+FROM probe p LEFT JOIN sketch s USING (d, bucket)
+GROUP BY p.tok, p.exact_cnt
+ORDER BY p.exact_cnt DESC, p.tok
+"""
+
+
+@register("cms_heavy_hitters", _CMS_SQL)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus vocabulary, probed at the exact
+    top-20 tokens: one map-side-combined word count builds both the truth
+    and the 4x512 sketch grid; estimates are min-over-depth via a
+    broadcast join; overcount shows the collision error the width bounds.
+    The sketch is the mergeable one-pass structure a 1000-executor vocab
+    monitor ships instead of a second corpus scan — `overcount` is its
+    measured price at this width."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("tok")
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    sketch = sketches.cms_build(
+        exact, "tok", weight_col="exact_cnt", depth=_CMS_D, width=_CMS_W
+    )
+    top = exact.orderBy(F.desc("exact_cnt"), "tok").limit(_CMS_TOPN)
+    est = sketches.cms_estimate(
+        sketch, top, "tok", depth=_CMS_D, width=_CMS_W
+    )
+    return est.select(
+        "tok",
+        "exact_cnt",
+        F.col("cms_est").cast("bigint").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_cnt")).cast("bigint").alias(
+            "overcount"
+        ),
+    ).orderBy(F.desc("exact_cnt"), "tok")

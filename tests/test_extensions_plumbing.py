@@ -763,3 +763,58 @@ def test_simhash_against_matches_union_cross_pairs(spark, tables):
             union_cross.add((nd, cd, r.hamming))
     assert incr == union_cross
     assert len(incr) > 0
+
+
+def test_cms_never_undercounts_and_exact_when_wide(spark):
+    """CMS point estimates are one-sided (est >= exact always); with a
+    width far above the vocabulary size collisions vanish and every
+    estimate is exact."""
+    from market_flow_spark.extensions.sketches import cms_build, cms_estimate
+
+    rows = [(f"w{i % 37}",) for i in range(1000)] + [("rare",)]
+    df = spark.createDataFrame(rows, "tok string")
+    exact = {r["tok"]: r["c"] for r in df.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    probes = df.select("tok").distinct()
+
+    tight = cms_estimate(
+        cms_build(df, "tok", width=16), probes, "tok", width=16
+    )
+    for r in tight.collect():
+        assert r["cms_est"] >= exact[r["tok"]], r
+
+    wide = cms_estimate(
+        cms_build(df, "tok", width=4096), probes, "tok", width=4096
+    )
+    for r in wide.collect():
+        assert r["cms_est"] == exact[r["tok"]], r
+
+
+def test_cms_merge_equals_union_and_weighted_build(spark):
+    """Sketch(A) + Sketch(B) == Sketch(A union B) counter-for-counter
+    (the 1000-executor merge property), and building from pre-aggregated
+    (item, weight) pairs equals building from raw occurrences."""
+    from market_flow_spark.extensions.sketches import cms_build, cms_merge
+
+    a = spark.createDataFrame([(f"w{i % 11}",) for i in range(200)], "tok string")
+    b = spark.createDataFrame([(f"w{i % 7}",) for i in range(150)], "tok string")
+
+    def grid(sk):
+        return {(r["d"], r["bucket"]): r["cnt"] for r in sk.collect()}
+
+    merged = grid(cms_merge(cms_build(a, "tok"), cms_build(b, "tok")))
+    whole = grid(cms_build(a.unionByName(b), "tok"))
+    assert merged == whole
+
+    pre = a.groupBy("tok").agg(F.count(F.lit(1)).alias("w"))
+    assert grid(cms_build(pre, "tok", weight_col="w")) == grid(
+        cms_build(a, "tok")
+    )
+
+    # absent item estimates 0 through the left-join coalesce
+    from market_flow_spark.extensions.sketches import cms_estimate
+
+    ghost = spark.createDataFrame([("never-seen-token",)], "tok string")
+    est = cms_estimate(cms_build(a, "tok", width=4096), ghost, "tok", width=4096)
+    got = est.collect()[0]["cms_est"]
+    assert got == 0

@@ -101,6 +101,9 @@ INTENTIONAL_TINY_CROSSJOIN = {
     # two one-row vocab-size/corpus-count singletons — all broadcast by
     # construction (classify.nb_train/nb_predict)
     "nb_classify_lang",
+    # 8-row band dim x one-row min/max singleton (interval_lookup's
+    # bucket join itself is a plain equi-join)
+    "interval_price_bands",
 }
 
 

@@ -209,3 +209,93 @@ def test_ewma_matches_recursive_model(spark):
         for i, x in enumerate(xs[1:], start=1):
             y = alpha * x + (1 - alpha) * y
             assert abs(got[(g, i)] - y) < 1e-9, (g, i)
+
+
+# --- interval_lookup: point-in-interval band join -------------------------
+
+
+def _il_naive(facts, intervals, keyed):
+    """All-pairs reference: (fact_id, interval_id) where lo <= p <= hi
+    (and keys equal when keyed)."""
+    return {
+        (f[0], i[0])
+        for f in facts
+        for i in intervals
+        if i[2] <= f[2] <= i[3] and (not keyed or f[1] == i[1])
+    }
+
+
+_IL_FACTS = [
+    # (fact_id, key, point) — includes negatives, exact bounds, far-out
+    (1, "a", -5.0),
+    (2, "a", 0.0),
+    (3, "a", 10.0),
+    (4, "b", 10.0),
+    (5, "b", 99.5),
+    (6, "b", 1000.0),
+    (7, "a", 2.5),
+]
+_IL_INTERVALS = [
+    # (interval_id, key, lo, hi) — overlapping, variable width, one huge
+    (100, "a", -10.0, 0.0),
+    (101, "a", 0.0, 10.0),
+    (102, "a", 2.0, 3.0),
+    (103, "b", 5.0, 15.0),
+    (104, "b", -100.0, 500.0),  # >> median width: exercises the cap path
+    (105, "a", 50.0, 60.0),
+]
+
+
+def _il_run(spark, keyed, **kw):
+    from market_flow_spark.operators.temporal import interval_lookup
+
+    facts = spark.createDataFrame(_IL_FACTS, "fact_id int, fk string, p double")
+    ints = spark.createDataFrame(
+        _IL_INTERVALS, "interval_id int, ik string, lo double, hi double"
+    )
+    if keyed:
+        ints = ints.withColumnRenamed("ik", "fk")
+    out = interval_lookup(
+        facts, ints, "p", "lo", "hi", on=["fk"] if keyed else [], **kw
+    )
+    return {(r["fact_id"], r["interval_id"]) for r in out.collect()}
+
+
+def test_interval_lookup_unkeyed_matches_naive(spark):
+    expect = _il_naive(_IL_FACTS, _IL_INTERVALS, keyed=False)
+    assert _il_run(spark, keyed=False) == expect
+    assert _il_run(spark, keyed=False, strategy="broadcast") == expect
+
+
+def test_interval_lookup_keyed_matches_naive(spark):
+    expect = _il_naive(_IL_FACTS, _IL_INTERVALS, keyed=True)
+    assert _il_run(spark, keyed=True) == expect
+    assert _il_run(spark, keyed=True, strategy="broadcast") == expect
+
+
+def test_interval_lookup_explicit_width_and_cap(spark):
+    expect = _il_naive(_IL_FACTS, _IL_INTERVALS, keyed=False)
+    # tiny explicit width: many buckets per interval, same answer
+    assert _il_run(spark, keyed=False, bucket_width=0.5) == expect
+    # brutal cap: the 600-wide interval forces a coarse width, same answer
+    assert _il_run(spark, keyed=False, max_buckets_per_interval=2) == expect
+
+
+def test_interval_lookup_bounds_inclusive_and_empty(spark):
+    from market_flow_spark.operators.temporal import interval_lookup
+
+    facts = spark.createDataFrame(
+        [(1, 5.0), (2, 4.999), (3, 7.001)], "fact_id int, p double"
+    )
+    ints = spark.createDataFrame(
+        [(9, 5.0, 7.0)], "interval_id int, lo double, hi double"
+    )
+    got = {
+        (r["fact_id"], r["interval_id"])
+        for r in interval_lookup(facts, ints, "p", "lo", "hi").collect()
+    }
+    assert got == {(1, 9)}  # both bounds inclusive, outside points drop
+    none = interval_lookup(
+        facts.filter("p > 100"), ints, "p", "lo", "hi"
+    )
+    assert none.count() == 0
