@@ -106,6 +106,18 @@ SHOWCASE: dict[str, str] = {
         "label scaffold ride as broadcasts (declared tiny crossJoins), "
         "per-doc scores are integer sums, argmax a doc-grain window."
     ),
+    "interval_price_bands": (
+        "Overlapping band join without a nested loop: intervals "
+        "replicate into median-width buckets, each fact equi-joins its "
+        "single bucket (broadcast here, shuffle-hash at scale), the "
+        "exact range predicate filters after; the only BNLJ is the "
+        "declared 8-row x 1-row band-dim scaffold."
+    ),
+    "cms_heavy_hitters": (
+        "One map-side-combined word count feeds both the exact top-20 "
+        "and the 4x512 count-min grid; estimates ride a broadcast "
+        "min-over-depth join — no second corpus scan."
+    ),
     "ewma_monthly_price": (
         "Recursive EWMA as a closed-form ordered prefix sum: monthly "
         "pre-aggregation reduces the fact before the window, then ONE "

@@ -239,3 +239,52 @@ def apply_cdc(
     untouched = snapshot.join(ch.select(*on), on=on, how="left_anti")
     upserts = ch.filter(F.col(op_col) != "D").select(*payload)
     return untouched.unionByName(upserts)
+
+
+def pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    asof_col: str,
+    values: list[str],
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Point-in-time join: attach to each fact row the SCD2 dim version
+    that was effective at the fact's ``asof_col`` — i.e. the row with
+    equal ``keys`` and ``valid_from <= asof < valid_to`` (open rows have
+    NULL ``valid_to`` = effective forever). Left semantics: every fact
+    survives exactly once, with NULL values when no version was
+    effective (fact predates the key's history, or the history was
+    truncated past the fact).
+
+    Built on ``temporal.asof_join`` (union + keyed window) rather than
+    an inequality join: SCD2 periods per key are non-overlapping, so
+    "the version effective at t" IS "the latest valid_from <= t", and
+    one hash shuffle on the natural key replaces the SortMergeJoin +
+    range-filter fan-out a BETWEEN join plans. The closing bound is then
+    enforced by null-ing the payload where ``asof >= valid_to`` — a pure
+    projection, no extra shuffle.
+
+    ``asof_col`` and ``valid_from_col``/``valid_to_col`` must share a
+    comparable type (both ints / dates / timestamps).
+    """
+    from market_flow_spark.operators.temporal import asof_join
+
+    vt = valid_to_col + suffix
+    out = asof_join(
+        facts,
+        dim,
+        on=keys,
+        left_ts=asof_col,
+        right_ts=valid_from_col,
+        values=[*values, valid_to_col],
+        suffix=suffix,
+    )
+    effective = F.col(vt).isNull() | (F.col(asof_col) < F.col(vt))
+    for v in values:
+        out = out.withColumn(
+            v + suffix, F.when(effective, F.col(v + suffix))
+        )
+    return out.drop(vt)

@@ -2265,12 +2265,9 @@ FROM (
 """
 
 
-@register("scd2_part_prices", _SCD2_ORACLE)
-def q_scd2_part_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 merge of a price-update batch into a versioned part dimension:
-    every 4th part's retail price bumps (closing its open row and opening
-    a new version at batch 1), even-keyed unchanged parts pass through
-    untouched. Versioning by integer batch id keeps it oracle-exact."""
+def _scd2_part_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned part dimension scd2_part_prices produces — shared
+    with the point-in-time join query so both sides see one history."""
     part = load_tables(spark, sf_dir)["part"].select(
         "p_partkey", "p_retailprice", "p_brand"
     )
@@ -2295,6 +2292,15 @@ def q_scd2_part_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         tracked_cols=["p_retailprice", "p_brand"],
         batch_id=1,
     )
+
+
+@register("scd2_part_prices", _SCD2_ORACLE)
+def q_scd2_part_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge of a price-update batch into a versioned part dimension:
+    every 4th part's retail price bumps (closing its open row and opening
+    a new version at batch 1), even-keyed unchanged parts pass through
+    untouched. Versioning by integer batch id keeps it oracle-exact."""
+    return _scd2_part_dim(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -4157,3 +4163,64 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overcount"
         ),
     ).orderBy(F.desc("exact_cnt"), "tok")
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time SCD2 lookup — incremental.pit_join over the versioned dim
+# ---------------------------------------------------------------------------
+
+_PIT_SQL = f"""
+WITH scd AS ({_SCD2_ORACLE}),
+f AS (
+  SELECT l_partkey, CAST(l_orderkey % 2 AS INT) AS asof_batch
+  FROM lineitem
+)
+SELECT f.asof_batch, s.p_brand,
+       COUNT(*) AS n_lines,
+       {_floor_round_sql(
+           "CAST(SUM(CAST(s.p_retailprice AS DECIMAL(27,6))) AS DOUBLE)", 2
+       )} AS sum_price
+FROM f JOIN scd s
+  ON f.l_partkey = s.p_partkey
+ AND s.valid_from <= f.asof_batch
+ AND (s.valid_to IS NULL OR f.asof_batch < s.valid_to)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("pit_part_price_sales", _PIT_SQL)
+def q_pit_part_price_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join of lineitem against the SCD2 part dimension:
+    each line observes the price version effective at its as-of batch
+    (l_orderkey parity as a deterministic pseudo-time — half the facts
+    see the world before the price batch, half after). incremental.
+    pit_join resolves 'effective at t' as the latest valid_from <= t via
+    the union+window as-of machinery — ONE hash shuffle on the natural
+    key, where the oracle's BETWEEN join plans a range fan-out. Revenue
+    rolls up by (as-of batch, brand), so the two observation epochs
+    differ exactly by the bumped parts."""
+    from market_flow_spark.functions.aggregates import det_round
+    from market_flow_spark.operators import incremental as inc
+
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        F.col("l_partkey").alias("p_partkey"),
+        (F.col("l_orderkey") % 2).cast("int").alias("asof_batch"),
+    )
+    dim = _scd2_part_dim(spark, sf_dir)
+    joined = inc.pit_join(
+        li, dim, ["p_partkey"], "asof_batch", ["p_retailprice", "p_brand"]
+    )
+    return (
+        joined.groupBy("asof_batch", F.col("p_brand_asof").alias("p_brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            det_round(
+                F.sum(
+                    F.col("p_retailprice_asof").cast("decimal(27,6)")
+                ).cast("double"),
+                2,
+            ).alias("sum_price"),
+        )
+        .orderBy("asof_batch", "p_brand")
+    )

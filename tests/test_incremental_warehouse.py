@@ -116,3 +116,43 @@ def test_apply_cdc_compacts_multi_change_keys(spark):
         for r in apply_cdc(snap, changes, on=["k"], ts_col="ts").collect()
     )
     assert out == [(2, "b2"), (3, "c"), (4, "d")]
+
+
+def test_pit_join_picks_effective_version(spark):
+    """Point-in-time semantics against a 3-version key: before history ->
+    NULL, inside each period -> that period's value, at a boundary -> the
+    opening version (valid_from inclusive, valid_to exclusive), after a
+    truncated history -> NULL."""
+    dim = _df(
+        spark,
+        [
+            # key 1: price 10 in [1,3), 20 in [3,5), 30 open from 5
+            (1, 10.0, 1, 3), (1, 20.0, 3, 5), (1, 30.0, 5, None),
+            # key 2: single CLOSED period [2,4) — history truncated
+            (2, 99.0, 2, 4),
+        ],
+        "k BIGINT, price DOUBLE, valid_from INT, valid_to INT",
+    )
+    facts = _df(
+        spark,
+        [(i, k, t) for i, (k, t) in enumerate(
+            [(1, 0), (1, 1), (1, 2), (1, 3), (1, 7), (2, 3), (2, 4), (3, 1)]
+        )],
+        "fid INT, k BIGINT, asof INT",
+    )
+    out = {
+        r.fid: r.price_asof
+        for r in inc.pit_join(facts, dim, ["k"], "asof", ["price"]).collect()
+    }
+    assert out == {
+        0: None,   # before key 1's history
+        1: 10.0,   # valid_from inclusive
+        2: 10.0,
+        3: 20.0,   # boundary: old closes, new opens
+        4: 30.0,   # open version
+        5: 99.0,   # inside key 2's only period
+        6: None,   # after truncated history: version closed at 4
+        7: None,   # key with no history at all
+    }
+    # every fact survives exactly once (left semantics)
+    assert inc.pit_join(facts, dim, ["k"], "asof", ["price"]).count() == 8
