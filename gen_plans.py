@@ -118,6 +118,13 @@ SHOWCASE: dict[str, str] = {
         "and the 4x512 count-min grid; estimates ride a broadcast "
         "min-over-depth join — no second corpus scan."
     ),
+    "pit_part_price_sales": (
+        "Point-in-time SCD2 lookup as union+window: facts and dim "
+        "versions share ONE hash exchange on the natural key, the "
+        "keyed sort resolves 'latest valid_from <= t', and the "
+        "closing bound is a projection — no BETWEEN-join range "
+        "fan-out anywhere in the plan."
+    ),
     "ewma_monthly_price": (
         "Recursive EWMA as a closed-form ordered prefix sum: monthly "
         "pre-aggregation reduces the fact before the window, then ONE "

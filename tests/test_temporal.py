@@ -299,3 +299,38 @@ def test_interval_lookup_bounds_inclusive_and_empty(spark):
         facts.filter("p > 100"), ints, "p", "lo", "hi"
     )
     assert none.count() == 0
+
+
+def test_interval_lookup_random_grid_matches_model(spark):
+    """Grid-vs-model in one job (per-example Spark jobs would be slow):
+    200 facts x 48 intervals from a seeded generator — widths spanning 4
+    orders of magnitude, zero-width points, negatives, duplicates —
+    must match the all-pairs python model under auto width, tiny width,
+    and a brutal replication cap."""
+    import random
+
+    from market_flow_spark.operators.temporal import interval_lookup
+
+    rng = random.Random(0xC0FFEE)
+    facts = [
+        (i, round(rng.uniform(-1000.0, 1000.0), 3)) for i in range(200)
+    ]
+    ints = []
+    for j in range(48):
+        lo = round(rng.uniform(-1200.0, 1200.0), 3)
+        width = rng.choice([0.0, 0.05, 0.5, 5.0, 50.0, 500.0])
+        ints.append((1000 + j, lo, round(lo + width, 3)))
+    expect = {
+        (f[0], i[0]) for f in facts for i in ints if i[1] <= f[1] <= i[2]
+    }
+    fdf = spark.createDataFrame(facts, "fact_id int, p double")
+    idf = spark.createDataFrame(ints, "interval_id int, lo double, hi double")
+
+    def got(**kw):
+        out = interval_lookup(fdf, idf, "p", "lo", "hi", **kw)
+        return {(r["fact_id"], r["interval_id"]) for r in out.collect()}
+
+    assert got() == expect
+    assert got(bucket_width=0.25) == expect
+    assert got(max_buckets_per_interval=3) == expect
+    assert got(strategy="broadcast") == expect
