@@ -258,6 +258,22 @@ def main() -> None:
     from market_flow_spark.extensions import classify, retrieval, text, web  # noqa: E402
     from market_flow_spark.queries_ext import _synth_url  # noqa: E402
 
+    def _cms_end_to_end(d):
+        from market_flow_spark.extensions import sketches as sk
+
+        toks = d.select(
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).alias("tok")
+        )
+        exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+        sketch = sk.cms_build(exact, "tok", weight_col="exact_cnt")
+        top = exact.orderBy(F.desc("exact_cnt"), "tok").limit(20)
+        return sk.cms_estimate(sketch, top, "tok")
+
     def _nb_end_to_end(d):
         train = d.filter(F.col("doc_id") % 5 != 0)
         test = d.filter(F.col("doc_id") % 5 == 0)
@@ -279,6 +295,10 @@ def main() -> None:
             d.withColumn("url", _synth_url())
         ),
         "nb_classify_lang": _nb_end_to_end,
+        # count-min heavy hitters: one word-count pass + 4x512 grid;
+        # the x10 point pins that the sketch cost scales with the corpus
+        # scan, not the probe side
+        "cms_heavy_hitters": _cms_end_to_end,
     }
     big = inflate(10)
     for tier_name, build in heavy_tiers.items():

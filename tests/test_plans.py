@@ -328,3 +328,33 @@ def test_url_dedup_single_shuffle(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_lookup_bucket_join_stays_hash(spark, sf_dir):
+    """The point-in-interval bucket join must plan as a hash equi-join:
+    the ONLY nested-loop joins are the two declared band-dim scaffolds
+    (8-row x 1-row stats); a third BNLJ would mean the bucket equi-join
+    itself regressed into a range nested loop."""
+    plan = _executed_plan(QUERIES["interval_price_bands"](spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pit_join_is_one_keyed_window_no_range_join(spark, sf_dir):
+    """Point-in-time SCD2 lookup resolves through the union+window
+    machinery: a Window over the natural key, and NO nested-loop range
+    join anywhere (the oracle's BETWEEN join is exactly what this plan
+    must avoid)."""
+    plan = _executed_plan(QUERIES["pit_part_price_sales"](spark, sf_dir))
+    assert "Window" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_sketch_probes_via_broadcast(spark, sf_dir):
+    """The count-min estimate join must broadcast the 4x512 sketch grid
+    (never shuffle the probe side against it), and the whole query stays
+    free of nested loops."""
+    plan = _executed_plan(QUERIES["cms_heavy_hitters"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
