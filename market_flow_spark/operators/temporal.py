@@ -132,6 +132,113 @@ def range_join_binned(
     return joined.filter(within).drop(lb, lt, rt)
 
 
+def ewma_segment_rows(alpha: float) -> int:
+    """Default segment size for ``ewma_unbounded`` — the midpoint of the
+    validity window; exposed so oracle twins can reproduce it."""
+    import math
+
+    return int(200.0 / (-math.log10(1.0 - float(alpha))))
+
+
+def ewma_unbounded(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+    segment_rows: int | None = None,
+) -> DataFrame:
+    """``ewma`` without the series-length bound: the same recursion
+    (``y_n = alpha*x_n + (1-alpha)*y_{n-1}``, ``y_1 = x_1``) computed by
+    a TWO-LEVEL closed form, valid for groups of any length.
+
+    Level 1 — segments of ``B`` rows: within segment s, the local prefix
+    ``P_j = q^j * sum_{i<=j} t_i`` (same t-terms as ``ewma``; the global
+    first row keeps its ``x*q^-1`` seeding) gives
+    ``y = q^j * C_s + P_j`` where ``C_s`` is the carry — the y value
+    entering the segment.
+
+    Level 2 — the carry recursion ``C_s = A*C_{s-1} + P_end(s-1)`` with
+    constant ``A = q^B``. B is chosen so that ``A < 2^-537`` (so ``A^2``
+    underflows to EXACTLY 0.0 in IEEE doubles) while ``q^-B`` stays far
+    under double overflow. Then the infinite expansion truncates exactly:
+    ``C_s = P_end(s-1) + A*P_end(s-2)`` — two LAGs over the tiny
+    segment-summary frame, no recursion left. (Mathematically the
+    dropped terms are < 1e-400 relative — below anything a double can
+    carry; the sequential recursion run in doubles drops them too, at
+    the same point and for the same reason.)
+
+    Cost: the ``ewma`` plan plus one extra corpus shuffle — rank on
+    (group), prefix window on (group, segment), then a segment-count-
+    sized aggregate + lag + join-back. Two passes over the fact, as the
+    segmented design promises; state never leaves the executors.
+
+    ``segment_rows`` overrides B but must stay inside the validity
+    window ``(162/-log10(q), 300/-log10(q))`` — outside it the two-lag
+    truncation (lower bound) or the level-1 prefix (upper bound) breaks,
+    so the override raises rather than silently corrupting.
+    """
+    import math
+
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    q = 1.0 - float(alpha)
+    neglog = -math.log10(q)
+    lo_b = int(math.ceil(162.0 / neglog)) + 1
+    hi_b = int(math.floor(300.0 / neglog))
+    B = int(segment_rows) if segment_rows else ewma_segment_rows(alpha)
+    if not lo_b <= B <= hi_b:
+        raise ValueError(
+            f"segment_rows={B} outside validity window [{lo_b}, {hi_b}] "
+            f"for alpha={alpha}"
+        )
+    A = q**B
+
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    d = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "__seg", ((F.col("__rn") - F.lit(1)) / F.lit(B)).cast("long")
+        )
+        .withColumn("__j", F.col("__rn") - F.col("__seg") * F.lit(B))
+    )
+    t = F.when(
+        F.col("__rn") == 1, F.col(value_col) * F.lit(1.0 / q)
+    ).otherwise(
+        F.lit(float(alpha))
+        * F.col(value_col)
+        * F.pow(F.lit(q), -F.col("__j"))
+    )
+    ws = (
+        Window.partitionBy(*group_cols, "__seg")
+        .orderBy("__j")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("__t", t).withColumn(
+        "__P", F.pow(F.lit(q), F.col("__j")) * F.sum("__t").over(ws)
+    )
+
+    ends = d.groupBy(*group_cols, "__seg").agg(
+        F.max_by("__P", "__j").alias("__p_end")
+    )
+    wseg = Window.partitionBy(*group_cols).orderBy("__seg")
+    carry = ends.select(
+        *group_cols,
+        "__seg",
+        (
+            F.coalesce(F.lag("__p_end", 1).over(wseg), F.lit(0.0))
+            + F.lit(A)
+            * F.coalesce(F.lag("__p_end", 2).over(wseg), F.lit(0.0))
+        ).alias("__C"),
+    )
+    out = d.join(carry, [*group_cols, "__seg"])
+    return out.withColumn(
+        out_col,
+        F.pow(F.lit(q), F.col("__j")) * F.col("__C") + F.col("__P"),
+    ).drop("__rn", "__seg", "__j", "__t", "__P", "__C")
+
+
 def interval_lookup(
     facts: DataFrame,
     intervals: DataFrame,
@@ -297,9 +404,8 @@ def ewma(
     ~2 000 at alpha = 0.3. EWMA over a 100 TB fact is therefore run on a
     pre-aggregated grain (the registered query uses monthly averages:
     decades of history stay thousands of times under the bound). For
-    raw-event-grain smoothing at unbounded length, segment the series and
-    carry the boundary y across segments (two passes); not implemented
-    until a consumer needs it.
+    series past the bound use ``ewma_unbounded`` (segmented two-level
+    closed form, no length limit).
 
     Ordering contract: ``order_cols`` must be a total order within each
     group (ties would make prefix sums nondeterministic — same rule as

@@ -36,11 +36,11 @@ local-parity-green today):
   kmv_distinct_by_returnflag, window_panel, feature_encode_panel,
   basket_pairs, gap_fill_months, corr_quantity_price, weighted_sample_docs,
   theta_overlap_years, unpivot_flag_metrics
-plus the seven queries added later in round 6 (also never-certified,
+plus the eight queries added later in round 6 (also never-certified,
 local-parity-green): url_canonical_dedup, domain_url_stats,
-nb_classify_lang, ewma_monthly_price, interval_price_bands,
-cms_heavy_hitters, pit_part_price_sales — 26 names total, fitting one
-round-7 window.
+nb_classify_lang, ewma_monthly_price, ewma_daily_price_unbounded,
+interval_price_bands, cms_heavy_hitters, pit_part_price_sales — 27
+names total, fitting one round-7 window.
 
 Rotated OUT this round to make room (every one carries a green driver row
 from r1-r5 — hash-certified at least once — and stays in the local sweep):

@@ -4224,3 +4224,95 @@ def q_pit_part_price_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("asof_batch", "p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unbounded EWMA — daily grain, crosses segment boundaries (temporal.py)
+# ---------------------------------------------------------------------------
+
+
+def _ewma_unbounded_oracle(alpha: float = _EWMA_ALPHA) -> str:
+    q = 1.0 - alpha
+    B = temporal.ewma_segment_rows(alpha)
+    A = q**B
+    return f"""
+WITH daily AS (
+  SELECT l_returnflag,
+         CAST(l_shipdate AS DATE) AS day,
+         {_floor_round_sql(
+             "CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)"
+             " / COUNT(l_extendedprice)", 2
+         )} AS avg_price
+  FROM lineitem
+  GROUP BY 1, 2
+),
+rn AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                               ORDER BY day) AS rn
+  FROM daily
+),
+sj AS (
+  SELECT *, CAST(FLOOR((rn - 1) / {B}) AS BIGINT) AS seg,
+         rn - CAST(FLOOR((rn - 1) / {B}) AS BIGINT) * {B} AS j
+  FROM rn
+),
+t AS (
+  SELECT *, CASE WHEN rn = 1 THEN avg_price * {1.0 / q}
+                 ELSE {alpha} * avg_price * POWER({q}, -j) END AS t
+  FROM sj
+),
+p AS (
+  SELECT *, POWER({q}, j)
+            * SUM(t) OVER (PARTITION BY l_returnflag, seg ORDER BY j
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS P
+  FROM t
+),
+ends AS (
+  SELECT l_returnflag, seg, max_by(P, j) AS p_end
+  FROM p GROUP BY 1, 2
+),
+carry AS (
+  SELECT l_returnflag, seg,
+         COALESCE(LAG(p_end, 1) OVER w, 0.0)
+           + {A!r} * COALESCE(LAG(p_end, 2) OVER w, 0.0) AS C
+  FROM ends
+  WINDOW w AS (PARTITION BY l_returnflag ORDER BY seg)
+)
+SELECT p.l_returnflag, p.day, p.avg_price,
+       {_floor_round_sql("POWER(" + str(q) + ", p.j) * c.C + p.P", 4)}
+         AS ewma_price
+FROM p JOIN carry c ON p.l_returnflag = c.l_returnflag AND p.seg = c.seg
+ORDER BY 1, 2
+"""
+
+
+@register("ewma_daily_price_unbounded", _ewma_unbounded_oracle())
+def q_ewma_daily_price_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA over DAILY average prices per returnflag — ~2 400 days per
+    group, PAST the single-level closed form's range bound at alpha=0.3
+    (~2 000 rows), so this runs temporal.ewma_unbounded: segmented
+    prefix sums plus the exact two-lag carry, crossing a segment
+    boundary for every group. The certified twin of the operator's
+    no-length-limit claim."""
+    from market_flow_spark.functions.aggregates import det_avg, det_round
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    daily = li.groupBy(
+        "l_returnflag",
+        F.col("l_shipdate").cast("date").alias("day"),
+    ).agg(det_avg("l_extendedprice").alias("avg_price"))
+    smoothed = temporal.ewma_unbounded(
+        daily,
+        group_cols=["l_returnflag"],
+        order_cols=["day"],
+        value_col="avg_price",
+        alpha=_EWMA_ALPHA,
+        out_col="__y",
+    )
+    return smoothed.select(
+        "l_returnflag",
+        "day",
+        "avg_price",
+        det_round(F.col("__y"), 4).alias("ewma_price"),
+    ).orderBy("l_returnflag", "day")

@@ -334,3 +334,60 @@ def test_interval_lookup_random_grid_matches_model(spark):
     assert got(bucket_width=0.25) == expect
     assert got(max_buckets_per_interval=3) == expect
     assert got(strategy="broadcast") == expect
+
+
+def test_ewma_unbounded_matches_recursion_across_segments(spark):
+    """The two-level closed form == the defining recursion on a series
+    LONGER than the segment size (alpha=0.5 -> B=664): 2000 rows cross 4
+    segments, so the carry handoff executes three times per group."""
+    import random
+
+    from market_flow_spark.operators.temporal import ewma_unbounded
+
+    rng = random.Random(7)
+    series = {
+        "g1": [rng.uniform(1.0, 100.0) for _ in range(2000)],
+        "g2": [rng.uniform(1.0, 100.0) for _ in range(700)],
+        "g3": [5.0],  # single row: y = x
+    }
+    alpha = 0.5
+    rows = [(g, i, x) for g, xs in series.items() for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, i int, x double")
+    got = {
+        (r["g"], r["i"]): r["ewma"]
+        for r in ewma_unbounded(df, ["g"], ["i"], "x", alpha).collect()
+    }
+    assert len(got) == sum(len(xs) for xs in series.values())
+    for g, xs in series.items():
+        y = xs[0]
+        assert abs(got[(g, 0)] - y) < 1e-9
+        for i, x in enumerate(xs[1:], start=1):
+            y = alpha * x + (1 - alpha) * y
+            assert abs(got[(g, i)] - y) / max(abs(y), 1e-12) < 1e-9, (g, i)
+
+
+def test_ewma_unbounded_agrees_with_bounded_and_guards(spark):
+    """On a short series both EWMA implementations are valid and must
+    agree; out-of-window segment overrides and bad alpha raise."""
+    import pytest as _pytest
+
+    from market_flow_spark.operators.temporal import ewma, ewma_unbounded
+
+    rows = [("a", i, float(10 + (i * 7) % 13)) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, i int, x double")
+    a = {
+        (r["g"], r["i"]): r["ewma"]
+        for r in ewma(df, ["g"], ["i"], "x", 0.3).collect()
+    }
+    b = {
+        (r["g"], r["i"]): r["ewma"]
+        for r in ewma_unbounded(df, ["g"], ["i"], "x", 0.3).collect()
+    }
+    assert a.keys() == b.keys()
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-9, k
+
+    with _pytest.raises(ValueError):
+        ewma_unbounded(df, ["g"], ["i"], "x", 0.3, segment_rows=10)
+    with _pytest.raises(ValueError):
+        ewma_unbounded(df, ["g"], ["i"], "x", 1.5)
