@@ -125,6 +125,13 @@ SHOWCASE: dict[str, str] = {
         "closing bound is a projection — no BETWEEN-join range "
         "fan-out anywhere in the plan."
     ),
+    "ewma_daily_price_unbounded": (
+        "Unbounded EWMA: rank window on the group key, segmented "
+        "prefix window on (group, segment) — the second and last "
+        "corpus exchange — then a segment-count-sized lag frame whose "
+        "carry join-back broadcasts; series length never touches the "
+        "plan."
+    ),
     "ewma_monthly_price": (
         "Recursive EWMA as a closed-form ordered prefix sum: monthly "
         "pre-aggregation reduces the fact before the window, then ONE "
