@@ -52,7 +52,14 @@ def test_relation_cache_memoizes_per_session(spark, sf_dir):
     a = tables.load_table(spark, sf_dir, "lineitem")
     b = tables.load_table(spark, sf_dir, "lineitem")
     assert a is b
-    other = tables.load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    # any sf dir other than the fixture's (the suite runs under both
+    # sf0.001 and SPARK_GRAFT_TEST_SF_DIR=sf0.01)
+    other_dir = (
+        "/root/testdata/sf0.01"
+        if sf_dir.rstrip("/") != "/root/testdata/sf0.01"
+        else "/root/testdata/sf0.001"
+    )
+    other = tables.load_table(spark, other_dir, "lineitem")
     assert other is not a
     tables.clear_table_cache()
     c = tables.load_table(spark, sf_dir, "lineitem")
