@@ -321,6 +321,64 @@ def main() -> None:
         )
         del df_big
 
+    # --- x10 scaling point for the WAREHOUSE tier (round-6) -------------
+    # Every scaling curve above covers the dedup/text/sketch tiers; the
+    # star-join core had none. Inflate the FACT side only (lineitem +
+    # orders, order keys offset per copy so the big-big join matches
+    # within copies and output scales exactly x k) while the dims stay
+    # fixed — the realistic 100 TB shape: facts grow, dimensions don't.
+    # Pins two claims at x10: the 7 dim joins stay BroadcastHashJoin
+    # (dim size is inflation-invariant) and the one SortMergeJoin on
+    # l_orderkey=o_orderkey scales with the fact scan.
+    from market_flow_spark.operators import star  # noqa: E402
+
+    base_tables = load_tables(spark, sf_dir)
+
+    def inflate_fact(k: int) -> dict:
+        li, od = base_tables["lineitem"], base_tables["orders"]
+        li_copies, od_copies = [], []
+        for c in range(k):
+            off = F.lit(c * 100_000_000)
+            li_copies.append(
+                li.select(
+                    (F.col("l_orderkey") + off).alias("l_orderkey"),
+                    *[c2 for c2 in li.columns if c2 != "l_orderkey"],
+                )
+            )
+            od_copies.append(
+                od.select(
+                    (F.col("o_orderkey") + off).alias("o_orderkey"),
+                    *[c2 for c2 in od.columns if c2 != "o_orderkey"],
+                )
+            )
+        out = dict(base_tables)
+        li_k, od_k = li_copies[0], od_copies[0]
+        for extra in li_copies[1:]:
+            li_k = li_k.unionByName(extra)
+        for extra in od_copies[1:]:
+            od_k = od_k.unionByName(extra)
+        out["lineitem"], out["orders"] = li_k, od_k
+        return out
+
+    wh_curve = scaling.setdefault("flagship_wide_star", [])
+    fact_rows = base_tables["lineitem"].count()
+    wh_curve.append(
+        {
+            "subset": "full",
+            "rows": fact_rows,
+            "sec": steady(star.flagship_wide(base_tables)),
+        }
+    )
+    big_tables = inflate_fact(10)
+    wh_curve.append(
+        {
+            "subset": "x10",
+            "rows": fact_rows * 10,
+            "sec": steady(star.flagship_wide(big_tables)),
+        }
+    )
+    del big_tables
+
     # library-only ANN ops (no SQL oracle, so not registered queries):
     # steady-state timings so the compressed tiers have recorded perf too
     from market_flow_spark.extensions import similarity  # noqa: E402
