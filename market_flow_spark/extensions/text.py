@@ -428,6 +428,109 @@ LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
 
 
+_KL_SCALE = 1_000_000_000  # 1e-9 fixed-point quantization per contribution
+
+
+def token_kl_divergence(
+    docs: DataFrame, group: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Per-group token-distribution drift: KL(P_group || P_corpus) in nats,
+    where P_group is a group's unigram distribution and P_corpus the whole
+    corpus's. The distribution-shift monitor a crawl pipeline runs between
+    snapshots/domains/languages — a group whose token distribution matches
+    the corpus scores ~0; a divergent slice scores high and gets looked at
+    before it trains anything.
+
+    Well-defined without smoothing: every token of every group is by
+    construction part of the corpus distribution, so Q(t) > 0 wherever
+    P(t) > 0.
+
+    Determinism (same scheme as DSIR's log-ratio table,
+    selection.py): each token's contribution p·ln(p/q) is quantized to
+    1e-9 fixed point (BIGINT) immediately after the ``ln``, so the
+    per-group SUM is exact integer arithmetic — invariant to partial-agg
+    order and to the engines' last-ulp ``ln`` differences (p and q are
+    correctly-rounded double quotients of exact integer counts, identical
+    on both engines; only ln's ulps differ, bounded away from the 1e-9
+    grid).
+
+    Plan shape at 100 TB: ONE corpus explode into a map-side-combined
+    (group, token) aggregate — everything after is vocabulary-sized: token
+    totals derive from that compact table (no second corpus pass), group
+    totals and the corpus total ride in as broadcasts. Returns one row per
+    group: (group, n_tokens, vocab, kl_nats).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    words = (
+        spread_to_cores(docs)
+        .select(F.col(group).alias("grp"), F.explode(toks).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    cnt_gt = words.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("c_gt"))
+    cnt_t = cnt_gt.groupBy("tok").agg(F.sum("c_gt").alias("c_t"))
+    tot_g = cnt_gt.groupBy("grp").agg(F.sum("c_gt").alias("t_g"))
+    tot = cnt_gt.agg(F.sum("c_gt").alias("t_all"))
+
+    p = F.col("c_gt").cast("double") / F.col("t_g")
+    q = F.col("c_t").cast("double") / F.col("t_all")
+    contrib_fx = F.floor(p * F.log(p / q) * F.lit(_KL_SCALE) + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        cnt_gt.join(cnt_t, "tok")
+        .join(F.broadcast(tot_g), "grp")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("grp")
+        .agg(
+            F.max("t_g").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            (F.sum(contrib_fx).cast("double") / F.lit(float(_KL_SCALE))).alias(
+                "kl_nats"
+            ),
+        )
+        .select(
+            F.col("grp").alias(group),
+            "n_tokens",
+            "vocab",
+            det_round(F.col("kl_nats"), 6).alias("kl_nats"),
+        )
+    )
+
+
+def token_kl_divergence_oracle_sql(group: str = "lang") -> str:
+    """DuckDB twin of :func:`token_kl_divergence` over the `documents`
+    view — identical tokenization, identical quantize-then-sum fixed-point
+    arithmetic."""
+    return f"""
+WITH words AS (
+  SELECT {group} AS grp,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+cg AS (
+  SELECT grp, tok, COUNT(*) AS c_gt FROM words WHERE tok <> '' GROUP BY 1, 2
+),
+ct AS (SELECT tok, CAST(SUM(c_gt) AS BIGINT) AS c_t FROM cg GROUP BY 1),
+tg AS (SELECT grp, CAST(SUM(c_gt) AS BIGINT) AS t_g FROM cg GROUP BY 1),
+ta AS (SELECT CAST(SUM(c_gt) AS BIGINT) AS t_all FROM cg),
+f AS (
+  SELECT cg.grp, tg.t_g,
+         CAST(FLOOR((CAST(cg.c_gt AS DOUBLE) / tg.t_g)
+                    * ln((CAST(cg.c_gt AS DOUBLE) / tg.t_g)
+                         / (CAST(ct.c_t AS DOUBLE) / ta.t_all))
+                    * {_KL_SCALE} + 0.5) AS BIGINT) AS contrib_fx
+  FROM cg JOIN ct USING (tok) JOIN tg USING (grp) CROSS JOIN ta
+)
+SELECT grp AS {group},
+       MAX(t_g) AS n_tokens,
+       COUNT(*) AS vocab,
+       FLOOR((CAST(SUM(contrib_fx) AS DOUBLE) / {_KL_SCALE}.0)
+             * 1000000 + 0.5) / 1000000 AS kl_nats
+FROM f
+GROUP BY grp
+"""
+
+
 def top_tokens_per_group(
     docs: DataFrame,
     group: str = "lang",

@@ -134,6 +134,51 @@ def rolling_mean(
     return df.withColumn(f"ma{periods}", det_avg_over(value, w))
 
 
+def rolling_median(
+    df: DataFrame,
+    partition: str,
+    order_cols: list[str],
+    value: str,
+    periods: int = 12,
+    out_col: str | None = None,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Exact trailing rolling MEDIAN over a bounded row frame — the robust
+    twin of :func:`rolling_mean` (a single spike moves MA30 by spike/30;
+    the median ignores it entirely).
+
+    Physical shape: ``sort_array(collect_list(x) OVER frame)`` — each row
+    materializes at most ``periods`` values, so per-row cost is
+    O(periods log periods) regardless of partition length or corpus size
+    (unlike a full-partition percentile, which needs the whole series in
+    one place). The only shuffle is the window's partitionBy — same
+    exchange the mean/zscore panels already pay.
+
+    Even-count frames return the midpoint of the two central values
+    (quantile_cont 0.5 — DuckDB's ``median`` window semantics), so the
+    DuckDB oracle is simply ``median(x) OVER w``. The midpoint of two
+    doubles ((a+b)/2) is computed identically by both engines, which keeps
+    the det_round boundary safe.
+    """
+    w = (
+        Window.partitionBy(partition)
+        .orderBy(*order_cols)
+        .rowsBetween(-(periods - 1), Window.currentRow)
+    )
+    arr = F.sort_array(F.collect_list(F.col(value).cast("double")).over(w))
+    n = F.size(arr)
+    med = F.when(
+        n % 2 == 1, F.element_at(arr, ((n + F.lit(1)) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at(arr, (n / 2).cast("int"))
+            + F.element_at(arr, (n / 2 + 1).cast("int"))
+        )
+        / 2
+    )
+    return df.withColumn(out_col or f"median{periods}", det_round(med, ndigits))
+
+
 # ---- sorts / limits / top-k (O2-O5) -----------------------------------------
 
 

@@ -4326,3 +4326,67 @@ def q_ewma_daily_price_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_price",
         det_round(F.col("__y"), 2).alias("ewma_price"),
     ).orderBy("l_returnflag", "day")
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions (late): corpus distribution drift + robust rolling median
+# ---------------------------------------------------------------------------
+
+
+@register("corpus_kl_by_lang", text.token_kl_divergence_oracle_sql("lang"))
+def q_corpus_kl_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift per language slice: KL(P_lang || P_corpus)
+    in nats over the documents table — the distribution-shift monitor a
+    crawl pipeline runs between snapshots/domains before training. One
+    corpus explode; everything downstream is vocabulary-sized (see
+    text.token_kl_divergence)."""
+    return text.token_kl_divergence(
+        load_tables(spark, sf_dir)["documents"], group="lang"
+    ).orderBy("lang")
+
+
+_ROLLMED_ORACLE = """
+WITH m AS (
+  SELECT p_brand AS brand,
+         CAST(year(o_orderdate) AS INT) AS year,
+         CAST(month(o_orderdate) AS INT) AS month,
+         FLOOR((CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+               / COUNT(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS avg_price
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2, 3
+)
+SELECT brand, year, month, avg_price,
+       FLOOR(median(avg_price) OVER (
+               PARTITION BY brand ORDER BY year, month
+               ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+             * 10000 + 0.5) / 10000 AS median12
+FROM m
+"""
+
+
+@register("rolling_median_price", _ROLLMED_ORACLE)
+def q_rolling_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 12-month rolling MEDIAN of the monthly brand price series —
+    the robust twin of the rolling-mean/zscore panels (a single spiked
+    month moves MA12 by spike/12 and the median not at all). Exact,
+    frame-bounded: each row sorts at most 12 values, so cost per row is
+    independent of series length (see analytics.rolling_median)."""
+    from market_flow_spark.functions.aggregates import det_avg
+
+    t = load_tables(spark, sf_dir)
+    m = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+        )
+        .agg(det_avg("l_extendedprice").alias("avg_price"))
+    )
+    return an.rolling_median(
+        m, "brand", ["year", "month"], "avg_price", periods=12, out_col="median12"
+    )

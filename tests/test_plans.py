@@ -104,6 +104,9 @@ INTENTIONAL_TINY_CROSSJOIN = {
     # 8-row band dim x one-row min/max singleton (interval_lookup's
     # bucket join itself is a plain equi-join)
     "interval_price_bands",
+    # one-row corpus-total singleton broadcast into the vocab-grain rows
+    # (text.token_kl_divergence), same shape as unigram_logprob's totals
+    "corpus_kl_by_lang",
 }
 
 

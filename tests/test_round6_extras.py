@@ -1,0 +1,143 @@
+"""Late round-6 operators: exact rolling median (robust window statistic)
+and per-group token-distribution KL divergence (corpus drift monitor).
+
+Both also carry registered queries (`rolling_median_price`,
+`corpus_kl_by_lang`) whose DuckDB oracles run in the test_oracle_parity
+sweep; these tests pin the operator semantics themselves against
+independent replicas and closed-form facts.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from market_flow_spark.extensions.text import token_kl_divergence
+from market_flow_spark.operators.analytics import rolling_median
+
+
+def test_rolling_median_matches_pandas_replica(spark):
+    """Odd and even frame counts, duplicate values, a group shorter than
+    the window, and a spike the median must ignore — checked row-for-row
+    against pandas.rolling(min_periods=1).median()."""
+    rows = []
+    series = {
+        "a": [5.0, 1.0, 1.0, 9.0, 2.0, 1000.0, 3.0, 4.0],  # spike at t=5
+        "b": [2.0, 2.0],  # shorter than the window
+    }
+    for g, vals in series.items():
+        for i, v in enumerate(vals):
+            rows.append((g, i, v))
+    df = spark.createDataFrame(rows, "g string, t int, x double")
+
+    got = {
+        (r["g"], r["t"]): r["median4"]
+        for r in rolling_median(df, "g", ["t"], "x", periods=4).collect()
+    }
+    for g, vals in series.items():
+        exp = pd.Series(vals).rolling(4, min_periods=1).median()
+        for i in range(len(vals)):
+            assert got[(g, i)] == exp.iloc[i], (g, i)
+    # the spike moves the trailing-4 median at t=6 to median(9,2,1000,3)=6,
+    # not anywhere near 1000 — the robustness claim, pinned concretely
+    assert got[("a", 6)] == 6.0
+
+
+def test_rolling_median_even_frame_is_midpoint(spark):
+    """quantile_cont(0.5) semantics: an even-count frame returns the
+    average of the two central values (DuckDB `median` window behavior),
+    not either neighbor."""
+    df = spark.createDataFrame(
+        [("g", 0, 1.0), ("g", 1, 2.0), ("g", 2, 4.0), ("g", 3, 8.0)],
+        "g string, t int, x double",
+    )
+    got = {
+        r["t"]: r["median4"]
+        for r in rolling_median(df, "g", ["t"], "x", periods=4).collect()
+    }
+    assert got[0] == 1.0  # 1 value
+    assert got[1] == 1.5  # midpoint of (1,2)
+    assert got[2] == 2.0  # middle of (1,2,4)
+    assert got[3] == 3.0  # midpoint of (2,4)
+
+
+def test_kl_zero_for_identical_distributions(spark):
+    """Groups with the same token distribution diverge from the corpus by
+    exactly 0 (p == q for every token, ln(1) == 0 — and the fixed-point
+    quantization of 0.0 is exactly 0, so the sum is exactly 0.0)."""
+    docs = spark.createDataFrame(
+        [(1, "en", "x y z"), (2, "de", "x y z"), (3, "fr", "x y z")],
+        "doc_id bigint, lang string, text string",
+    )
+    out = token_kl_divergence(docs, group="lang").collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["kl_nats"] == 0.0
+        assert r["n_tokens"] == 3
+        assert r["vocab"] == 3
+
+
+def test_kl_hand_computed_two_groups(spark):
+    """Two groups with different distributions: value checked against the
+    closed form computed in plain Python with the same quantization."""
+    # group a: tokens {x: 3, y: 1}; group b: {x: 1, y: 3}
+    docs = spark.createDataFrame(
+        [(1, "a", "x x x y"), (2, "b", "x y y y")],
+        "doc_id bigint, lang string, text string",
+    )
+    out = {r["lang"]: r for r in token_kl_divergence(docs, group="lang").collect()}
+
+    scale = 1_000_000_000
+    q = {"x": 4 / 8, "y": 4 / 8}
+
+    def kl(counts, total):
+        s = 0
+        for tok, c in counts.items():
+            p = c / total
+            s += math.floor(p * math.log(p / q[tok]) * scale + 0.5)
+        return math.floor(s / scale * 1_000_000 + 0.5) / 1_000_000
+
+    assert out["a"]["kl_nats"] == kl({"x": 3, "y": 1}, 4)
+    assert out["b"]["kl_nats"] == kl({"x": 1, "y": 3}, 4)
+    assert out["a"]["n_tokens"] == 4 and out["a"]["vocab"] == 2
+
+
+def test_kl_nonnegative_on_real_corpus(spark, tables):
+    """Gibbs' inequality: KL >= 0 for every language slice of the real
+    documents table (up to the 1e-9 quantization floor), and token mass
+    adds up to the corpus total."""
+    docs = tables["documents"]
+    out = token_kl_divergence(docs, group="lang").collect()
+    assert len(out) >= 2
+    assert all(r["kl_nats"] >= -1e-6 for r in out)
+    total_tokens = sum(r["n_tokens"] for r in out)
+    # independent corpus token count (same tokenization)
+    expect = docs.select(
+        F.size(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    assert total_tokens == expect
+
+
+def test_kl_plan_reuses_the_corpus_aggregate(spark, tables):
+    """The corpus is exploded and aggregated to (group, token) grain ONCE:
+    token totals, group totals, and the corpus total all derive from that
+    one exchange, so the executed plan must contain ReusedExchange nodes
+    (≥2 of the 4 consumers ride the shared stage) and spill nothing.
+    Measured off the real executed plan, not the pre-AQE string. (The
+    registered-query sweep in test_plans already bans row-Python UDFs and
+    cartesians for corpus_kl_by_lang.)"""
+    from market_flow_spark.metrics import collect_and_measure
+
+    df = token_kl_divergence(tables["documents"], group="lang")
+    n, m = collect_and_measure(df)
+    assert n >= 2
+    assert m["reused_exchanges"] >= 2, m
+    assert m["spill_bytes"] == 0
+    assert m["broadcast_exchanges"] >= 2  # group totals + corpus total
