@@ -79,6 +79,66 @@ def global_sort_rank(
     )
 
 
+def global_budget_select(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    weight_col: str,
+    budget: int,
+    cum_col: str = "cum_weight",
+    keep_col: str = "selected",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy prefix selection under a GLOBAL additive budget: walk the
+    rows in ``order_cols`` order (best first) accumulating ``weight_col``,
+    and mark every row whose inclusive running total stays ≤ ``budget`` —
+    "fill a 1T-token training budget with the best-quality documents",
+    the selection step between scoring and export in a data pipeline.
+
+    Scale shape: the naive spelling is ``SUM(w) OVER (ORDER BY ...)`` —
+    an empty-partition global window Spark plans as a SINGLE-TASK sort of
+    the entire corpus. This is the two-phase cumulative sum instead, the
+    prefix-sum twin of :func:`global_sort_rank`:
+
+    1. ``repartitionByRange`` on the order (disjoint ordered key ranges);
+    2. per-partition local running sum (window PARTITIONED by the range
+       bucket — parallel);
+    3. per-partition weight totals (one row per partition) → cumulative
+       offsets, broadcast back; global running sum = offset + local.
+
+    Integer weights make the running totals exact (no float
+    accumulation-order issues), so the output is oracle-checkable against
+    the naive window row-for-row. The order must be TOTAL (append a
+    unique tiebreaker); same determinism contract as global_sort_rank.
+    Rows are marked, not filtered — the caller chooses to filter on
+    ``keep_col`` or keep the full panel (the unselected tail with its
+    running total is exactly what budget-tuning wants to see).
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, *cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    totals = parted.groupBy(_PID).agg(
+        F.sum(F.col(weight_col).cast("bigint")).alias("__w")
+    )
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        _PID, F.coalesce(F.sum("__w").over(w_off), F.lit(0)).alias(_OFF)
+    )
+    w_local = (
+        Window.partitionBy(_PID)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local_cum = F.sum(F.col(weight_col).cast("bigint")).over(w_local)
+    return (
+        parted.join(F.broadcast(offsets), _PID)
+        .withColumn(cum_col, (F.col(_OFF) + local_cum).cast("bigint"))
+        .withColumn(keep_col, F.col(cum_col) <= F.lit(budget))
+        .drop(_PID, _OFF)
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     key_col: str,

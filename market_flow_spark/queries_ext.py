@@ -4390,3 +4390,81 @@ def q_rolling_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return an.rolling_median(
         m, "brand", ["year", "month"], "avg_price", periods=12, out_col="median12"
     )
+
+
+_TOKEN_BUDGET = 200_000  # tokens — ~40% of the sf0.01 corpus, all of sf0.001
+
+_TOKEN_BUDGET_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+    CAST(len(toks) AS INT) AS n_tokens,
+    CAST(len(list_filter(toks, x -> x IN ({_in_list(text.STOPWORDS)}))) AS INT)
+      AS n_stop,
+    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS INT) AS n_nonspace
+  FROM t
+),
+c AS (
+  SELECT doc_id, n_tokens,
+    {_floor_round_sql("n_nonspace / n_tokens", 4)} AS avg_token_len,
+    {_floor_round_sql("n_stop / n_tokens", 4)} AS stopword_ratio
+  FROM b
+),
+q AS (
+  SELECT doc_id, n_tokens, stopword_ratio,
+    {_floor_round_sql(
+        "(CASE WHEN n_tokens BETWEEN 5 AND 10000 THEN 0.5 ELSE 0.0 END)"
+        " + (CASE WHEN avg_token_len BETWEEN 2 AND 12 THEN 0.5 ELSE 0.0 END)",
+        2,
+    )} AS quality_score
+  FROM c
+)
+SELECT doc_id, n_tokens, quality_score, stopword_ratio,
+  CAST(SUM(n_tokens) OVER (
+    ORDER BY COALESCE(quality_score, -1) DESC,
+             COALESCE(stopword_ratio, -1) DESC, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum_tokens,
+  CAST(SUM(n_tokens) OVER (
+    ORDER BY COALESCE(quality_score, -1) DESC,
+             COALESCE(stopword_ratio, -1) DESC, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    <= {_TOKEN_BUDGET} AS selected
+FROM q
+"""
+
+
+@register("token_budget_select", _TOKEN_BUDGET_ORACLE)
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill a global token budget with the best documents: rows walk in
+    (quality DESC, stopword_ratio DESC, doc_id) order accumulating token
+    counts; every doc whose inclusive running total stays <= 200k tokens
+    is selected. The oracle is the naive single-partition SUM-OVER window;
+    the Spark plan is ranking.global_budget_select's two-phase prefix sum
+    (range partition -> parallel local cumsum -> broadcast offsets), which
+    never funnels the corpus through one task."""
+    from market_flow_spark.extensions.text import _stats_cols
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    stats = _stats_cols("text")
+    scored = docs.select(
+        "doc_id",
+        stats["n_tokens"].alias("n_tokens"),
+        stats["quality_score"].alias("quality_score"),
+        stats["stopword_ratio"].alias("stopword_ratio"),
+    )
+    return ranking.global_budget_select(
+        scored,
+        [
+            F.coalesce(F.col("quality_score"), F.lit(-1.0)).desc(),
+            F.coalesce(F.col("stopword_ratio"), F.lit(-1.0)).desc(),
+            F.col("doc_id"),
+        ],
+        weight_col="n_tokens",
+        budget=_TOKEN_BUDGET,
+        cum_col="cum_tokens",
+        keep_col="selected",
+    )

@@ -125,6 +125,66 @@ def test_kl_nonnegative_on_real_corpus(spark, tables):
     assert total_tokens == expect
 
 
+def test_budget_select_matches_naive_window(spark):
+    """Two-phase global prefix sum == the naive single-partition
+    SUM-OVER window, row for row, including the inclusive-boundary
+    semantics (a row landing exactly ON the budget is selected)."""
+    from pyspark.sql import Window
+
+    from market_flow_spark.operators.ranking import global_budget_select
+
+    # weights 1..40 in scrambled insert order; order by w desc, id asc
+    rows = [(i, ((i * 17) % 40) + 1) for i in range(40)]
+    df = spark.createDataFrame(rows, "id bigint, w int")
+    budget = 150
+    got = {
+        r["id"]: (r["cum_w"], r["selected"])
+        for r in global_budget_select(
+            df, [F.col("w").desc(), "id"], "w", budget, cum_col="cum_w"
+        ).collect()
+    }
+    naive = Window.orderBy(F.col("w").desc(), "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r["id"]: (r["cum_w"], r["cum_w"] <= budget)
+        for r in df.withColumn("cum_w", F.sum("w").over(naive)).collect()
+    }
+    assert got == want
+    assert any(sel for _, sel in got.values())
+    assert not all(sel for _, sel in got.values())
+
+
+def test_budget_select_exact_boundary_inclusive(spark):
+    """cum == budget keeps the row; the next row is cut."""
+    from market_flow_spark.operators.ranking import global_budget_select
+
+    df = spark.createDataFrame(
+        [(1, 50), (2, 50), (3, 50)], "id bigint, w int"
+    )
+    out = {
+        r["id"]: r["selected"]
+        for r in global_budget_select(df, ["id"], "w", budget=100).collect()
+    }
+    assert out == {1: True, 2: True, 3: False}
+
+
+def test_budget_select_plans_two_phase(spark):
+    """The data pass is range-partitioned with offsets broadcast back —
+    never a single-partition global window over the corpus."""
+    from market_flow_spark.operators.ranking import global_budget_select
+
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") % 7).alias("w"))
+    plan = (
+        global_budget_select(df, ["id"], "w", budget=100)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_kl_plan_reuses_the_corpus_aggregate(spark, tables):
     """The corpus is exploded and aggregated to (group, token) grain ONCE:
     token totals, group totals, and the corpus total all derive from that
