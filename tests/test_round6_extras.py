@@ -169,6 +169,28 @@ def test_budget_select_exact_boundary_inclusive(spark):
     assert out == {1: True, 2: True, 3: False}
 
 
+def test_budget_select_zero_weights_and_zero_budget(spark):
+    """Zero-weight rows never consume budget (selected wherever the
+    running total sits within it — including at budget 0), and a zero
+    budget cuts every positive-weight row."""
+    from market_flow_spark.operators.ranking import global_budget_select
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 3), (3, 0), (4, 2)], "id bigint, w int"
+    )
+    out = {
+        r["id"]: (r["cum_weight"], r["selected"])
+        for r in global_budget_select(df, ["id"], "w", budget=3).collect()
+    }
+    assert out == {1: (0, True), 2: (3, True), 3: (3, True), 4: (5, False)}
+
+    zero = {
+        r["id"]: r["selected"]
+        for r in global_budget_select(df, ["id"], "w", budget=0).collect()
+    }
+    assert zero == {1: True, 2: False, 3: False, 4: False}
+
+
 def test_budget_select_plans_two_phase(spark):
     """The data pass is range-partitioned with offsets broadcast back —
     never a single-partition global window over the corpus."""
