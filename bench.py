@@ -283,8 +283,36 @@ def main() -> None:
             test, classify.nb_predict(test, grid, labels), "lang"
         )
 
+    def _budget_end_to_end(d):
+        from market_flow_spark.extensions.text import _stats_cols
+        from market_flow_spark.operators.ranking import global_budget_select
+
+        stats = _stats_cols("text")
+        scored = d.select(
+            "doc_id",
+            stats["n_tokens"].alias("n_tokens"),
+            stats["quality_score"].alias("quality_score"),
+            stats["stopword_ratio"].alias("stopword_ratio"),
+        )
+        return global_budget_select(
+            scored,
+            [
+                F.coalesce(F.col("quality_score"), F.lit(-1.0)).desc(),
+                F.coalesce(F.col("stopword_ratio"), F.lit(-1.0)).desc(),
+                F.col("doc_id"),
+            ],
+            weight_col="n_tokens",
+            budget=200_000,
+        )
+
     heavy_tiers = {
         "langid_trigram": lambda d: text.char_trigram_langid(d),
+        # late round-6 additions: the KL drift monitor is one corpus
+        # explode (vocab-grain after), and the token-budget selector is
+        # the two-phase global prefix sum — the x10 points pin that
+        # neither degrades to a corpus-sized single-task stage
+        "corpus_kl_by_lang": lambda d: text.token_kl_divergence(d),
+        "token_budget_select": _budget_end_to_end,
         "tfidf_doc_similarity": lambda d: retrieval.tfidf_doc_topk(
             d, n_queries=5, k=5
         ),
