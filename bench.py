@@ -552,7 +552,7 @@ def main() -> None:
     )
 
     # The driver captures only the TAIL of stdout (~2000 chars), so the one
-    # JSON line must stay comfortably under that. At 115 queries the full
+    # JSON line must stay comfortably under that. At 126 queries the full
     # per-query map is ~3.5 KB and gets truncated into unparseable garbage
     # (BENCH_r04 "parsed": null). Print totals + only the slowest queries,
     # dropping entries until the line is guaranteed < 1800 bytes; the full

@@ -5,8 +5,8 @@ order.
 Why the explicit order matters: the driver's correctness harness checks the
 first 50 registered queries against their DuckDB oracles (rows + schema +
 value hash at sf0.01) — that row is the HARD evidence tier, above the local
-pytest sweep (tests/test_oracle_parity.py, which still runs every oracle,
-all 115, every suite run).
+pytest sweep (tests/test_oracle_parity.py, which still runs every oracle —
+all 126 as of late round 6 — every suite run).
 
 Round-6 restructure (per the round-5 verdict's #1 ask): the window is now a
 15-query PERMANENT CORE — one representative per SURVEY.md §2 family plus
