@@ -36,13 +36,14 @@ local-parity-green today):
   kmv_distinct_by_returnflag, window_panel, feature_encode_panel,
   basket_pairs, gap_fill_months, corr_quantity_price, weighted_sample_docs,
   theta_overlap_years, unpivot_flag_metrics
-plus the eleven queries added later in round 6 (also never-certified,
+plus the twelve queries added later in round 6 (also never-certified,
 local-parity-green): url_canonical_dedup, domain_url_stats,
 nb_classify_lang, ewma_monthly_price, ewma_daily_price_unbounded,
 interval_price_bands, cms_heavy_hitters, pit_part_price_sales,
-corpus_kl_by_lang, rolling_median_price, token_budget_select — 30
-names total, fitting one round-7 window (30 rotating + the 15-core
-leaves 5 slots for re-certifying rotated-out names).
+corpus_kl_by_lang, rolling_median_price, token_budget_select,
+drift_score_odd_vs_even — 31 names total, fitting one round-7 window
+(31 rotating + the 15-core leaves 4 slots for re-certifying
+rotated-out names).
 
 Rotated OUT this round to make room (every one carries a green driver row
 from r1-r5 — hash-certified at least once — and stays in the local sweep):

@@ -4437,6 +4437,71 @@ FROM q
 """
 
 
+_KL_SC = 1_000_000_000
+
+_DRIFT_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+b AS (
+  SELECT tok, COUNT(*) AS c FROM w
+  WHERE tok <> '' AND doc_id % 2 = 1 GROUP BY tok
+),
+r AS (
+  SELECT tok, COUNT(*) AS c_ref FROM w
+  WHERE tok <> '' AND doc_id % 2 = 0 GROUP BY tok
+),
+tb AS (SELECT CAST(SUM(c) AS BIGINT) AS t_b FROM b),
+tr AS (SELECT CAST(SUM(c_ref) AS BIGINT) AS t_ref FROM r),
+vu AS (
+  SELECT COUNT(*) AS v FROM (
+    SELECT tok FROM r UNION SELECT tok FROM b)
+),
+f AS (
+  SELECT b.c, r.c_ref, tb.t_b,
+    CAST(FLOOR((CAST(b.c AS DOUBLE) / tb.t_b)
+               * ln((CAST(b.c AS DOUBLE) / tb.t_b)
+                    / (CAST(COALESCE(r.c_ref, 0) + 1 AS DOUBLE)
+                       / (tr.t_ref + vu.v)))
+               * {_KL_SC} + 0.5) AS BIGINT) AS contrib_fx
+  FROM b LEFT JOIN r USING (tok)
+  CROSS JOIN tb CROSS JOIN tr CROSS JOIN vu
+)
+SELECT MAX(t_b) AS n_tokens,
+       COUNT(*) AS vocab,
+       CAST(SUM(CASE WHEN c_ref IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS novel_vocab,
+       FLOOR((CAST(SUM(contrib_fx) AS DOUBLE) / {_KL_SC}.0)
+             * 1000000 + 0.5) / 1000000 AS kl_nats
+FROM f
+"""
+
+
+@register("drift_score_odd_vs_even", _DRIFT_ORACLE)
+def q_drift_score_odd_vs_even(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift monitor's batch scorer as a certifiable query: odd
+    doc_ids scored as an incoming batch against the even-doc reference
+    distribution — KL with add-one smoothing over the union vocabulary
+    (tokens unseen in the reference get smoothing mass), same 1e-9
+    fixed-point contributions as corpus_kl_by_lang. One row out:
+    (n_tokens, vocab, novel_vocab, kl_nats). This is the exact function
+    the streaming monitor runs per micro-batch (streaming/drift.py)."""
+    from market_flow_spark.functions.aggregates import det_round
+    from market_flow_spark.streaming.drift import _token_counts, batch_drift_score
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    ref_counts = _token_counts(docs.filter(F.col("doc_id") % 2 == 0), "text")
+    out = batch_drift_score(docs.filter(F.col("doc_id") % 2 == 1), ref_counts)
+    return out.select(
+        "n_tokens",
+        "vocab",
+        F.col("novel_vocab").cast("bigint").alias("novel_vocab"),
+        det_round(F.col("kl_nats"), 6).alias("kl_nats"),
+    )
+
+
 @register("token_budget_select", _TOKEN_BUDGET_ORACLE)
 def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fill a global token budget with the best documents: rows walk in

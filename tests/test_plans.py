@@ -107,6 +107,9 @@ INTENTIONAL_TINY_CROSSJOIN = {
     # one-row corpus-total singleton broadcast into the vocab-grain rows
     # (text.token_kl_divergence), same shape as unigram_logprob's totals
     "corpus_kl_by_lang",
+    # one-row batch-total and reference-total singletons broadcast into
+    # the vocab-grain join (streaming/drift.py batch_drift_score)
+    "drift_score_odd_vs_even",
 }
 
 
