@@ -63,6 +63,30 @@ def test_rolling_median_even_frame_is_midpoint(spark):
     assert got[3] == 3.0  # midpoint of (2,4)
 
 
+def test_rolling_median_seeded_grid_vs_pandas(spark):
+    """Seeded grid property check in ONE Spark job (the repo's pattern
+    for window ops): 20 groups x 30 rows of deterministic pseudo-random
+    values with heavy duplicates, every row's trailing-7 median compared
+    against pandas.rolling(min_periods=1).median()."""
+    import hashlib
+
+    def val(g, i):
+        h = hashlib.md5(f"{g}:{i}".encode()).hexdigest()
+        return float(int(h[:4], 16) % 13)  # 13 levels -> many exact ties
+
+    rows = [(f"g{g}", i, val(g, i)) for g in range(20) for i in range(30)]
+    df = spark.createDataFrame(rows, "g string, t int, x double")
+    got = {
+        (r["g"], r["t"]): r["median7"]
+        for r in rolling_median(df, "g", ["t"], "x", periods=7).collect()
+    }
+    for g in range(20):
+        series = pd.Series([val(g, i) for i in range(30)])
+        exp = series.rolling(7, min_periods=1).median()
+        for i in range(30):
+            assert got[(f"g{g}", i)] == exp.iloc[i], (g, i)
+
+
 def test_kl_zero_for_identical_distributions(spark):
     """Groups with the same token distribution diverge from the corpus by
     exactly 0 (p == q for every token, ln(1) == 0 — and the fixed-point
