@@ -247,13 +247,13 @@ lr AS (
 ),
 scored AS (
   SELECT d.doc_id,
-         SUM(d.c) AS n_feats,
+         CAST(SUM(d.c) AS BIGINT) AS n_feats,
          SUM(d.c * l.lr_fixed) AS w_fixed
   FROM raw_doc d JOIN lr l USING (bucket)
   GROUP BY d.doc_id
 )
 SELECT t.doc_id,
-       COALESCE(s.n_feats, 0) AS n_feats,
+       CAST(COALESCE(s.n_feats, 0) AS BIGINT) AS n_feats,
        COALESCE(s.w_fixed, 0) / {_LR_SCALE}.0 AS logweight
 FROM {table} t
 LEFT JOIN scored s USING (doc_id)

@@ -965,7 +965,8 @@ doc_prof AS (
 langs AS (SELECT DISTINCT cand_lang FROM profiles),
 dists AS (
   SELECT d.doc_id, l.cand_lang,
-         SUM(COALESCE(ABS(d.r_doc - p.r_lang), {profile_size})) AS distance
+         CAST(SUM(COALESCE(ABS(d.r_doc - p.r_lang), {profile_size}))
+           AS BIGINT) AS distance
   FROM doc_prof d
   CROSS JOIN langs l
   LEFT JOIN profiles p ON p.cand_lang = l.cand_lang AND p.g = d.g

@@ -2146,7 +2146,8 @@ SELECT query_id, nbr_label AS predicted_label, votes, n_neighbors
 FROM (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY votes DESC, nbr_label) AS r,
-         SUM(votes) OVER (PARTITION BY query_id) AS n_neighbors
+         CAST(SUM(votes) OVER (PARTITION BY query_id)
+              AS BIGINT) AS n_neighbors
   FROM votes) v
 WHERE r = 1
 """
@@ -3284,7 +3285,7 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _profile_oracle(cols: list[str]) -> str:
     legs = ",\n  ".join(
-        f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_{c},\n"
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_{c},\n"
         f"  COUNT(DISTINCT {c}) AS d_{c},\n"
         f"  CAST(MIN({c}) AS VARCHAR) AS mn_{c},\n"
         f"  CAST(MAX({c}) AS VARCHAR) AS mx_{c}"
@@ -3449,17 +3450,17 @@ def q_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH old_side AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
 new_side AS (SELECT * FROM orders WHERE o_orderkey % 2 = 1),
 go AS (
-  SELECT SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_cust,
+  SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cust,
          COUNT(DISTINCT o_custkey) AS d_cust,
-         SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS n_stat,
+         CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_stat,
          COUNT(DISTINCT o_orderstatus) AS d_stat,
          COUNT(*) AS rows_old
   FROM old_side
 ),
 gn AS (
-  SELECT SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_cust,
+  SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cust,
          COUNT(DISTINCT o_custkey) AS d_cust,
-         SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS n_stat,
+         CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_stat,
          COUNT(DISTINCT o_orderstatus) AS d_stat,
          COUNT(*) AS rows_new
   FROM new_side

@@ -34,7 +34,22 @@ def assert_matches_oracle(spark_df, duck_con, sql: str, float_tol: float = 1e-9)
     (order-insensitive; floats compared exactly after canonicalization,
     falling back to tolerance)."""
     sp = spark_df.toPandas()
-    du = duck_con.execute(sql).fetchdf()
+    rel = duck_con.sql(sql)
+    # The driver's typed value-hash distinguishes int from float: a DuckDB
+    # HUGEINT column reaches pandas as float64 while Spark emits bigint, so
+    # the hash diverges even with identical values (round-6 verdict: 4 reds
+    # with zero value diffs). The blanket int->float64 coercion in _canon
+    # hides that class locally, so refuse wide-int oracle columns outright.
+    wide = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if "HUGEINT" in str(t).upper()
+    ]
+    assert not wide, (
+        f"oracle produces HUGEINT column(s) {wide}; wrap the SUM in "
+        f"CAST(... AS BIGINT) so the driver's typed hash matches Spark"
+    )
+    du = rel.df()
     assert sorted(sp.columns) == sorted(du.columns), (
         f"column mismatch: spark={sorted(sp.columns)} oracle={sorted(du.columns)}"
     )
