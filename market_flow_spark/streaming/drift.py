@@ -66,22 +66,29 @@ def batch_drift_score(
     share one implementation (and one set of tests)."""
     b = _token_counts(batch, text_col)
     ref = ref.select(F.col("tok"), F.col("c").alias("c_ref"))
-    t_ref = ref.agg(F.sum("c_ref").alias("t_ref"))
+    # Fail fast on a missing/empty reference: SUM over zero rows is NULL,
+    # which would otherwise propagate through q into a silent null-KL log
+    # row — a monitor that scores against nothing must stop, not log.
+    t_ref = ref.agg(F.sum("c_ref")).first()[0]
+    if not t_ref:
+        raise ValueError(
+            "drift reference has no token counts — write it with "
+            "write_reference_distribution before attaching the monitor"
+        )
     # union-vocabulary size: reference vocab + batch tokens unseen there
     joined = b.join(ref, "tok", "left")
     v_union = ref.select("tok").union(b.select("tok")).distinct().count()
     t_b = b.agg(F.sum("c").alias("t_b"))
 
     p = F.col("c").cast("double") / F.col("t_b")
-    q = (F.coalesce(F.col("c_ref"), F.lit(0)) + F.lit(1)).cast("double") / (
-        F.col("t_ref") + F.lit(v_union)
+    q = (F.coalesce(F.col("c_ref"), F.lit(0)) + F.lit(1)).cast("double") / F.lit(
+        float(t_ref + v_union)
     )
     contrib_fx = F.floor(p * F.log(p / q) * F.lit(_KL_SCALE) + F.lit(0.5)).cast(
         "long"
     )
     return (
         joined.crossJoin(F.broadcast(t_b))
-        .crossJoin(F.broadcast(t_ref))
         .agg(
             F.max("t_b").alias("n_tokens"),
             F.count(F.lit(1)).alias("vocab"),

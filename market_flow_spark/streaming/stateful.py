@@ -83,11 +83,14 @@ def _sessionize_batch(pdfs, gap_us: int, open_state):
 
     Out-of-order events are handled exactly within a batch (the sort) and
     bounded across batches by the watermark contract: an event older than
-    the watermark never reaches the operator, and the carried open session
-    merges with the batch's FIRST session when within the gap (min/max
-    fold). An event that lands between two already-separate sessions of
-    the key can only arrive while the earlier one is still open —
-    otherwise the watermark (>= closed end + gap) would have dropped it."""
+    the watermark never reaches the operator. The carried open session is
+    folded in with a SYMMETRIC interval-gap merge pass over the
+    start-sorted session list: two sessions merge iff the gap between
+    them (later start minus earlier end) is <= gap_us. This stays correct
+    when watermark_delay >= gap, where a late batch may lie entirely
+    BEFORE the open session (one-sided `first_start <= open_end + gap`
+    would wrongly merge it and mis-order the emitted list) and the open
+    session may even bridge two batch sessions into one."""
     import numpy as np
 
     frames = [pdf for pdf in pdfs if len(pdf)]
@@ -103,12 +106,16 @@ def _sessionize_batch(pdfs, gap_us: int, open_state):
         for s in segs
     ]
     if open_state is not None:
-        s0, e0, n0, t0 = open_state
-        fs, fe, fn, ft = sessions[0]
-        if fs <= e0 + gap_us:
-            sessions[0] = (min(s0, fs), max(e0, fe), n0 + fn, t0 + ft)
-        else:
-            sessions.insert(0, (s0, e0, n0, t0))
+        sessions.append(tuple(open_state))
+        sessions.sort(key=lambda s: (s[0], s[1]))
+        merged = [sessions[0]]
+        for cur in sessions[1:]:
+            ps, pe, pn, pt = merged[-1]
+            if cur[0] <= pe + gap_us:
+                merged[-1] = (ps, max(pe, cur[1]), pn + cur[2], pt + cur[3])
+            else:
+                merged.append(cur)
+        sessions = merged
     return sessions
 
 

@@ -193,16 +193,35 @@ def _naive_sessions(ts_us_sorted, vals, gap_us):
     return out
 
 
+def _naive_fold_units(units, gap_us):
+    """Event-at-a-time fold over start-sorted units, each an atomic
+    (start, end, n, total) interval (batch events are point intervals,
+    the carried open session an interval summary): a unit joins the
+    current session iff its start is within gap of the current end —
+    the symmetric interval-gap rule."""
+    out = []
+    for s, e, n, v in sorted(units, key=lambda u: (u[0], u[1])):
+        if out and s <= out[-1][1] + gap_us:
+            ps, pe, pn, pt = out[-1]
+            out[-1] = (ps, max(pe, e), pn + n, pt + v)
+        else:
+            out.append((s, e, n, v))
+    return out
+
+
 @settings(max_examples=200, deadline=None)
 @given(
     ts=st.lists(st.integers(0, 10_000_000), min_size=1, max_size=60),
     gap_us=st.integers(1, 2_000_000),
-    carry=st.booleans(),
+    carry=st.sampled_from(["none", "before", "inside", "after"]),
+    span=st.integers(0, 3_000_000),
 )
-def test_sessionize_batch_matches_naive(ts, gap_us, carry):
+def test_sessionize_batch_matches_naive(ts, gap_us, carry, span):
     """The vectorized diff/split sessionizer equals an event-at-a-time
-    fold for any event-time multiset and gap — including the carried
-    open-state merge path both streaming operators share."""
+    fold for any event-time multiset and gap — including a carried open
+    session placed before, within, or after the batch's span (the
+    round-6 advice's late-batch case: a batch entirely preceding the
+    open session by more than the gap must NOT merge into it)."""
     ts_sorted = sorted(ts)
     vals = [float(i) for i in range(len(ts_sorted))]
     order = sorted(range(len(ts)), key=lambda i: ts[i])
@@ -212,17 +231,53 @@ def test_sessionize_batch_matches_naive(ts, gap_us, carry):
             "value": [vals[order.index(i)] for i in range(len(ts))],
         }
     )
-    open_state = (-5_000_000, -5_000_000, 2, 7.0) if carry else None
+    starts = {
+        "none": None,
+        "before": -5_000_000,
+        "inside": ts_sorted[len(ts_sorted) // 2],
+        "after": ts_sorted[-1] + 500_000,
+    }[carry]
+    open_state = None if starts is None else (starts, starts + span, 2, 7.0)
     got = _sessionize_batch([pdf], gap_us, open_state)
 
-    exp = _naive_sessions(ts_sorted, vals, gap_us)
+    units = [(t, t, 1, v) for t, v in zip(ts_sorted, vals)]
     if open_state is not None:
-        s0, e0, n0, t0 = open_state
-        fs, fe, fn, ft = exp[0]
-        if fs <= e0 + gap_us:
-            exp[0] = (min(s0, fs), max(e0, fe), n0 + fn, t0 + ft)
-        else:
-            exp.insert(0, open_state)
+        units.append(open_state)
+    exp = _naive_fold_units(units, gap_us)
     assert [(s, e, n) for s, e, n, _ in got] == [(s, e, n) for s, e, n, _ in exp]
     for (_, _, _, g), (_, _, _, x) in zip(got, exp):
         assert abs(g - x) < 1e-9
+
+
+def test_late_batch_before_open_session_stays_separate():
+    """watermark_delay >= gap regression (round-6 advice): a late batch
+    lying entirely BEFORE the carried open session by more than the gap
+    must come back as its own CLOSED session, ordered before the open
+    one — the old one-sided `first_start <= open_end + gap` test merged
+    it (trivially true) and could emit the open session out of order."""
+    gap_us = 1_000_000
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime([0, 100_000], unit="us"),
+            "value": [1.0, 2.0],
+        }
+    )
+    open_state = (10_000_000, 10_500_000, 3, 9.0)
+    got = _sessionize_batch([pdf], gap_us, open_state)
+    assert got == [(0, 100_000, 2, 3.0), (10_000_000, 10_500_000, 3, 9.0)]
+
+
+def test_open_session_bridges_two_batch_sessions():
+    """A carried open session whose interval sits between two batch
+    sessions and is within gap of BOTH collapses all three into one —
+    only a full merge pass (not a first-session-only merge) gets this."""
+    gap_us = 1_000_000
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime([0, 100, 5_000_000, 5_000_100], unit="us"),
+            "value": [1.0, 1.0, 1.0, 1.0],
+        }
+    )
+    open_state = (900_000, 4_500_000, 5, 10.0)
+    got = _sessionize_batch([pdf], gap_us, open_state)
+    assert got == [(0, 5_000_100, 9, 14.0)]
