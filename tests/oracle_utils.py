@@ -28,6 +28,17 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _num_kind(s: pd.Series) -> str:
+    """Numeric kind on the axis the driver's typed hash distinguishes."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "other"
+
+
 def assert_matches_oracle(spark_df, duck_con, sql: str, float_tol: float = 1e-9):
     """Raise AssertionError (with diagnostics) unless the Spark result and
     the oracle result match on row count, column names, and values
@@ -52,6 +63,20 @@ def assert_matches_oracle(spark_df, duck_con, sql: str, float_tol: float = 1e-9)
     du = rel.df()
     assert sorted(sp.columns) == sorted(du.columns), (
         f"column mismatch: spark={sorted(sp.columns)} oracle={sorted(du.columns)}"
+    )
+    # Driver-faithful numeric-kind gate: the driver's value hash is typed on
+    # the int/float/bool axis (`1` != `1.0`), so compare dtype KIND per
+    # column before any value work instead of coercing ints to float64.
+    # Date/string/object representations differ benignly between the two
+    # pandas round-trips and stay on the value path below.
+    bad_kind = {
+        c: (_num_kind(sp[c]), _num_kind(du[c]))
+        for c in sp.columns
+        if _num_kind(sp[c]) != _num_kind(du[c])
+    }
+    assert not bad_kind, (
+        f"numeric dtype-kind mismatch (spark_kind, oracle_kind): {bad_kind}; "
+        f"the driver's typed hash distinguishes these even when values match"
     )
     assert len(sp) == len(du), f"row count mismatch: spark={len(sp)} oracle={len(du)}"
     a, b = _canon(sp), _canon(du)
