@@ -138,31 +138,41 @@ def main() -> None:
         for strat in ("count_common", "freq_ordered")
     }
 
-    # freq_ordered showcase (round-6): the bench corpus is saturated-vocab
-    # (count_common's home turf), so build the OTHER shape — sparse per-doc
-    # vocabularies sharing a handful of ubiquitous stop tokens. Here
-    # count_common's inverted-index join must emit ~|stop| * N^2/2 rows
-    # (every doc pair meets on every stop word) while the rarest-first
-    # prefix (len = floor(0.3*25)+1 = 8 <= 15 unique tokens) keeps stop
-    # words out of the index entirely — candidate emission ~0. This is the
-    # corpus family choose_word_jaccard_strategy's top_share>2% branch
-    # exists for; the recorded selector choice proves it picks freq_ordered
-    # here without being told.
+    # freq_ordered showcase (round-7 sizing): the bench corpus is
+    # saturated-vocab (count_common's home turf), so build the OTHER shape —
+    # sparse per-doc vocabularies sharing a handful of ubiquitous stop
+    # tokens. count_common's inverted-index join must emit
+    # ~|stop| * N^2/2 rows (every doc pair meets on every stop word) while
+    # the rarest-first prefix (len = floor(0.3*25)+1 = 8 <= 15 unique
+    # tokens) keeps stop words out of the index entirely. The round-6
+    # fixture derived N from the sf corpus (~2.5 k docs), where the
+    # quadratic term (10*2.5k^2/2 = 3e7 rows) is still sub-second on 32
+    # cores and the comparison was box noise; at the fixed N=10 000 here
+    # the emission is 5e8 rows and the asymmetry is unmistakable (measured
+    # round-7: count_common 46.6 s vs freq_ordered 1.5 s, min-of-2 — the
+    # fixture choose_word_jaccard_strategy's top_share>2% branch exists
+    # for; the recorded selector choice proves it picks freq_ordered here
+    # without being told). count_common is timed with ONE pass: a 30x gap
+    # needs no steady-state repeats, and repeats would add minutes.
     stop_words = "the of and to in a is it for on"  # 10 ubiquitous tokens
-    sw_docs = docs.filter(F.col("doc_id") % 2 == 0).select(
-        "doc_id",
+    sw_docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
         F.concat_ws(
             " ",
             F.expr(
                 "concat_ws(' ', transform(sequence(1, 15),"
-                " i -> concat('tok', doc_id, 'x', i)))"
+                " i -> concat('tok', id, 'x', i)))"
             ),
             F.lit(stop_words),
         ).alias("text"),
     )
     stopword_strategies = {
-        strat: steady(dedup.word_jaccard_pairs(sw_docs, threshold=0.7, strategy=strat))
-        for strat in ("count_common", "freq_ordered")
+        "count_common": run(
+            dedup.word_jaccard_pairs(sw_docs, threshold=0.7, strategy="count_common")
+        ),
+        "freq_ordered": steady(
+            dedup.word_jaccard_pairs(sw_docs, threshold=0.7, strategy="freq_ordered")
+        ),
     }
     stopword_strategies["selector_choice"] = dedup.choose_word_jaccard_strategy(
         sw_docs

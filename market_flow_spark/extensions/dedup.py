@@ -445,7 +445,16 @@ def choose_word_jaccard_strategy(
 
     One small Spark job over ≤ sample_docs documents — negligible next to
     the dedup itself, and the 100 TB-safe choice is the fallback on any
-    ambiguity."""
+    ambiguity.
+
+    Measured asymmetry of the freq_ordered pick (round-7, sparse corpora
+    of 15 unique + 10 shared stop tokens per doc, 32 cores): at 2 500 docs
+    the two strategies tie within box noise (~0.9 s each — the quadratic
+    emission is only 3e7 rows); at 10 000 docs count_common's 5e8-row
+    emission takes 46.6 s vs freq_ordered's 1.5 s (31×), and the gap keeps
+    growing as N². So a freq_ordered pick costs at most noise where it is
+    wrong and saves unbounded quadratic work where it is right — the
+    correct side of the bet for a selector that must survive 100 TB."""
     # the bounded sampled index is persisted so the two stat grains (per-
     # word dfs, distinct doc count) share one shingle build instead of
     # re-tokenizing the sample per action; docs with empty token sets are
