@@ -1,7 +1,13 @@
 #!/usr/bin/env python
 """Attribution-grade comparison of two bench_detail.json files.
 
-    python bench_compare.py OLD.json NEW.json [abs_floor_sec]
+    python bench_compare.py OLD.json NEW.json [abs_floor_sec] [--basis min]
+
+``--basis min`` compares each file's ``warm_min`` column when present
+(falling back to ``warm_queries``). Use it for any comparison that spans
+the round-6 basis change: r1-r5 ``warm_queries`` was min-of-2 passes,
+r6+ is median-of-5 with the min kept in ``warm_min`` — so min-to-min is
+the only like-for-like cross-era column.
 
 A per-query move only counts as REAL if it clears BOTH gates:
 
@@ -26,8 +32,12 @@ import sys
 MARGIN = 1.15
 
 
-def compare(old: dict, new: dict, abs_floor: float = 0.3) -> dict:
-    ow, nw = old["warm_queries"], new["warm_queries"]
+def compare(old: dict, new: dict, abs_floor: float = 0.3, basis: str = "median") -> dict:
+    if basis == "min":
+        ow = old.get("warm_min") or old["warm_queries"]
+        nw = new.get("warm_min") or new["warm_queries"]
+    else:
+        ow, nw = old["warm_queries"], new["warm_queries"]
     osp = old.get("warm_spread_max_over_min", {})
     nsp = new.get("warm_spread_max_over_min", {})
     shared = sorted(set(ow) & set(nw))
@@ -65,15 +75,21 @@ def compare(old: dict, new: dict, abs_floor: float = 0.3) -> dict:
 
 
 def main() -> int:
-    if len(sys.argv) < 3:
+    argv = list(sys.argv[1:])
+    basis = "median"
+    if "--basis" in argv:
+        i = argv.index("--basis")
+        basis = argv[i + 1]
+        del argv[i : i + 2]
+    if len(argv) < 2:
         print(__doc__)
         return 2
-    with open(sys.argv[1]) as f:
+    with open(argv[0]) as f:
         old = json.load(f)
-    with open(sys.argv[2]) as f:
+    with open(argv[1]) as f:
         new = json.load(f)
-    abs_floor = float(sys.argv[3]) if len(sys.argv) > 3 else 0.3
-    r = compare(old, new, abs_floor)
+    abs_floor = float(argv[2]) if len(argv) > 2 else 0.3
+    r = compare(old, new, abs_floor, basis)
     print(
         f"warm_total {r['old_total']} -> {r['new_total']}  "
         f"({r['n_shared']} shared queries; "
