@@ -211,25 +211,23 @@ def main() -> None:
         copy index) gets a copy-specific suffix, so copies of one doc share
         <=2/3 of their words (below the 0.7 word threshold) and almost no
         3-gram shingles — cross-copy pairs stay out of every tier's output
-        and the output scales linearly with the inflation factor."""
-        copies = []
-        for c in range(k):
-            copies.append(
-                docs.select(
-                    (F.col("doc_id") + F.lit(c * 10_000_000)).alias("doc_id"),
-                    F.expr(
-                        "concat_ws(' ', transform("
-                        "  filter(split(trim(lower(text)), '\\\\s+'), t -> t <> ''),"
-                        f"  (t, i) -> CASE WHEN (i + {c}) % 3 = 0"
-                        f"    THEN concat(t, '_{c}') ELSE t END))"
-                    ).alias("text"),
-                    *[c2 for c2 in docs.columns if c2 not in ("doc_id", "text")],
-                )
-            )
-        out = copies[0]
-        for extra in copies[1:]:
-            out = out.unionByName(extra)
-        return out
+        and the output scales linearly with the inflation factor.
+
+        Implemented as ONE crossJoin against a broadcast k-row copy index
+        (not a k-way union): identical output rows, but the plan stays
+        O(1) in k — a 100-way union was measurably slower to construct
+        and optimize than to run at the x100 point this feeds."""
+        copies = F.broadcast(spark.range(k).select(F.col("id").alias("_copy")))
+        return docs.crossJoin(copies).select(
+            (F.col("doc_id") + F.col("_copy") * 10_000_000).alias("doc_id"),
+            F.expr(
+                "concat_ws(' ', transform("
+                "  filter(split(trim(lower(text)), '\\\\s+'), t -> t <> ''),"
+                "  (t, i) -> CASE WHEN (i + _copy) % 3 = 0"
+                "    THEN concat(t, '_', _copy) ELSE t END))"
+            ).alias("text"),
+            *[c2 for c2 in docs.columns if c2 not in ("doc_id", "text")],
+        )
 
     scaling: dict[str, list[dict[str, float]]] = {}
     # the 100 TB-path tiers additionally run on 2x/4x inflated corpora
@@ -373,29 +371,24 @@ def main() -> None:
     base_tables = load_tables(spark, sf_dir)
 
     def inflate_fact(k: int) -> dict:
+        # same crossJoin-against-broadcast-copy-index shape as inflate():
+        # O(1) plan size in k, exact k-fold row multiplication with
+        # per-copy key offsets so the big-big join matches within copies
         li, od = base_tables["lineitem"], base_tables["orders"]
-        li_copies, od_copies = [], []
-        for c in range(k):
-            off = F.lit(c * 100_000_000)
-            li_copies.append(
-                li.select(
-                    (F.col("l_orderkey") + off).alias("l_orderkey"),
-                    *[c2 for c2 in li.columns if c2 != "l_orderkey"],
-                )
-            )
-            od_copies.append(
-                od.select(
-                    (F.col("o_orderkey") + off).alias("o_orderkey"),
-                    *[c2 for c2 in od.columns if c2 != "o_orderkey"],
-                )
-            )
+        copies = F.broadcast(spark.range(k).select(F.col("id").alias("_copy")))
         out = dict(base_tables)
-        li_k, od_k = li_copies[0], od_copies[0]
-        for extra in li_copies[1:]:
-            li_k = li_k.unionByName(extra)
-        for extra in od_copies[1:]:
-            od_k = od_k.unionByName(extra)
-        out["lineitem"], out["orders"] = li_k, od_k
+        out["lineitem"] = li.crossJoin(copies).select(
+            (F.col("l_orderkey") + F.col("_copy") * 100_000_000).alias(
+                "l_orderkey"
+            ),
+            *[c2 for c2 in li.columns if c2 != "l_orderkey"],
+        )
+        out["orders"] = od.crossJoin(copies).select(
+            (F.col("o_orderkey") + F.col("_copy") * 100_000_000).alias(
+                "o_orderkey"
+            ),
+            *[c2 for c2 in od.columns if c2 != "o_orderkey"],
+        )
         return out
 
     wh_curve = scaling.setdefault("flagship_wide_star", [])
@@ -416,6 +409,42 @@ def main() -> None:
         }
     )
     del big_tables
+
+    # x100 point (round-7): 60M fact rows — the 100 TB claim's deepest
+    # single-box evidence. Round-7 knee audit (PLANS.md "x100 scaling"):
+    # wall here is shuffle-I/O-bound, not plan-bound — the narrow
+    # l_orderkey SMJ alone is ~21 s of the ~50 s and the inflated scan
+    # ~8.5 s; raising shuffle partitions HURTS (32: 50 s, 128: 62 s,
+    # 256: 130 s — per-task broadcast-probe + scheduling overhead on one
+    # box), and heap below 48g adds ~50% GC drag at the default 16g.
+    # Recorded at the session defaults (honest bench config); min-of-2
+    # warm, cold discarded.
+    big_tables = inflate_fact(100)
+    df_100 = star.flagship_wide(big_tables)
+    run(df_100)
+    wh_curve.append(
+        {
+            "subset": "x100",
+            "rows": fact_rows * 100,
+            "sec": min(run(df_100), run(df_100)),
+        }
+    )
+    del df_100, big_tables
+
+    # x100 point for the LSH dedup tier (500k docs): the band-hash
+    # equi-join holds near-linear through two decades (round-7 measured
+    # full 1.0-1.4 s -> x10 1.8 s -> x100 ~21 s).
+    big100 = inflate(100)
+    df_100 = tiers["dedup_minhash_lsh"](big100)
+    run(df_100)
+    scaling["dedup_minhash_lsh"].append(
+        {
+            "subset": "x100",
+            "rows": big100.count(),
+            "sec": min(run(df_100), run(df_100)),
+        }
+    )
+    del df_100, big100
 
     # library-only ANN ops (no SQL oracle, so not registered queries):
     # steady-state timings so the compressed tiers have recorded perf too
@@ -516,6 +545,52 @@ def main() -> None:
         )
     scaling["embedding_neardup"] = emb_curve
 
+    # --- streaming tier end-to-end wall-time (round-7) ------------------
+    # The drift monitor previously had only unit-test evidence; this
+    # records a real availableNow run: reference = even-doc_id half of the
+    # corpus, stream = the odd half landed as 4 parquet files -> 4
+    # micro-batches through the foreachBatch scorer (the same shared
+    # batch_drift_score the driver certifies via drift_score_odd_vs_even).
+    # Wall covers source listing, 4 epochs of tokenize+score, and the
+    # per-epoch log appends — the cost a crawl-ingest monitor actually
+    # pays per landed file set.
+    import shutil as _shutil  # noqa: E402
+    import tempfile as _tempfile  # noqa: E402
+
+    from market_flow_spark.streaming import drift as _drift  # noqa: E402
+
+    _sdir = _tempfile.mkdtemp(prefix="mfs_bench_drift_")
+    try:
+        _ref_path = f"{_sdir}/ref"
+        _landing = f"{_sdir}/landing"
+        _log_path = f"{_sdir}/log"
+        _ck = f"{_sdir}/ck"
+        _drift.write_reference_distribution(
+            docs.filter(F.col("doc_id") % 2 == 0), _ref_path
+        )
+        _odd = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+        _odd.repartition(4).write.parquet(_landing)
+        t0 = time.perf_counter()
+        _stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_landing)
+        )
+        _q = (
+            _drift.start_drift_monitor(_stream, _ref_path, _log_path, _ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _q.awaitTermination(600)
+        _wall = round(time.perf_counter() - t0, 3)
+        streaming_drift = {
+            "wall_sec": _wall,
+            "epochs": int(spark.read.parquet(_log_path).count()),
+            "stream_rows": int(_odd.count()),
+        }
+    finally:
+        _shutil.rmtree(_sdir, ignore_errors=True)
+
     # --- executed-plan metric accounting ------------------------------
     # Measured bytes off every query's executed SQLMetrics (shuffle
     # written, spill, broadcast payload, exchange counts) at sf0.01 —
@@ -554,6 +629,7 @@ def main() -> None:
         "scaling": scaling,
         "library_ops": library_ops,
         "contamination_bloom_ab": contamination_ab,
+        "streaming_drift": streaming_drift,
         "plan_metrics": {"sf_dir": met_dir, "queries": plan_metrics},
         "sf": sf_val,
     }
