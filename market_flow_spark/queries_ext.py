@@ -1377,6 +1377,45 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.session_stats(load_tables(spark, sf_dir)["events"], "5 minutes")
 
 
+@register(
+    "user_sessions_core",
+    """
+WITH l AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              <= INTERVAL 5 MINUTE THEN 0 ELSE 1 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM l
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sess_id
+""",
+)
+def q_user_sessions_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization through the EXACT core both stateful streaming
+    operators share (streaming/stateful.py _sessionize_batch): batch mode
+    is the fully-drained stream, so every session is final. Exists to put
+    a driver-certifiable rows+schema+hash row on the streaming session
+    algebra, which the Spark-4 tws wiring cannot earn in this sandbox
+    (protobuf absent — see PLANS.md). Note the oracle's `<=` gap test:
+    the core keeps an event in the session when it lands EXACTLY gap
+    after the current end (np.diff > gap starts a new one), unlike
+    session_windows' strict-< native semantics. total_value (a float sum)
+    is computed by the operator but deliberately not certified — per-
+    session double sums are ordering-sensitive across engines."""
+    from market_flow_spark.streaming.stateful import batch_user_sessions
+
+    return batch_user_sessions(
+        load_tables(spark, sf_dir)["events"], "5 minutes"
+    ).select("user_id", "session_start", "session_end", "n_events")
+
+
 # ---------------------------------------------------------------------------
 # Temporal joins the reference lacks: as-of join, binned range join
 # (operators/temporal.py), plus ROLLUP/CUBE hierarchical aggregation

@@ -119,6 +119,59 @@ def _sessionize_batch(pdfs, gap_us: int, open_state):
     return sessions
 
 
+def _gap_to_us(gap: str) -> int:
+    unit_ms = {"seconds": 1_000, "minutes": 60_000, "hours": 3_600_000}
+    qty, unit = gap.split()
+    return int(qty) * unit_ms[unit] * 1_000
+
+
+def batch_user_sessions(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Batch execution of the SAME session core both streaming operators
+    share: one ``applyInPandas`` per user over the full history (one
+    "batch" containing everything, no carried state), every session
+    emitted — in batch the stream is fully drained, so the trailing open
+    session is final too.
+
+    This exists so ``_sessionize_batch`` — the algebra
+    ``finalized_user_sessions_legacy`` and ``tws.finalized_user_sessions``
+    wire into the two stateful APIs — is certifiable against a plain
+    gaps-and-islands SQL oracle (registered as ``user_sessions_core``),
+    not just property-tested. Gap semantics match the core exactly: an
+    event lands in the current session iff its distance from the session
+    end is <= gap (``np.diff > gap_us`` starts a new one).
+
+    At scale this is one shuffle on user_id; per-group cost is a sort +
+    one vectorized diff/split, peak memory one user's history per task —
+    the standard batch-sessionization shape.
+    """
+    gap_us = _gap_to_us(gap)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        # the shared core indexes time as int64 nanoseconds // 1000; pin
+        # the dtype so pandas' unit inference can never change the scale
+        pdf = pdf.assign(ts=pdf["ts"].astype("datetime64[ns]"))
+        sessions = _sessionize_batch([pdf], gap_us, None)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].iloc[0],
+                "session_start": [
+                    pd.Timestamp(s, unit="us") for s, *_ in sessions
+                ],
+                "session_end": [
+                    pd.Timestamp(e, unit="us") for _, e, *_ in sessions
+                ],
+                "n_events": [n for _, _, n, _ in sessions],
+                "total_value": [t for *_, t in sessions],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(fold, SESSION_SCHEMA)
+    )
+
+
 def finalized_user_sessions_legacy(
     events: DataFrame, gap: str = "5 minutes", watermark_delay: str = "0 seconds"
 ) -> DataFrame:
@@ -138,10 +191,8 @@ def finalized_user_sessions_legacy(
 
     `events` needs (user_id, ts timestamp, value double).
     """
-    unit_ms = {"seconds": 1_000, "minutes": 60_000, "hours": 3_600_000}
-    qty, unit = gap.split()
-    gap_ms = int(qty) * unit_ms[unit]
-    gap_us = gap_ms * 1_000
+    gap_us = _gap_to_us(gap)
+    gap_ms = gap_us // 1_000
 
     def emit(rows):
         return pd.DataFrame(

@@ -281,3 +281,51 @@ def test_open_session_bridges_two_batch_sessions():
     open_state = (900_000, 4_500_000, 5, 10.0)
     got = _sessionize_batch([pdf], gap_us, open_state)
     assert got == [(0, 5_000_100, 9, 14.0)]
+
+
+def test_batch_user_sessions_via_core(spark):
+    """The batch twin (applyInPandas over the shared _sessionize_batch
+    core) sessionizes a multi-user history correctly, including the
+    exact-gap boundary: an event landing EXACTLY gap after the session
+    end stays in the session (diff > gap starts a new one), one past it
+    does not."""
+    from market_flow_spark.streaming.stateful import batch_user_sessions
+
+    gap_us = 300_000_000  # 5 minutes
+    rows = [
+        # user 1: three events chained at exactly-gap spacing -> ONE session
+        (1, 0, 1.0),
+        (1, gap_us, 2.0),
+        (1, 2 * gap_us, 3.0),
+        # then one event gap+1us after the end -> second session
+        (1, 3 * gap_us + 1, 4.0),
+        # user 2: a single event
+        (2, 42, 7.0),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows], unit="us"),
+            "value": [r[2] for r in rows],
+        }
+    )
+    out = (
+        batch_user_sessions(spark.createDataFrame(pdf), "5 minutes")
+        .orderBy("user_id", "session_start")
+        .collect()
+    )
+    got = [
+        (
+            r["user_id"],
+            int(r["session_start"].timestamp() * 1_000_000),
+            int(r["session_end"].timestamp() * 1_000_000),
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in out
+    ]
+    assert got == [
+        (1, 0, 2 * gap_us, 3, 6.0),
+        (1, 3 * gap_us + 1, 3 * gap_us + 1, 1, 4.0),
+        (2, 42, 42, 1, 7.0),
+    ]
