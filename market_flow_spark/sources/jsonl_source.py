@@ -1,30 +1,22 @@
-"""JSONL (newline-delimited JSON) ingestion — the LLM-corpus native
-format (web crawls, instruction datasets, and model outputs all land as
-one-JSON-object-per-line files).
+"""JSONL (newline-delimited JSON) source/sink — the lingua franca of
+LLM-training-corpus interchange (every public web-text release ships as
+.jsonl/.jsonl.gz). The reference has no JSON ingestion (its raw inputs are
+CSV + REST APIs, dags/raw/ingest_kaggle_data.py:122-149); this extends the
+source surface per the north-star contract with the same conventions as
+the CSV path: explicit schemas (no inference scan at scale), quarantined
+corrupt records instead of job failure, lineage columns at the read.
 
-The reference has no JSON ingest path (its raw layer is CSV-only,
-dags/raw/ingest_kaggle_data.py); this tier applies the same raw-layer
-contract to JSONL: explicit schema (no inference scan), best-effort
-per-row recovery instead of job failure, lineage columns, and a sink.
-
-Design notes (Spark-first, 100 TB shape):
-
-- The reader is ``spark.read.text`` + ``from_json`` rather than
-  ``spark.read.json``. Two reasons. First, an explicit schema plus
-  ``from_json`` keeps parsing inside whole-stage codegen with zero
-  inference pass. Second, malformed-row capture: the native reader's
-  ``_corrupt_record`` is an internal pseudo-column that cannot be
-  filtered without caching the whole load (Spark raises
-  AnalysisException otherwise); parsing the line column with a schema
-  that CONTAINS the corrupt-record field makes quarantine a plain
-  computed-column filter — no cache, no second scan semantics, works
-  identically on a 100 TB landing zone.
-- Schema is required for the scale path. ``infer_jsonl_schema`` exists
-  for interactive use and infers from a BOUNDED head sample (default
-  10k lines), never the full corpus.
-- Quarantine split is two filters over one text scan — each side is
-  predicate-pushdown friendly, and the good side drops the raw line so
-  downstream plans never carry corpus-sized strings they don't need.
+Scale notes:
+- an explicit schema skips Spark's whole-file inference pass — at 100 TB,
+  schema inference is a full extra read of the corpus;
+- PERMISSIVE + `columnNameOfCorruptRecord` routes undecodable lines into a
+  quarantine column instead of failing the load mid-corpus; the reader
+  then splits good/bad in ONE pass (the corrupt column is NULL for clean
+  rows) so malformed lines are auditable, never silently dropped;
+- .jsonl.gz files are non-splittable (one task per file) — re-shard via
+  `spread_to_cores` upstream of CPU-heavy stages, or write uncompressed /
+  zstd-parquet out of the landing zone as fast as possible (what
+  `jsonl_to_parquet` is for).
 """
 
 from __future__ import annotations
@@ -33,16 +25,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_CORRUPT = "_corrupt_record"
-_RAW = "_raw_line"
+CORRUPT_COL = "_corrupt_record"
 
 
 def infer_jsonl_schema(
     spark: SparkSession, path: str | list[str], sample_lines: int = 10_000
 ) -> T.StructType:
-    """Infer a schema from a bounded head sample of the files — the
-    interactive companion to the explicit-schema scale path. Never scans
-    past ``sample_lines`` lines."""
+    """Infer a schema from a BOUNDED head sample of the files — the
+    interactive companion to the explicit-schema scale path (never scans
+    past ``sample_lines`` lines, vs. the JSON reader's whole-corpus
+    inference pass). Feed the result to ``read_jsonl`` after review."""
     sample = spark.read.text(path).limit(sample_lines)
     return spark.read.json(sample.rdd.map(lambda r: r[0])).schema
 
@@ -50,66 +42,91 @@ def infer_jsonl_schema(
 def read_jsonl(
     spark: SparkSession,
     path: str | list[str],
-    schema: T.StructType,
-    keep_raw: bool = False,
+    schema: T.StructType | str,
+    with_lineage: bool = True,
 ) -> DataFrame:
-    """Schema-projected JSONL read with per-row corrupt capture.
+    """Read newline-delimited JSON with an explicit schema; malformed lines
+    land in `_corrupt_record` with every data column NULL.
+    `schema` may be a DDL string ("doc_id BIGINT, text STRING").
 
-    Returns one column per ``schema`` field plus ``_corrupt_record``
-    (NULL for clean rows, the verbatim line for malformed ones — same
-    contract as Spark's PERMISSIVE mode, minus its filter-needs-cache
-    restriction). ``keep_raw`` additionally carries the raw line for
-    every row (audit/replay use; off by default so the parsed relation
-    never drags corpus-sized strings through downstream shuffles).
-    Blank lines are dropped (the JSONL convention), not quarantined.
-    """
-    if any(f.name == _CORRUPT for f in schema.fields):
-        raise ValueError(f"schema must not already contain {_CORRUPT}")
-    parse_schema = T.StructType(
-        list(schema.fields) + [T.StructField(_CORRUPT, T.StringType(), True)]
-    )
-    lines = (
-        spark.read.text(path)
-        .withColumnRenamed("value", _RAW)
-        .filter(F.trim(F.col(_RAW)) != "")
-    )
-    parsed = lines.withColumn(
-        "_parsed",
+    Implemented as a text scan + `from_json` rather than `spark.read.json`:
+    JSONL is by definition one object per line, so the line scan loses
+    nothing, and parsing as an expression (a) sidesteps the JSON reader's
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction without the documented
+    `.cache()` workaround (caching a 100 TB scan is not a fix), and (b)
+    keeps the raw line available to the quarantine path for free."""
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    fields = [f.name for f in schema.fields if f.name != CORRUPT_COL]
+    if CORRUPT_COL not in [f.name for f in schema.fields]:
+        schema = schema.add(T.StructField(CORRUPT_COL, T.StringType(), True))
+    raw = spark.read.text(path)
+    parsed = raw.select(
         F.from_json(
-            F.col(_RAW),
-            parse_schema,
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
-        ),
+            F.col("value"),
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("__j"),
+        F.col("value").alias("__raw"),
     )
-    cols = [F.col(f"_parsed.{f.name}").alias(f.name) for f in schema.fields]
-    # from_json yields a NULL struct (not a populated corrupt field) for
-    # lines that aren't JSON at all — fold both shapes into one signal
-    corrupt = F.when(
-        F.col("_parsed").isNull() | F.col(f"_parsed.{_CORRUPT}").isNotNull(),
-        F.col(_RAW),
-    ).alias(_CORRUPT)
-    keep = cols + [corrupt] + ([F.col(_RAW)] if keep_raw else [])
-    return parsed.select(*keep)
+    # from_json flags malformed input in the corrupt field; a line whose
+    # parse returns no struct at all (whitespace/empty) is also corrupt
+    corrupt = F.when(F.col("__j").isNull(), F.col("__raw")).otherwise(
+        F.col(f"__j.{CORRUPT_COL}")
+    )
+    df = parsed.select(
+        *[F.col(f"__j.{f}").alias(f) for f in fields],
+        corrupt.alias(CORRUPT_COL),
+    )
+    if with_lineage:
+        df = df.withColumns(
+            {
+                "_filename": F.element_at(F.split(F.input_file_name(), "/"), -1),
+                "_loaded_at": F.current_timestamp(),
+            }
+        )
+    return df
 
 
-def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(clean, quarantined) from a ``read_jsonl`` result: clean rows with
-    the corrupt column dropped, quarantined rows as (line, lineage-ready)
-    for a dead-letter sink. Plain filters — no cache required."""
-    clean = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
-    bad = df.filter(F.col(_CORRUPT).isNotNull()).select(
-        F.col(_CORRUPT).alias("line")
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantine): clean rows with the corrupt column dropped, and
+    the corrupt lines with their raw text for auditing. One filter each
+    over the same scan — Spark reuses the read."""
+    clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw_line"),
+        *[c for c in df.columns if c.startswith("_") and c != CORRUPT_COL],
     )
     return clean, bad
 
 
 def write_jsonl(
-    df: DataFrame, path: str, mode: str = "overwrite", compression: str | None = None
+    df: DataFrame, path: str, compression: str | None = None
 ) -> None:
-    """JSONL sink (one JSON object per line, the format's write half).
-    ``compression`` passes through to the writer (e.g. ``gzip`` — a
-    training-data export is usually shipped compressed)."""
-    w = df.write.mode(mode)
+    """Write newline-delimited JSON (one object per line). `compression`
+    e.g. 'gzip'/'zstd'; note compressed JSONL is non-splittable on read —
+    prefer parquet for anything re-read by Spark."""
+    w = df.write.mode("overwrite")
     if compression:
         w = w.option("compression", compression)
     w.json(path)
+
+
+def jsonl_to_parquet(
+    spark: SparkSession,
+    src: str | list[str],
+    dest: str,
+    schema: T.StructType | str,
+    quarantine: str | None = None,
+) -> tuple[int, int]:
+    """Landing-zone conversion: JSONL in, parquet out, corrupt lines to a
+    quarantine path (if given). Returns (clean_rows, corrupt_rows) — the
+    counts a load audit records. This is the 'get out of JSONL fast' step
+    that makes everything downstream splittable and column-prunable."""
+    clean, bad = split_corrupt(read_jsonl(spark, src, schema))
+    clean.write.mode("overwrite").parquet(dest)
+    n_bad = bad.count()
+    if quarantine is not None and n_bad:
+        bad.write.mode("overwrite").json(quarantine)
+    n_clean = spark.read.parquet(dest).count()
+    return n_clean, n_bad
