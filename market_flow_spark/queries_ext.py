@@ -1902,6 +1902,43 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pii_redact",
+    f"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(
+      text || ' contact user' || doc_id ||
+      '@example.com or 10.0.' || (doc_id % 256) || '.' || (doc_id % 100) ||
+      ' tel +1 (555) 01' || (doc_id % 10) || '-' || (1000 + doc_id % 9000),
+      '{text.EMAIL_RE}', '[EMAIL]', 'g'),
+      '{text.IPV4_RE}', '[IP]', 'g'),
+      '{text.PHONE_RE}', '[PHONE]', 'g') AS text
+FROM documents
+""",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub twin of pii_scan (extensions/text.py redact_pii): typed
+    placeholder substitution via three chained regexp_replace expressions,
+    one codegen'd corpus scan. The test corpus carries no PII, so the
+    query appends a deterministic doc_id-derived footer (email + IPv4 +
+    phone) on BOTH engines before redacting — the oracle then certifies
+    actual replace semantics (global flag, match extents, chain order),
+    not an identity pass."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    d = F.col("doc_id")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), d, F.lit("@example.com or 10.0."),
+            (d % 256).cast("string"), F.lit("."), (d % 100).cast("string"),
+            F.lit(" tel +1 (555) 01"), (d % 10).cast("string"), F.lit("-"),
+            (F.lit(1000) + d % 9000).cast("string"),
+        ).alias("text"),
+    )
+    return text.redact_pii(salted)
+
+
+@register(
     "price_percentiles",
     f"""
 SELECT l_returnflag,
