@@ -33,10 +33,13 @@ Permanent core (always in-window; each anchors a §2 family):
   cosine_topk (similarity tier)     text_profile (text tier)
   linear_forecast (UD1)
 
-After this round every one of the 127 registered queries will carry a
-green driver CORRECTNESS row from some round (union coverage complete),
-so the round-8 rotation is free to certify round-7's new additions first,
-then refresh the oldest-certified names. Rotated OUT this round (all
+After this round every query registered BEFORE round 7 will carry a
+green driver CORRECTNESS row from some round (union coverage complete).
+Round-7 additions — user_sessions_core (the shared streaming-session
+core run as a batch applyInPandas, gaps-and-islands oracle) and
+pii_redact (salted global-replace certification) — are local-sweep-green
+and first in line for the round-8 rotating slots, followed by a refresh
+of the oldest-certified names. Rotated OUT this round (all
 driver-green in r6, still in the local 127-oracle parity sweep):
   tfidf_doc_similarity, bigram_logprob, unigram_logprob, bm25_topk,
   winsorize_prices, token_counts, repetition_stats, pii_scan,
