@@ -431,6 +431,32 @@ def main() -> None:
     )
     del df_100, big_tables
 
+    # x10 point for the round-7 sessionization operator: inflate USERS
+    # (user_id offset per copy), not history length — the realistic growth
+    # axis, and the shape that keeps per-task state at one user's history.
+    # Measured at authoring: 100k rows/1.5k users 1.5 s -> 1M/15k 5.0 s
+    # (3.3x wall for 10x rows; the applyInPandas shuffle dominates).
+    from market_flow_spark.streaming.stateful import batch_user_sessions
+
+    ev_s = base_tables["events"].select("user_id", "ts", "value")
+    sess_curve = scaling.setdefault("user_sessions_core", [])
+    df_sess = batch_user_sessions(ev_s, "5 minutes")
+    sess_curve.append(
+        {"subset": "full", "rows": ev_s.count(), "sec": steady(df_sess)}
+    )
+    ev_big = ev_s.crossJoin(
+        F.broadcast(spark.range(10).select(F.col("id").alias("_copy")))
+    ).select(
+        (F.col("user_id") + F.col("_copy") * 10_000_000).alias("user_id"),
+        "ts",
+        "value",
+    )
+    df_sess10 = batch_user_sessions(ev_big, "5 minutes")
+    sess_curve.append(
+        {"subset": "x10", "rows": ev_s.count() * 10, "sec": steady(df_sess10)}
+    )
+    del df_sess, df_sess10, ev_big
+
     # x100 point for the LSH dedup tier (500k docs): the band-hash
     # equi-join holds near-linear through two decades (round-7 measured
     # full 1.0-1.4 s -> x10 1.8 s -> x100 ~21 s).
