@@ -2772,8 +2772,8 @@ def q_kmv_distinct_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "price_histogram",
     """
 SELECT CAST(LEAST(FLOOR(l_extendedprice / 5000.0), 21) AS INT) AS bucket,
-       CAST(LEAST(FLOOR(l_extendedprice / 5000.0), 21) AS INT) * 5000.0
-         AS bucket_lo,
+       CAST(LEAST(FLOOR(l_extendedprice / 5000.0), 21) AS INT)
+         * CAST(5000.0 AS DOUBLE) AS bucket_lo,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
          AS n_returned

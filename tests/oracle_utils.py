@@ -54,11 +54,11 @@ def assert_matches_oracle(spark_df, duck_con, sql: str, float_tol: float = 1e-9)
     wide = [
         (c, str(t))
         for c, t in zip(rel.columns, rel.types)
-        if "HUGEINT" in str(t).upper()
+        if "HUGEINT" in str(t).upper() or "DECIMAL" in str(t).upper()
     ]
     assert not wide, (
-        f"oracle produces HUGEINT column(s) {wide}; wrap the SUM in "
-        f"CAST(... AS BIGINT) so the driver's typed hash matches Spark"
+        f"oracle produces HUGEINT/DECIMAL column(s) {wide}; CAST to "
+        f"BIGINT/DOUBLE so the driver's typed hash matches Spark"
     )
     du = rel.df()
     assert sorted(sp.columns) == sorted(du.columns), (

@@ -13,10 +13,12 @@ from __future__ import annotations
 
 from market_flow_spark.queries_all import ORACLES
 
-# Types that pandas cannot represent as a fixed-width integer; each shows up
-# as float64 (or object) in the driver's fetchdf and breaks the typed hash
-# against Spark's bigint.
-_FORBIDDEN = ("HUGEINT", "UHUGEINT")
+# Types whose pandas round-trip differs from what the Spark side emits:
+# wide ints reach fetchdf as float64 (vs Spark bigint) and DECIMAL reaches
+# it as float64-or-object depending on precision (vs Spark double) — both
+# break the driver's typed hash even with identical values. No oracle may
+# publish them; cast to BIGINT / DOUBLE at the source.
+_FORBIDDEN = ("HUGEINT", "UHUGEINT", "DECIMAL")
 
 
 def test_no_oracle_emits_wide_ints(duck):
