@@ -417,8 +417,12 @@ def main() -> None:
     # ~8.5 s; raising shuffle partitions HURTS (32: 50 s, 128: 62 s,
     # 256: 130 s — per-task broadcast-probe + scheduling overhead on one
     # box), and heap below 48g adds ~50% GC drag at the default 16g.
-    # Recorded at the session defaults (honest bench config); min-of-2
-    # warm, cold discarded.
+    # Recorded at the session defaults (honest bench config); ONE timed
+    # warm pass after a discarded cold — this point swings ~2x run-to-run
+    # on identical code (62.6 vs 133.8 s across back-to-back full benches;
+    # page-cache state vs 6-8 GB of shuffle), so a second pass buys no
+    # denoising, only wall-clock. Its job is the slope's magnitude class,
+    # which PLANS.md's knee audit pins with repeated dedicated runs.
     big_tables = inflate_fact(100)
     df_100 = star.flagship_wide(big_tables)
     run(df_100)
@@ -426,7 +430,7 @@ def main() -> None:
         {
             "subset": "x100",
             "rows": fact_rows * 100,
-            "sec": min(run(df_100), run(df_100)),
+            "sec": run(df_100),
         }
     )
     del df_100, big_tables
