@@ -166,13 +166,26 @@ def main() -> None:
             F.lit(stop_words),
         ).alias("text"),
     )
+    # the measurement basis differs per side (count_common: one cold pass,
+    # freq_ordered: min-of-2 warm) — record it in the JSON so the 30x ratio
+    # is read against the bases that produced it, not assumed like-for-like
     stopword_strategies = {
-        "count_common": run(
-            dedup.word_jaccard_pairs(sw_docs, threshold=0.7, strategy="count_common")
-        ),
-        "freq_ordered": steady(
-            dedup.word_jaccard_pairs(sw_docs, threshold=0.7, strategy="freq_ordered")
-        ),
+        "count_common": {
+            "sec": run(
+                dedup.word_jaccard_pairs(
+                    sw_docs, threshold=0.7, strategy="count_common"
+                )
+            ),
+            "basis": "single_cold",
+        },
+        "freq_ordered": {
+            "sec": steady(
+                dedup.word_jaccard_pairs(
+                    sw_docs, threshold=0.7, strategy="freq_ordered"
+                )
+            ),
+            "basis": "min_of_2_warm",
+        },
     }
     stopword_strategies["selector_choice"] = dedup.choose_word_jaccard_strategy(
         sw_docs

@@ -79,6 +79,10 @@ def main() -> int:
     basis = "median"
     if "--basis" in argv:
         i = argv.index("--basis")
+        if i + 1 >= len(argv) or argv[i + 1] not in ("median", "min"):
+            print(__doc__)
+            print("--basis must be 'median' or 'min'")
+            return 2
         basis = argv[i + 1]
         del argv[i : i + 2]
     if len(argv) < 2:

@@ -5,23 +5,47 @@ order.
 Why the explicit order matters: the driver's correctness harness checks the
 first 50 registered queries against their DuckDB oracles (rows + schema +
 value hash at sf0.01) — that row is the HARD evidence tier, above the local
-pytest sweep (tests/test_oracle_parity.py, which still runs every oracle —
-all 127 — every suite run).
+pytest sweep (tests/test_oracle_parity.py, which still runs EVERY registered
+oracle every suite run — no hardcoded count; len(ORACLES) is the source of
+truth).
 
 Window structure (since round 6, per the round-5 verdict's #1 ask): a
 15-query PERMANENT CORE — one representative per SURVEY.md §2 family plus
 the flagship — and 35 ROTATING slots scheduled strictly by
-"never-driver-certified first".
+"never-driver-certified first", then "oldest certification first".
 
-Round-7 rotation (this file's current window): the 31 never-certified
-names from the round-6 backlog (19 carried + the 12 late-round-6
-additions) fill 31 rotating slots; the remaining 4 slots re-certify the
-four round-6 hash reds (langid_trigram, dsir_weights, profile_orders,
-profile_drift_orders) whose oracles carried un-CAST HUGEINT SUMs — zero
-value diffs per the round-6 judge; the CAST(... AS BIGINT) fix landed at
-the top of round 7 together with a registry-wide HUGEINT type sweep
-(tests/test_oracle_types.py). knn_label_vote got the same cast BEFORE its
-first certification attempt, per the round-6 advice.
+Round-8 rotation (this file's current window). After round 7 the union of
+driver-green rows covered every name registered before round 7; the three
+never-certified names go first, then the refresh runs strictly
+oldest-certification-first:
+  slots 1-3 (never certified): user_sessions_core, pii_redact (the two
+    round-7 additions), and winnow_containment_capped (new this round —
+    the round-7 verdict's #2 ask: the max_fp_df scale path of winnow
+    containment, now with its own DuckDB twin instead of bench-only
+    numbers).
+  slots 4-14 (last green in r1-r4, every such name still registered):
+    r1: events_typed, monthly_event_stats, multimodal_bytes,
+        seasonal_forecast, simhash_signatures
+    r3: dedup_ngram_jaccard, sliding_window_stats
+    r4: ann_lsh_topk, float_key_join, forecast_horizon, page_and_tail
+    (the other 12 r1-certified names were renamed/consolidated in r2 —
+    pagination->page_and_tail, in/contains/positive_filter->filter_suite,
+    text_stats->text_profile etc. — and their successors certified later.)
+  slots 15-35 (21 of the 35 r5-certified names, prioritizing files that
+    have since taken diffs — the whole dedup tier sits in dedup.py, which
+    changed in r7 — plus the cube_returnflag_priority watch item):
+    winnow_containment, dedup_word_jaccard, dedup_exact,
+    dedup_minhash_incremental, contamination_ngram, span_dedup,
+    simhash_pairs, embedding_near_dup, ivf_topk, kmv_distinct_parts,
+    theta_rollup_custkeys, variant_events_stats, cube_returnflag_priority,
+    rollup_revenue, asof_last_view, session_windows, tumbling_hour_stats,
+    range_join_nearby, json_props_stats, multimodal_frames,
+    corpus_prefilter
+  The 14 remaining r5-certified names (best_markets, country_month_avg,
+  dim_product, ffill_bfill_impute, filter_suite, mean_impute,
+  normalized_join, pivot_returnflag, price_summary_stats, quota_cap,
+  sales_agg_profile, stratified_sample, train_test_split, upsert_plan)
+  are the round-9 refresh front of the queue, followed by the r6 cohort.
 
 Permanent core (always in-window; each anchors a §2 family):
   flagship_wide (J2 star join)      fact_transactions (J4/J11/W2)
@@ -33,26 +57,10 @@ Permanent core (always in-window; each anchors a §2 family):
   cosine_topk (similarity tier)     text_profile (text tier)
   linear_forecast (UD1)
 
-After this round every query registered BEFORE round 7 will carry a
-green driver CORRECTNESS row from some round (union coverage complete).
-Round-7 additions — user_sessions_core (the shared streaming-session
-core run as a batch applyInPandas, gaps-and-islands oracle) and
-pii_redact (salted global-replace certification) — are local-sweep-green
-and first in line for the round-8 rotating slots, followed by a refresh
-of the oldest-certified names. Rotated OUT this round (all
-driver-green in r6, still in the local 127-oracle parity sweep):
-  tfidf_doc_similarity, bigram_logprob, unigram_logprob, bm25_topk,
-  winsorize_prices, token_counts, repetition_stats, pii_scan,
-  top_tokens_per_lang, pmi_collocations, grouping_sets_sales,
-  scd2_part_prices, cdc_apply_orders, snapshot_diff_orders,
-  merge_aggregate_returnflag, top_values_orders,
-  funnel_view_click_purchase, cohort_retention, event_transitions,
-  view_click_attribution, sequence_packing, chunk_documents,
-  mixture_sample, kfold_orders, leakage_safe_split, semantic_dedup_keep,
-  pagerank_part_supplier, dedup_cluster_sizes, dedup_clusters_minhash,
-  fuzzy_customer_names, kmv_overlap_parts
-(the r1-r6 past-window set listed in prior revisions of this docstring
-remains driver-green and local-sweep-green.)
+Rotated OUT this round: the full r7 rotating cohort (all 35 driver-green
+in CORRECTNESS_r07, still in the local all-oracle parity sweep every
+suite run). The r1-r7 past-window set listed in prior revisions of this
+docstring remains driver-green and local-sweep-green.
 """
 
 from __future__ import annotations
@@ -80,44 +88,48 @@ _PRIORITY: list[str] = [
     "text_profile",
     "linear_forecast",
     # ---- rotating slots (35): never-driver-certified first -------------
-    # round-6 backlog, carried 19
-    "contamination_exact",
-    "contamination_exact_bloomed",
-    "country_name_cleaning",
-    "price_percentiles",
-    "price_histogram",
-    "price_anomalies",
-    "corpus_clean",
-    "corpus_shuffle",
-    "curriculum_stages",
-    "knn_label_vote",
-    "kmv_distinct_by_returnflag",
-    "window_panel",
-    "feature_encode_panel",
-    "basket_pairs",
-    "gap_fill_months",
-    "corr_quantity_price",
-    "weighted_sample_docs",
-    "theta_overlap_years",
-    "unpivot_flag_metrics",
-    # late-round-6 additions, 12
-    "url_canonical_dedup",
-    "domain_url_stats",
-    "nb_classify_lang",
-    "ewma_monthly_price",
-    "ewma_daily_price_unbounded",
-    "interval_price_bands",
-    "cms_heavy_hitters",
-    "pit_part_price_sales",
-    "corpus_kl_by_lang",
-    "rolling_median_price",
-    "token_budget_select",
-    "drift_score_odd_vs_even",
-    # re-certification of the round-6 HUGEINT hash reds, 4
-    "langid_trigram",
-    "dsir_weights",
-    "profile_orders",
-    "profile_drift_orders",
+    # never certified (3): the two round-7 additions + this round's new
+    # scale-path certification
+    "user_sessions_core",
+    "pii_redact",
+    "winnow_containment_capped",
+    # oldest-certified refresh: last green in r1 (5)
+    "events_typed",
+    "monthly_event_stats",
+    "multimodal_bytes",
+    "seasonal_forecast",
+    "simhash_signatures",
+    # last green in r3 (2)
+    "dedup_ngram_jaccard",
+    "sliding_window_stats",
+    # last green in r4 (4)
+    "ann_lsh_topk",
+    "float_key_join",
+    "forecast_horizon",
+    "page_and_tail",
+    # last green in r5 (21 of 35; dedup.py took an r7 diff, so the whole
+    # dedup tier refreshes, plus the cube watch item)
+    "winnow_containment",
+    "dedup_word_jaccard",
+    "dedup_exact",
+    "dedup_minhash_incremental",
+    "contamination_ngram",
+    "span_dedup",
+    "simhash_pairs",
+    "embedding_near_dup",
+    "ivf_topk",
+    "kmv_distinct_parts",
+    "theta_rollup_custkeys",
+    "variant_events_stats",
+    "cube_returnflag_priority",
+    "rollup_revenue",
+    "asof_last_view",
+    "session_windows",
+    "tumbling_hour_stats",
+    "range_join_nearby",
+    "json_props_stats",
+    "multimodal_frames",
+    "corpus_prefilter",
 ]
 
 _WINDOW = 50

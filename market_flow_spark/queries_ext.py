@@ -1743,11 +1743,29 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _winnow_oracle(
-    k: int = 8, window: int = 4, threshold: float = 0.5, probe_mod: int = 10
+    k: int = 8,
+    window: int = 4,
+    threshold: float = 0.5,
+    probe_mod: int = 10,
+    max_fp_df: int | None = None,
 ) -> str:
     """DuckDB twin of dedup.winnow_fingerprints + winnow_containment:
     same md5-prefix uint32 rolling hashes, same window-min winnowing, same
-    containment = shared/test-fps arithmetic."""
+    containment = shared/test-fps arithmetic. With ``max_fp_df`` set, the
+    twin of the capped (boilerplate-suppressed) variant: fingerprints whose
+    TRAINING-side document frequency exceeds the cap are anti-joined out of
+    both sides before sizes/containment — the exact CTE chain plus a
+    ``HAVING COUNT(*) > k`` heavy set, per winnow_containment's own
+    semantics (dedup.py:1202-1213)."""
+    if max_fp_df is None:
+        cap_ctes = ""
+        te_src, tr_src = "te", "tr"
+    else:
+        cap_ctes = f"""
+heavy AS (SELECT fp FROM tr GROUP BY fp HAVING COUNT(*) > {max_fp_df}),
+te_c AS (SELECT * FROM te ANTI JOIN heavy USING (fp)),
+tr_c AS (SELECT * FROM tr ANTI JOIN heavy USING (fp)),"""
+        te_src, tr_src = "te_c", "tr_c"
     return f"""
 WITH normed AS (
   SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
@@ -1771,12 +1789,12 @@ fps AS (
   FROM hashed
 ),
 te AS (SELECT doc_id AS test_doc_id, fp FROM fps WHERE test_doc_id % {probe_mod} = 0),
-tr AS (SELECT doc_id AS train_doc_id, fp FROM fps WHERE train_doc_id % {probe_mod} <> 0),
-te_sizes AS (SELECT test_doc_id, COUNT(*) AS n_test_fps FROM te GROUP BY test_doc_id),
+tr AS (SELECT doc_id AS train_doc_id, fp FROM fps WHERE train_doc_id % {probe_mod} <> 0),{cap_ctes}
+te_sizes AS (SELECT test_doc_id, COUNT(*) AS n_test_fps FROM {te_src} GROUP BY test_doc_id),
 shared AS (
-  SELECT te.test_doc_id, tr.train_doc_id, COUNT(*) AS n_shared
-  FROM te JOIN tr ON te.fp = tr.fp
-  GROUP BY te.test_doc_id, tr.train_doc_id
+  SELECT a.test_doc_id, b.train_doc_id, COUNT(*) AS n_shared
+  FROM {te_src} a JOIN {tr_src} b ON a.fp = b.fp
+  GROUP BY a.test_doc_id, b.train_doc_id
 )
 SELECT s.test_doc_id, s.train_doc_id, s.n_shared,
        floor(s.n_shared / z.n_test_fps * 1e6 + 0.5) / 1e6 AS containment
@@ -1796,6 +1814,25 @@ def q_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 10 != 0),
         docs.filter(F.col("doc_id") % 10 == 0),
         threshold=0.5,
+    )
+
+
+@register("winnow_containment_capped", _winnow_oracle(threshold=0.5, max_fp_df=50))
+def q_winnow_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE PATH of winnow containment, certified: same rolling-hash
+    fingerprint containment, but with the MOSS "noise threshold" —
+    fingerprints occurring in > 50 training docs (headers, licenses, shared
+    phrasing) are dropped from both sides, so the fp equi-join's emission
+    stays Σ min(df, 50)·df instead of quadratic in the heaviest fingerprint.
+    50 is set from the corpus df distribution: at sf0.1 it cuts pair
+    emissions 154 M → 1.5 M (100x) while still pruning 75 fps at sf0.01, so
+    the cap is exercised at oracle scale, not a no-op."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return dedup.winnow_containment(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        threshold=0.5,
+        max_fp_df=50,
     )
 
 

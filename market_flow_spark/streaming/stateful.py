@@ -62,17 +62,30 @@ SESSION_SCHEMA = (
 # state timestamps in MICROSECONDS since epoch: the events tables carry
 # us-precision timestamps, and a coarser state unit would shift emitted
 # session bounds off the batch session_window oracle (ms truncation was
-# a real, test-caught bug)
-_SESSION_STATE = "start_us bigint, end_us bigint, n bigint, total double"
+# a real, test-caught bug). Array-valued: the finalizer holds EVERY
+# session not yet past the watermark horizon (end + gap <= watermark),
+# not just the newest — with watermark_delay > 0 an admissible late
+# event can extend or bridge a session that in-batch evidence alone
+# would have closed, so emitting sessions[:-1] eagerly would break the
+# emit-once contract (premature finalization).
+_SESSION_STATE = (
+    "starts array<bigint>, ends array<bigint>, "
+    "ns array<bigint>, totals array<double>"
+)
 
 
 def _sessionize_batch(pdfs, gap_us: int, open_state):
-    """Fold a micro-batch's rows (plus the carried open session, if any)
+    """Fold a micro-batch's rows (plus carried session state, if any)
     into gap sessions. Returns [(start_us, end_us, n, total), ...]
     (timestamps in MICROSECONDS since epoch — full parquet us precision,
     so emitted bounds match session_window exactly) in event-time order —
     every entry but the LAST was closed by a later event more than
     `gap_us` after it; the last is the still-open session.
+
+    ``open_state`` is None, one carried session tuple, or a LIST of
+    carried session tuples (the watermark-gated finalizer holds every
+    not-yet-emittable session, not just the newest — see
+    finalized_user_sessions_legacy).
 
     Vectorized (one sort + one diff over the batch, no per-event Python
     loop): session boundaries are exactly the positions where consecutive
@@ -81,21 +94,28 @@ def _sessionize_batch(pdfs, gap_us: int, open_state):
     this repo's suite) and the transformWithStateInPandas twin in tws.py
     — so the session algebra is verified once and ported nowhere.
 
-    Out-of-order events are handled exactly within a batch (the sort) and
-    bounded across batches by the watermark contract: an event older than
-    the watermark never reaches the operator. The carried open session is
-    folded in with a SYMMETRIC interval-gap merge pass over the
-    start-sorted session list: two sessions merge iff the gap between
-    them (later start minus earlier end) is <= gap_us. This stays correct
-    when watermark_delay >= gap, where a late batch may lie entirely
-    BEFORE the open session (one-sided `first_start <= open_end + gap`
-    would wrongly merge it and mis-order the emitted list) and the open
-    session may even bridge two batch sessions into one."""
+    Out-of-order events are handled exactly within a batch (the sort);
+    cross-batch disorder is bounded by the watermark contract (an event
+    older than the watermark never reaches the operator) and absorbed by
+    the carried-state merge below. Carried sessions are folded in with a
+    SYMMETRIC interval-gap merge pass over the start-sorted session list:
+    two sessions merge iff the gap between them (later start minus
+    earlier end) is <= gap_us. A late batch may lie entirely BEFORE a
+    carried session (one-sided `first_start <= open_end + gap` would
+    wrongly merge it and mis-order the emitted list), and a carried
+    session may bridge two batch sessions into one."""
     import numpy as np
+
+    if open_state is None:
+        carried = []
+    elif isinstance(open_state[0], (tuple, list)):
+        carried = [tuple(s) for s in open_state]
+    else:
+        carried = [tuple(open_state)]
 
     frames = [pdf for pdf in pdfs if len(pdf)]
     if not frames:
-        return [open_state] if open_state is not None else []
+        return sorted(carried, key=lambda s: (s[0], s[1]))
     pdf = pd.concat(frames, ignore_index=True).sort_values("ts")
     ts_us = (pdf["ts"].astype("int64") // 1_000).to_numpy()
     vals = pdf["value"].to_numpy()
@@ -105,8 +125,8 @@ def _sessionize_batch(pdfs, gap_us: int, open_state):
         (int(ts_us[s[0]]), int(ts_us[s[-1]]), len(s), float(vals[s].sum()))
         for s in segs
     ]
-    if open_state is not None:
-        sessions.append(tuple(open_state))
+    if carried:
+        sessions.extend(carried)
         sessions.sort(key=lambda s: (s[0], s[1]))
         merged = [sessions[0]]
         for cur in sessions[1:]:
@@ -181,11 +201,26 @@ def finalized_user_sessions_legacy(
     Semantics (identical to tws.finalized_user_sessions):
     - events for a user extend their open session while they arrive
       within `gap` of the current end (event time);
-    - when the watermark passes session_end + gap, the state times out,
-      ONE finalized row (user_id, session_start, session_end, n_events,
-      total_value) is emitted, and the state is removed — state size
-      tracks OPEN sessions only, which is what keeps a 100 TB/day
-      stream's RocksDB store bounded;
+    - a session row (user_id, session_start, session_end, n_events,
+      total_value) is emitted exactly ONCE — when the WATERMARK passes
+      session_end + gap. Until then the session is held in state, even
+      if a later in-batch event already lies beyond the gap: with
+      watermark_delay > 0 the engine still admits events with
+      ts >= watermark, and such an event can extend — or bridge into a
+      neighbor — a session that in-batch evidence alone would have
+      closed. Emission gated on the watermark is what makes emit-once
+      hold for ANY delay/gap combination (including delay >= gap).
+      State therefore holds every session not yet past the watermark
+      horizon for its key, which the horizon itself bounds: sessions
+      older than watermark - gap are emitted and dropped, so state
+      tracks the disorder window, not history — the property that keeps
+      a 100 TB/day stream's RocksDB store bounded.
+    - FAST PATH at watermark_delay == 0 (the default): a later in-batch
+      event beyond the gap IS final evidence — the engine's next
+      watermark is the max event time seen, so any future admitted
+      event has ts >= that max > session_end + gap and cannot extend
+      the session. Closed sessions emit in the same batch (one batch
+      lower latency than the gate, same rows).
     - late events beyond the watermark are dropped by the engine before
       the operator sees them (standard watermark contract).
 
@@ -193,6 +228,7 @@ def finalized_user_sessions_legacy(
     """
     gap_us = _gap_to_us(gap)
     gap_ms = gap_us // 1_000
+    delay_us = _gap_to_us(watermark_delay)
 
     def emit(rows):
         return pd.DataFrame(
@@ -205,29 +241,57 @@ def finalized_user_sessions_legacy(
             }
         )
 
-    def update(key, pdfs, state: GroupState):
-        if state.hasTimedOut:
-            # watermark passed end + gap: finalize exactly once, clear
-            start_us, end_us, n, total = state.get
-            state.remove()
-            yield emit([(key[0], start_us, end_us, n, total)])
-            return
-        sessions = _sessionize_batch(pdfs, gap_us, state.get if state.exists else None)
-        if not sessions:
-            return
-        # the last (latest) session stays open: store it, re-arm the
-        # timeout at its end + gap (the legacy API keeps one timeout per
-        # key — exactly the one live timer the tws twin maintains
-        # explicitly). Every earlier session was CLOSED by a later
-        # in-batch event beyond the gap, so it is final the moment the
-        # batch is processed — emit now rather than waiting for the
-        # watermark, same rows session_window would produce.
-        state.update(sessions[-1])
+    def _held(state: GroupState):
+        if not state.exists:
+            return []
+        starts, ends, ns, totals = state.get
+        return [
+            (int(s), int(e), int(n), float(t))
+            for s, e, n, t in zip(starts, ends, ns, totals)
+        ]
+
+    def _hold(state: GroupState, sessions):
+        state.update(
+            (
+                [s[0] for s in sessions],
+                [s[1] for s in sessions],
+                [s[2] for s in sessions],
+                [s[3] for s in sessions],
+            )
+        )
         # the engine's timeout clock is ms-epoch; round the us-precision
-        # session end UP so the timeout never fires a sub-ms early
-        state.setTimeoutTimestamp(-(-sessions[-1][1] // 1_000) + gap_ms)
-        if len(sessions) > 1:
-            yield emit([(key[0], *s) for s in sessions[:-1]])
+        # earliest-held session end UP so the timeout never fires a
+        # sub-ms early (one timeout per key on this API — armed for the
+        # next session to ripen)
+        state.setTimeoutTimestamp(
+            -(-min(s[1] for s in sessions) // 1_000) + gap_ms
+        )
+
+    def update(key, pdfs, state: GroupState):
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+        if state.hasTimedOut:
+            # watermark passed the earliest held end + gap: finalize every
+            # ripe session exactly once, keep (and re-arm for) the rest
+            sessions = _held(state)
+            ripe = [s for s in sessions if s[1] + gap_us <= wm_us]
+            rest = [s for s in sessions if s[1] + gap_us > wm_us]
+        else:
+            sessions = _sessionize_batch(pdfs, gap_us, _held(state) or None)
+            if not sessions:
+                return
+            if delay_us == 0:
+                # zero-delay fast path (see docstring): in-batch closure
+                # is final; only the newest session stays open
+                ripe, rest = sessions[:-1], sessions[-1:]
+            else:
+                ripe = [s for s in sessions if s[1] + gap_us <= wm_us]
+                rest = [s for s in sessions if s[1] + gap_us > wm_us]
+        if rest:
+            _hold(state, rest)
+        elif state.exists:
+            state.remove()
+        if ripe:
+            yield emit([(key[0], *s) for s in ripe])
 
     return (
         events.withWatermark("ts", watermark_delay)

@@ -28,8 +28,9 @@ Semantics (classic gap sessionization, the streaming twin of the batch
   operator sees it (standard watermark contract);
 - when the watermark passes `session_end + gap`, the session row
   (user_id, session_start, session_end, n_events, total_value) is
-  emitted and the per-key state cleared — so state size tracks OPEN
-  sessions only, the property that keeps a 100 TB/day stream's state
+  emitted and dropped from state — so state size tracks the sessions
+  still inside the watermark's disorder window (with delay 0, open
+  sessions only), the property that keeps a 100 TB/day stream's state
   store bounded.
 
 State-store scale notes: state is keyed and RocksDB-backed on a real
@@ -54,75 +55,107 @@ OUTPUT_SCHEMA = (
     "n_events bigint, total_value double"
 )
 # state timestamps in MICROSECONDS since epoch (full parquet precision;
-# same rationale and layout as stateful._SESSION_STATE)
-_SESS_SCHEMA = "start_us bigint, end_us bigint, n bigint, total double"
+# same rationale and ARRAY layout as stateful._SESSION_STATE: the
+# finalizer holds every session not yet past the watermark horizon, not
+# just the newest — see finalized_user_sessions_legacy's docstring for
+# why eager sessions[:-1] emission breaks emit-once when delay > 0)
+_SESS_SCHEMA = (
+    "starts array<bigint>, ends array<bigint>, "
+    "ns array<bigint>, totals array<double>"
+)
+
+
+def _frame(key, sessions):
+    return pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(sessions),
+            "session_start": [pd.Timestamp(s, unit="us") for s, *_ in sessions],
+            "session_end": [pd.Timestamp(e, unit="us") for _, e, *_ in sessions],
+            "n_events": [n for _, _, n, _ in sessions],
+            "total_value": [t for *_, t in sessions],
+        }
+    )
 
 
 class SessionFinalizer(StatefulProcessor):
-    def __init__(self, gap_ms: int) -> None:
+    def __init__(self, gap_ms: int, delay_ms: int = 0) -> None:
         self.gap_ms = gap_ms
         self.gap_us = gap_ms * 1_000
+        self.delay_ms = delay_ms
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self.handle = handle
         self.sess = handle.getValueState("sess", _SESS_SCHEMA)
+
+    def _held(self):
+        if not self.sess.exists():
+            return []
+        starts, ends, ns, totals = self.sess.get()
+        return [
+            (int(s), int(e), int(n), float(t))
+            for s, e, n, t in zip(starts, ends, ns, totals)
+        ]
+
+    def _hold(self, sessions) -> None:
+        """Store the not-yet-ripe sessions; one live timer per key, armed
+        at the EARLIEST held end + gap (ms-epoch clock — round the us end
+        UP so the timer never fires a sub-ms early)."""
+        for t in self.handle.listTimers():
+            self.handle.deleteTimer(t)
+        self.sess.update(
+            (
+                [s[0] for s in sessions],
+                [s[1] for s in sessions],
+                [s[2] for s in sessions],
+                [s[3] for s in sessions],
+            )
+        )
+        self.handle.registerTimer(
+            -(-min(s[1] for s in sessions) // 1_000) + self.gap_ms
+        )
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         # session algebra shared with (and executed/oracle-checked via)
         # the applyInPandasWithState twin — see stateful._sessionize_batch
         from market_flow_spark.streaming.stateful import _sessionize_batch
 
-        sessions = _sessionize_batch(
-            rows, self.gap_us, self.sess.get() if self.sess.exists() else None
-        )
+        sessions = _sessionize_batch(rows, self.gap_us, self._held() or None)
         if not sessions:
             return iter(())
-        # the last (latest) session stays open; one live timer per key,
-        # re-armed at the new session end + gap. Every earlier session was
-        # closed by a later in-batch event beyond the gap — final now, so
-        # emit immediately (the same rows session_window would produce)
-        # instead of waiting for the watermark.
-        for t in self.handle.listTimers():
-            self.handle.deleteTimer(t)
-        self.sess.update(sessions[-1])
-        # the timer clock is ms-epoch; round the us session end UP so the
-        # timer never fires a sub-ms early
-        self.handle.registerTimer(-(-sessions[-1][1] // 1_000) + self.gap_ms)
-        closed = sessions[:-1]
-        if not closed:
-            return iter(())
-        return iter(
-            [
-                pd.DataFrame(
-                    {
-                        "user_id": [key[0]] * len(closed),
-                        "session_start": [
-                            pd.Timestamp(s, unit="us") for s, *_ in closed
-                        ],
-                        "session_end": [
-                            pd.Timestamp(e, unit="us") for _, e, *_ in closed
-                        ],
-                        "n_events": [n for _, _, n, _ in closed],
-                        "total_value": [t for *_, t in closed],
-                    }
-                )
-            ]
-        )
+        if self.delay_ms == 0:
+            # zero-delay fast path: an in-batch later event beyond the gap
+            # is final evidence (next watermark >= this batch's max event
+            # time), so closed sessions emit now — same rows
+            # session_window would produce, one batch lower latency
+            ripe, rest = sessions[:-1], sessions[-1:]
+        else:
+            # delay > 0: a later batch may still deliver an admissible
+            # event (ts >= watermark) inside a closed session's gap
+            # window — emit only sessions the WATERMARK has sealed
+            wm_us = timerValues.getCurrentWatermarkInMs() * 1_000
+            ripe = [s for s in sessions if s[1] + self.gap_us <= wm_us]
+            rest = [s for s in sessions if s[1] + self.gap_us > wm_us]
+        if rest:
+            self._hold(rest)
+        elif self.sess.exists():
+            for t in self.handle.listTimers():
+                self.handle.deleteTimer(t)
+            self.sess.clear()
+        return iter([_frame(key, ripe)]) if ripe else iter(())
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-        if not self.sess.exists():
-            return iter(())
-        start_us, end_us, n, total = self.sess.get()
-        self.sess.clear()
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "session_start": [pd.Timestamp(start_us, unit="us")],
-                "session_end": [pd.Timestamp(end_us, unit="us")],
-                "n_events": [n],
-                "total_value": [total],
-            }
-        )
+        # watermark passed the earliest held end + gap: finalize every
+        # ripe session exactly once, keep (and re-arm for) the rest
+        wm_us = timerValues.getCurrentWatermarkInMs() * 1_000
+        sessions = self._held()
+        ripe = [s for s in sessions if s[1] + self.gap_us <= wm_us]
+        rest = [s for s in sessions if s[1] + self.gap_us > wm_us]
+        if rest:
+            self._hold(rest)
+        else:
+            self.sess.clear()
+        if ripe:
+            yield _frame(key, ripe)
 
     def close(self) -> None:
         pass
@@ -137,9 +170,11 @@ def finalized_user_sessions(
     unit_ms = {"seconds": 1_000, "minutes": 60_000, "hours": 3_600_000}
     qty, unit = gap.split()
     gap_ms = int(qty) * unit_ms[unit]
+    dqty, dunit = watermark_delay.split()
+    delay_ms = int(dqty) * unit_ms[dunit]
     with_wm = events.withWatermark("ts", watermark_delay)
     return with_wm.groupBy("user_id").transformWithStateInPandas(
-        SessionFinalizer(gap_ms),
+        SessionFinalizer(gap_ms, delay_ms),
         outputStructType=OUTPUT_SCHEMA,
         outputMode="append",
         timeMode="eventTime",

@@ -107,6 +107,63 @@ def test_gap_extension_keeps_one_session(spark, tmp_path):
     assert rows[0]["session_end"] == ts(30)
 
 
+def test_delayed_watermark_late_event_bridges_emitonce(spark, tmp_path):
+    """watermark_delay >= gap emit-once regression (round-7 advice): with
+    delay > 0, an in-batch event beyond the gap does NOT finalize the
+    earlier session — a later micro-batch may still deliver an admissible
+    event (ts >= watermark) inside that session's gap window, extending
+    it or bridging it into its neighbor. The old code emitted
+    sessions[:-1] immediately and would have produced TWO rows here;
+    watermark-gated emission produces exactly ONE merged session.
+
+    Timeline (gap 1 min, delay 2 min, all user 1):
+      batch 1: t=0s, t=10s (session A) and t=100s (B — beyond A's gap;
+               in-batch evidence alone would close A). Watermark after
+               batch 1 = max(100s) - 120s < 0 -> 0: A must stay held.
+      batch 2: late event t=50s (>= watermark 0, admissible) — lands in
+               A's gap window AND within gap of B: bridges A and B into
+               one session [0s, 100s] with 4 events.
+      batch 3: sentinel user at t=100000s advances the watermark past
+               100s + gap, ripening the merged session via the timeout.
+    """
+    landing = str(tmp_path / "landing")
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def ts(sec):
+        return (t0 + pd.Timedelta(seconds=sec)).to_pydatetime()
+
+    _write_batch(
+        spark, [(1, ts(0), 1.0), (1, ts(10), 2.0), (1, ts(100), 4.0)], landing
+    )
+    _write_batch(spark, [(1, ts(50), 3.0)], landing)
+    _write_batch(spark, [(999, ts(100_000), 0.0)], landing)
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(landing)
+    )
+    out = finalized_user_sessions_legacy(
+        stream, gap="1 minutes", watermark_delay="2 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("legacy_delay")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    rows = spark.sql(
+        "SELECT * FROM legacy_delay WHERE user_id = 1 ORDER BY session_start"
+    ).collect()
+    assert len(rows) == 1  # ONE merged session, not a premature A + rest
+    assert rows[0]["session_start"] == ts(0)
+    assert rows[0]["session_end"] == ts(100)
+    assert rows[0]["n_events"] == 4
+    assert rows[0]["total_value"] == 10.0
+
+
 def test_closed_sessions_match_batch_session_window(spark, sf_dir, tmp_path):
     """On the events table (plus a watermark-advancing sentinel), the
     streamed finalized sessions equal the batch session_window aggregate —
