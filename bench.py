@@ -117,6 +117,52 @@ def main() -> None:
         for name, ps in warm_passes.items()
     }
 
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail_out = os.environ.get("SPARK_GRAFT_DETAIL_OUT", "bench_detail.json")
+
+    # --queries-only (or SPARK_GRAFT_QUERIES_ONLY=1): registry pass alone,
+    # no fixtures/scaling/streaming/plan-metrics — the mode the sf1.0
+    # cross-sf slope record uses (fixtures self-scale and would re-measure
+    # fixed-size constructions; the slope question is about the registry).
+    if "--queries-only" in sys.argv or os.environ.get("SPARK_GRAFT_QUERIES_ONLY"):
+        detail = {
+            "cold_queries": cold,
+            "cold_total": round(sum(cold.values()), 3),
+            "construct_queries": construct,
+            "construct_total": round(sum(construct.values()), 3),
+            "n_warm_passes": n_warm,
+            "warm_passes": warm_passes,
+            "warm_queries": warm,
+            "warm_min": warm_min,
+            "warm_spread_max_over_min": warm_spread,
+            "warm_total": round(sum(warm.values()), 3),
+            "warm_total_min": round(sum(warm_min.values()), 3),
+            "sf": sf_val,
+            "sf_dir": sf_dir,
+            "queries_only": True,
+        }
+        Path(__file__).resolve().parent.joinpath(detail_out).write_text(
+            json.dumps(detail, indent=1)
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total_wall_steady_state",
+                    "value": round(sum(warm.values()), 3),
+                    "unit": "sec",
+                    "sf": sf_val,
+                    "n_queries": len(warm),
+                    "warm_total": round(sum(warm.values()), 3),
+                    "cold_total": round(sum(cold.values()), 3),
+                    "queries": {},
+                    "detail": detail_out,
+                },
+                separators=(",", ":"),
+            )
+        )
+        spark.stop()
+        return
+
     # --- word-jaccard strategy A/B + dedup-ladder scaling curve ----------
     # Both physical shapes of the unigram tier are timed head-to-head, and
     # the four dedup tiers + ngram contamination run at 1/4, 1/2 and full
@@ -430,20 +476,24 @@ def main() -> None:
     # ~8.5 s; raising shuffle partitions HURTS (32: 50 s, 128: 62 s,
     # 256: 130 s — per-task broadcast-probe + scheduling overhead on one
     # box), and heap below 48g adds ~50% GC drag at the default 16g.
-    # Recorded at the session defaults (honest bench config); ONE timed
-    # warm pass after a discarded cold — this point swings ~2x run-to-run
-    # on identical code (62.6 vs 133.8 s across back-to-back full benches;
-    # page-cache state vs 6-8 GB of shuffle), so a second pass buys no
-    # denoising, only wall-clock. Its job is the slope's magnitude class,
-    # which PLANS.md's knee audit pins with repeated dedicated runs.
+    # Recorded at the session defaults (honest bench config); min-of-2
+    # timed warm passes after a discarded cold, WITH the two-run spread
+    # kept in the row — this point swings ~2x run-to-run on identical
+    # code (62.6 vs 133.8 s across back-to-back full benches; page-cache
+    # state vs 6-8 GB of shuffle), and recording both passes is what lets
+    # a reader tell a real slope change from that band (the repo's
+    # min-of-2-with-spread evidence standard, round-7 verdict ask #3).
     big_tables = inflate_fact(100)
     df_100 = star.flagship_wide(big_tables)
     run(df_100)
+    _p1, _p2 = run(df_100), run(df_100)
     wh_curve.append(
         {
             "subset": "x100",
             "rows": fact_rows * 100,
-            "sec": run(df_100),
+            "sec": min(_p1, _p2),
+            "passes": [_p1, _p2],
+            "spread_max_over_min": round(max(_p1, _p2) / min(_p1, _p2), 3),
         }
     )
     del df_100, big_tables
@@ -634,6 +684,68 @@ def main() -> None:
     finally:
         _shutil.rmtree(_sdir, ignore_errors=True)
 
+    # --- streaming sessionization wall-time (round-7 verdict ask #5) ---
+    # The stateful session finalizer (applyInPandasWithState +
+    # EventTimeTimeout, watermark-gated emit-once) run availableNow over
+    # the events table split into 4 landing files + a far-future sentinel
+    # that ripens every real session — the same 4-epoch shape as the
+    # drift row above, closing the streaming tier's bench coverage. Wall
+    # covers source listing, state-store updates across epochs, timeout
+    # sweeps, and the memory-sink appends.
+    from market_flow_spark.streaming.stateful import (  # noqa: E402
+        finalized_user_sessions_legacy,
+    )
+
+    _sdir = _tempfile.mkdtemp(prefix="mfs_bench_sess_")
+    try:
+        _landing = f"{_sdir}/landing"
+        _ev = base_tables["events"].select("user_id", "ts", "value")
+        # land files in CHRONOLOGICAL slices (a replay, the shape a file
+        # stream actually ingests) — randomly sliced files would put the
+        # watermark at end-of-stream after file 1 and make every later
+        # row late-by-a-month
+        _lo, _hi = _ev.agg(F.min("ts"), F.max("ts")).first()
+        _step = (_hi - _lo) / 3
+        for _i in range(3):
+            _ev.filter(
+                (F.col("ts") >= _lo + _i * _step)
+                & (F.col("ts") < _lo + (_i + 1) * _step if _i < 2 else F.lit(True))
+            ).coalesce(1).write.mode("append").parquet(_landing)
+        _sentinel = _ev.agg(
+            (F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts")
+        ).select(F.lit(999_999_999).alias("user_id"), "ts", F.lit(0.0).alias("value"))
+        _sentinel.coalesce(1).write.mode("append").parquet(_landing)
+        t0 = time.perf_counter()
+        _stream = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_landing)
+        )
+        _q = (
+            finalized_user_sessions_legacy(_stream, gap="5 minutes")
+            .writeStream.format("memory")
+            .queryName("bench_sessions")
+            .outputMode("append")
+            .option("checkpointLocation", f"{_sdir}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _q.awaitTermination(600)
+        _wall = round(time.perf_counter() - t0, 3)
+        streaming_sessions = {
+            "wall_sec": _wall,
+            # data epochs (one per landed file) + the engine's no-data
+            # batches that fire the ripening timeouts
+            "epochs": len(_q.recentProgress),
+            "stream_rows": int(_ev.count()) + 1,
+            "sessions_emitted": int(
+                spark.sql("SELECT COUNT(*) c FROM bench_sessions").first()["c"]
+            ),
+        }
+        spark.catalog.dropTempView("bench_sessions")
+    finally:
+        _shutil.rmtree(_sdir, ignore_errors=True)
+
     # --- executed-plan metric accounting ------------------------------
     # Measured bytes off every query's executed SQLMetrics (shuffle
     # written, spill, broadcast payload, exchange counts) at sf0.01 —
@@ -654,7 +766,6 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover - diagnostics only
             plan_metrics[name] = {"error": str(exc)[:200]}
 
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
         "cold_queries": cold,
         "cold_total": round(sum(cold.values()), 3),
@@ -673,10 +784,11 @@ def main() -> None:
         "library_ops": library_ops,
         "contamination_bloom_ab": contamination_ab,
         "streaming_drift": streaming_drift,
+        "streaming_sessions": streaming_sessions,
         "plan_metrics": {"sf_dir": met_dir, "queries": plan_metrics},
         "sf": sf_val,
     }
-    Path(__file__).resolve().parent.joinpath("bench_detail.json").write_text(
+    Path(__file__).resolve().parent.joinpath(detail_out).write_text(
         json.dumps(detail, indent=1)
     )
 
@@ -701,7 +813,7 @@ def main() -> None:
                 "warm_total": round(sum(warm.values()), 3),
                 "cold_total": round(sum(cold.values()), 3),
                 "queries": {k: round(v, 2) for k, v in slowest[:n_top]},
-                "detail": "bench_detail.json",
+                "detail": detail_out,
             },
             separators=(",", ":"),
         )

@@ -1,0 +1,238 @@
+#!/usr/bin/env python
+"""Materialize a deterministic sf1.0 dataset (10x sf0.1) for bench scaling.
+
+The driver ships parquet at sf0.001/0.01/0.1 only; the round-7 verdict asks
+for one full-registry bench pass at sf1.0 to pin the cross-sf slope. This
+script derives sf1 from the sf0.1 tables with the SAME constructions the
+audited in-memory scaling points use, materialized to parquet so the
+registry queries read it exactly like a driver sf dir:
+
+- region/nation: copied verbatim (fixed-size dims, as in TPC-H).
+- customer/supplier/part/orders/lineitem/events: 10 parallel universes
+  with per-copy key offsets (copy c's orders reference copy c's customers,
+  etc.), so referential integrity, join selectivity, and per-key group
+  sizes are inflation-invariant while fact volume grows 10x — the same
+  shape as bench.py's inflate_fact, which the x10/x100 plan audits cover.
+  Numbered entity names (Customer#/Supplier#) are re-derived from the new
+  keys so name-equality joins don't gain cross-copy fanout the base data
+  doesn't have.
+- documents: generated fresh (not cloned) from sf0.1's measured empirical
+  structure — per-(lang, source) mix, per-lang word-frequency and
+  doc-length distributions over the same vocabulary — because cloning text
+  10x would plant cross-copy near-duplicates everywhere and turn the
+  dedup/contamination tiers quadratic-in-copies, a workload shape real
+  10x-bigger corpora do not have. Near-dup pairs are planted at sf0.1's
+  measured rate (~4% of docs are a perturbed copy of an earlier doc:
+  trailing " dup" token or dropped last word — the same two shapes found
+  in the sf0.1 corpus) plus the measured trace of exact duplicates.
+- embeddings: generated fresh 64-dim unit vectors with the measured weak
+  label pull (mean cosine to own-label centroid ~0.07 at sf0.1; measured
+  cross-pair max ~0.6, no planted near-dups) — cloning vectors would
+  create cosine-1.0 twins the base data does not contain.
+
+Deterministic: numpy PCG64 with fixed seeds per table. Run:
+
+    python gen_sf1.py [OUT_DIR]        # default /tmp/mfs_sf1
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+K = 10
+# key offsets mirror bench.py's inflate_fact: far above the base key range
+OFF = {
+    "cust": 10_000_000,
+    "supp": 10_000_000,
+    "part": 10_000_000,
+    "order": 100_000_000,
+    "event": 100_000_000,
+    "user": 10_000_000,
+}
+
+
+def _copy_sql(con: duckdb.DuckDBPyConnection, out_dir: str) -> None:
+    copies = "(SELECT unnest(range(10)) AS _c)"
+
+    def emit(name: str, select: str) -> None:
+        con.execute(
+            f"COPY ({select}) TO '{out_dir}/{name}.parquet' (FORMAT PARQUET)"
+        )
+        n = con.execute(
+            f"SELECT COUNT(*) FROM '{out_dir}/{name}.parquet'"
+        ).fetchone()[0]
+        print(f"  {name}: {n} rows")
+
+    emit("region", f"SELECT * FROM '{SRC}/region.parquet'")
+    emit("nation", f"SELECT * FROM '{SRC}/nation.parquet'")
+    emit(
+        "customer",
+        f"""SELECT c_custkey + _c * {OFF['cust']} AS c_custkey,
+               printf('Customer#%09d', c_custkey + _c * {OFF['cust']}) AS c_name,
+               c_nationkey, c_acctbal, c_mktsegment
+           FROM '{SRC}/customer.parquet' CROSS JOIN {copies}""",
+    )
+    emit(
+        "supplier",
+        f"""SELECT s_suppkey + _c * {OFF['supp']} AS s_suppkey,
+               printf('Supplier#%09d', s_suppkey + _c * {OFF['supp']}) AS s_name,
+               s_nationkey, s_acctbal
+           FROM '{SRC}/supplier.parquet' CROSS JOIN {copies}""",
+    )
+    emit(
+        "part",
+        f"""SELECT p_partkey + _c * {OFF['part']} AS p_partkey,
+               p_name, p_brand, p_type, p_size, p_retailprice
+           FROM '{SRC}/part.parquet' CROSS JOIN {copies}""",
+    )
+    emit(
+        "orders",
+        f"""SELECT o_orderkey + _c * {OFF['order']} AS o_orderkey,
+               o_custkey + _c * {OFF['cust']} AS o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+           FROM '{SRC}/orders.parquet' CROSS JOIN {copies}""",
+    )
+    emit(
+        "lineitem",
+        f"""SELECT l_orderkey + _c * {OFF['order']} AS l_orderkey,
+               l_partkey + _c * {OFF['part']} AS l_partkey,
+               l_suppkey + _c * {OFF['supp']} AS l_suppkey,
+               l_linenumber, l_quantity, l_extendedprice, l_discount,
+               l_tax, l_returnflag, l_linestatus, l_shipdate
+           FROM '{SRC}/lineitem.parquet' CROSS JOIN {copies}""",
+    )
+    emit(
+        "events",
+        f"""SELECT event_id + _c * {OFF['event']} AS event_id, ts,
+               user_id + _c * {OFF['user']} AS user_id,
+               event_type, value, props
+           FROM '{SRC}/events.parquet' CROSS JOIN {copies}""",
+    )
+
+
+def _gen_documents(con: duckdb.DuckDBPyConnection, out_dir: str) -> None:
+    base = con.execute(
+        f"SELECT doc_id, text, lang, source FROM '{SRC}/documents.parquet'"
+    ).fetchdf()
+    n_out = len(base) * K
+    rng = np.random.Generator(np.random.PCG64(20260815))
+
+    # measured empirical structure of the base corpus
+    langs = sorted(base["lang"].unique())
+    mix = []  # (lang, source, prob)
+    joint = base.groupby(["lang", "source"]).size()
+    for (lg, srcname), cnt in joint.items():
+        mix.append((lg, srcname, cnt / len(base)))
+    word_freq: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    len_pool: dict[str, np.ndarray] = {}
+    for lg in langs:
+        texts = base.loc[base["lang"] == lg, "text"]
+        words = np.concatenate([np.array(t.split()) for t in texts])
+        vocab, counts = np.unique(words, return_counts=True)
+        word_freq[lg] = (vocab, counts / counts.sum())
+        len_pool[lg] = texts.str.split().str.len().to_numpy()
+
+    # measured dup structure: prefix-sharing near-dup groups / exact dups
+    near_rate = 198 / 5000
+    exact_rate = 8 / 5000
+
+    probs = np.array([m[2] for m in mix])
+    pick = rng.choice(len(mix), size=n_out, p=probs / probs.sum())
+    texts: list[str] = []
+    out_lang: list[str] = []
+    out_src: list[str] = []
+    dup_kind = rng.random(n_out)
+    for i in range(n_out):
+        lg, srcname, _ = mix[pick[i]]
+        if i > 100 and dup_kind[i] < exact_rate:
+            j = int(rng.integers(0, i))
+            texts.append(texts[j])
+            out_lang.append(out_lang[j])
+            out_src.append(out_src[j])
+            continue
+        if i > 100 and dup_kind[i] < exact_rate + near_rate:
+            j = int(rng.integers(0, i))
+            w = texts[j].split()
+            if rng.random() < 0.5:
+                w = w + ["dup"]
+            else:
+                w = w[:-1] or ["dup"]
+            texts.append(" ".join(w))
+            out_lang.append(out_lang[j])
+            out_src.append(out_src[j])
+            continue
+        vocab, p = word_freq[lg]
+        n_words = int(rng.choice(len_pool[lg]))
+        texts.append(" ".join(rng.choice(vocab, size=max(n_words, 1), p=p)))
+        out_lang.append(lg)
+        out_src.append(srcname)
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_out, dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(out_lang, type=pa.string()),
+            "source": pa.array(out_src, type=pa.string()),
+            "n_chars": pa.array(
+                np.array([len(t) for t in texts], dtype=np.int64)
+            ),
+        }
+    )
+    pq.write_table(tbl, f"{out_dir}/documents.parquet")
+    print(f"  documents: {n_out} rows")
+
+
+def _gen_embeddings(con: duckdb.DuckDBPyConnection, out_dir: str) -> None:
+    df = con.execute(
+        f"SELECT embedding, label FROM '{SRC}/embeddings.parquet'"
+    ).fetchdf()
+    V = np.vstack(df["embedding"].to_numpy())
+    L = df["label"].to_numpy()
+    dim = V.shape[1]
+    n_out = len(df) * K
+    rng = np.random.Generator(np.random.PCG64(20260816))
+
+    cents = np.vstack([V[L == l].mean(0) for l in sorted(set(L))])
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    # measured mean cosine of a base vector to its own-label centroid
+    pull = float(np.mean([np.mean(V[L == l] @ cents[l]) for l in range(len(cents))]))
+    w = pull / np.sqrt(1.0 - pull * pull)  # unit noise + w*centroid => cos ~ pull
+
+    labels = rng.integers(0, len(cents), size=n_out)
+    g = rng.standard_normal((n_out, dim))
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    out = g + w * cents[labels]
+    out /= np.linalg.norm(out, axis=1, keepdims=True)
+    out = out.astype(np.float32)
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n_out, dtype=np.int64)),
+            "embedding": pa.array(list(out), type=pa.list_(pa.float32())),
+            "label": pa.array(labels.astype(np.int32)),
+        }
+    )
+    pq.write_table(tbl, f"{out_dir}/embeddings.parquet")
+    print(f"  embeddings: {n_out} rows (label pull {pull:.3f})")
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/mfs_sf1"
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    print(f"generating sf1 into {out_dir} (from {SRC}, x{K})")
+    _copy_sql(con, out_dir)
+    _gen_documents(con, out_dir)
+    _gen_embeddings(con, out_dir)
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -95,9 +95,10 @@ def _sessionize_batch(pdfs, gap_us: int, open_state):
     — so the session algebra is verified once and ported nowhere.
 
     Out-of-order events are handled exactly within a batch (the sort);
-    cross-batch disorder is bounded by the watermark contract (an event
-    older than the watermark never reaches the operator) and absorbed by
-    the carried-state merge below. Carried sessions are folded in with a
+    cross-batch disorder is bounded by the watermark contract — which on
+    the arbitrary-stateful APIs the CALLER enforces (they do not auto-drop
+    late rows; both finalizers filter sealed-window rows before calling
+    this) — and absorbed by the carried-state merge below. Carried sessions are folded in with a
     SYMMETRIC interval-gap merge pass over the start-sorted session list:
     two sessions merge iff the gap between them (later start minus
     earlier end) is <= gap_us. A late batch may lie entirely BEFORE a
@@ -204,31 +205,34 @@ def finalized_user_sessions_legacy(
     - a session row (user_id, session_start, session_end, n_events,
       total_value) is emitted exactly ONCE — when the WATERMARK passes
       session_end + gap. Until then the session is held in state, even
-      if a later in-batch event already lies beyond the gap: with
-      watermark_delay > 0 the engine still admits events with
-      ts >= watermark, and such an event can extend — or bridge into a
-      neighbor — a session that in-batch evidence alone would have
-      closed. Emission gated on the watermark is what makes emit-once
-      hold for ANY delay/gap combination (including delay >= gap).
-      State therefore holds every session not yet past the watermark
-      horizon for its key, which the horizon itself bounds: sessions
-      older than watermark - gap are emitted and dropped, so state
-      tracks the disorder window, not history — the property that keeps
-      a 100 TB/day stream's RocksDB store bounded.
-    - FAST PATH at watermark_delay == 0 (the default): a later in-batch
-      event beyond the gap IS final evidence — the engine's next
-      watermark is the max event time seen, so any future admitted
-      event has ts >= that max > session_end + gap and cannot extend
-      the session. Closed sessions emit in the same batch (one batch
-      lower latency than the gate, same rows).
-    - late events beyond the watermark are dropped by the engine before
-      the operator sees them (standard watermark contract).
+      if a later in-batch event already lies beyond the gap: a later
+      micro-batch can still deliver an admissible event that extends —
+      or bridges into a neighbor — a session that in-batch evidence
+      alone would have closed. Emission gated on the watermark is what
+      makes emit-once hold for ANY delay/gap combination (including
+      delay >= gap). State therefore holds every session not yet past
+      the watermark horizon for its key, which the horizon itself
+      bounds: sessions older than watermark - gap are emitted and
+      dropped, so state tracks the disorder window, not history — the
+      property that keeps a 100 TB/day stream's RocksDB store bounded.
+    - LATE ROWS: unlike windowed aggregations, the arbitrary-stateful
+      APIs do NOT auto-drop below-watermark input (verified empirically
+      on this API: a disordered replay delivers month-old rows with the
+      watermark already at end-of-stream). Handling them is the
+      operator's contract, and this operator discards exactly the rows
+      whose whole gap window the watermark has sealed
+      (ts + gap <= watermark): such a row can only form or re-open a
+      session that is already final — the emit-once hazard — while a
+      row between watermark - gap and watermark can still legitimately
+      merge into a HELD session and is kept. This is also what keeps
+      every held session's timeout strictly ahead of the engine's
+      watermark clock (setTimeoutTimestamp rejects timestamps at or
+      below it).
 
     `events` needs (user_id, ts timestamp, value double).
     """
     gap_us = _gap_to_us(gap)
     gap_ms = gap_us // 1_000
-    delay_us = _gap_to_us(watermark_delay)
 
     def emit(rows):
         return pd.DataFrame(
@@ -273,19 +277,19 @@ def finalized_user_sessions_legacy(
             # watermark passed the earliest held end + gap: finalize every
             # ripe session exactly once, keep (and re-arm for) the rest
             sessions = _held(state)
-            ripe = [s for s in sessions if s[1] + gap_us <= wm_us]
-            rest = [s for s in sessions if s[1] + gap_us > wm_us]
         else:
-            sessions = _sessionize_batch(pdfs, gap_us, _held(state) or None)
+            # enforce the late-row contract ourselves (see docstring):
+            # a row whose gap window the watermark already sealed can
+            # only re-create a finalized session
+            live = [
+                p[(p["ts"].astype("int64") // 1_000) + gap_us > wm_us]
+                for p in pdfs
+            ]
+            sessions = _sessionize_batch(live, gap_us, _held(state) or None)
             if not sessions:
                 return
-            if delay_us == 0:
-                # zero-delay fast path (see docstring): in-batch closure
-                # is final; only the newest session stays open
-                ripe, rest = sessions[:-1], sessions[-1:]
-            else:
-                ripe = [s for s in sessions if s[1] + gap_us <= wm_us]
-                rest = [s for s in sessions if s[1] + gap_us > wm_us]
+        ripe = [s for s in sessions if s[1] + gap_us <= wm_us]
+        rest = [s for s in sessions if s[1] + gap_us > wm_us]
         if rest:
             _hold(state, rest)
         elif state.exists:

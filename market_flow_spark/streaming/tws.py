@@ -24,8 +24,10 @@ Semantics (classic gap sessionization, the streaming twin of the batch
 
 - events for a user extend their open session while they arrive within
   `gap` of the current end (event time);
-- a late event beyond the watermark is dropped by the engine before the
-  operator sees it (standard watermark contract);
+- late input is the OPERATOR's contract on the arbitrary-stateful APIs
+  (they do not auto-drop below-watermark rows the way windowed
+  aggregations do): rows whose gap window the watermark sealed are
+  discarded, watermark-adjacent rows still merge into held sessions;
 - when the watermark passes `session_end + gap`, the session row
   (user_id, session_start, session_end, n_events, total_value) is
   emitted and dropped from state — so state size tracks the sessions
@@ -78,10 +80,9 @@ def _frame(key, sessions):
 
 
 class SessionFinalizer(StatefulProcessor):
-    def __init__(self, gap_ms: int, delay_ms: int = 0) -> None:
+    def __init__(self, gap_ms: int) -> None:
         self.gap_ms = gap_ms
         self.gap_us = gap_ms * 1_000
-        self.delay_ms = delay_ms
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self.handle = handle
@@ -116,25 +117,27 @@ class SessionFinalizer(StatefulProcessor):
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         # session algebra shared with (and executed/oracle-checked via)
-        # the applyInPandasWithState twin — see stateful._sessionize_batch
+        # the applyInPandasWithState twin — see stateful._sessionize_batch.
+        # Same contract as the legacy twin: the arbitrary-stateful APIs do
+        # NOT auto-drop below-watermark input, so discard rows whose gap
+        # window the watermark already sealed (they can only re-create
+        # finalized sessions), keep watermark-adjacent rows (they still
+        # merge into HELD sessions), and emit only sessions the WATERMARK
+        # has sealed — a later batch may deliver an admissible event inside
+        # an in-batch-closed session's gap window, so in-batch closure is
+        # never final evidence.
         from market_flow_spark.streaming.stateful import _sessionize_batch
 
-        sessions = _sessionize_batch(rows, self.gap_us, self._held() or None)
+        wm_us = timerValues.getCurrentWatermarkInMs() * 1_000
+        live = [
+            p[(p["ts"].astype("int64") // 1_000) + self.gap_us > wm_us]
+            for p in rows
+        ]
+        sessions = _sessionize_batch(live, self.gap_us, self._held() or None)
         if not sessions:
             return iter(())
-        if self.delay_ms == 0:
-            # zero-delay fast path: an in-batch later event beyond the gap
-            # is final evidence (next watermark >= this batch's max event
-            # time), so closed sessions emit now — same rows
-            # session_window would produce, one batch lower latency
-            ripe, rest = sessions[:-1], sessions[-1:]
-        else:
-            # delay > 0: a later batch may still deliver an admissible
-            # event (ts >= watermark) inside a closed session's gap
-            # window — emit only sessions the WATERMARK has sealed
-            wm_us = timerValues.getCurrentWatermarkInMs() * 1_000
-            ripe = [s for s in sessions if s[1] + self.gap_us <= wm_us]
-            rest = [s for s in sessions if s[1] + self.gap_us > wm_us]
+        ripe = [s for s in sessions if s[1] + self.gap_us <= wm_us]
+        rest = [s for s in sessions if s[1] + self.gap_us > wm_us]
         if rest:
             self._hold(rest)
         elif self.sess.exists():
@@ -170,11 +173,9 @@ def finalized_user_sessions(
     unit_ms = {"seconds": 1_000, "minutes": 60_000, "hours": 3_600_000}
     qty, unit = gap.split()
     gap_ms = int(qty) * unit_ms[unit]
-    dqty, dunit = watermark_delay.split()
-    delay_ms = int(dqty) * unit_ms[dunit]
     with_wm = events.withWatermark("ts", watermark_delay)
     return with_wm.groupBy("user_id").transformWithStateInPandas(
-        SessionFinalizer(gap_ms, delay_ms),
+        SessionFinalizer(gap_ms),
         outputStructType=OUTPUT_SCHEMA,
         outputMode="append",
         timeMode="eventTime",
