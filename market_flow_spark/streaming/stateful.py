@@ -227,7 +227,15 @@ def finalized_user_sessions_legacy(
       merge into a HELD session and is kept. This is also what keeps
       every held session's timeout strictly ahead of the engine's
       watermark clock (setTimeoutTimestamp rejects timestamps at or
-      below it).
+      below it). One best-effort divergence for such kept rows: if a
+      kept below-watermark row falls within `gap` of a session that was
+      ALREADY emitted (its end <= watermark - gap), it starts a NEW
+      session rather than extending the finalized one — the batch
+      `session_window` oracle would have merged them (and a windowed
+      aggregation would have dropped the row entirely). Emit-once still
+      holds; the extra row is the inherent cost of admitting data
+      beyond the declared disorder bound instead of silently dropping
+      it.
 
     `events` needs (user_id, ts timestamp, value double).
     """

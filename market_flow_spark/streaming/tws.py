@@ -27,7 +27,12 @@ Semantics (classic gap sessionization, the streaming twin of the batch
 - late input is the OPERATOR's contract on the arbitrary-stateful APIs
   (they do not auto-drop below-watermark rows the way windowed
   aggregations do): rows whose gap window the watermark sealed are
-  discarded, watermark-adjacent rows still merge into held sessions;
+  discarded, watermark-adjacent rows still merge into held sessions.
+  Best-effort divergence: a kept below-watermark row adjacent to an
+  ALREADY-EMITTED session (end <= watermark - gap) starts a separate
+  session instead of extending it — the batch oracle would merge the
+  two; emit-once holds either way, and the split is the inherent cost
+  of admitting data beyond the declared disorder bound;
 - when the watermark passes `session_end + gap`, the session row
   (user_id, session_start, session_end, n_events, total_value) is
   emitted and dropped from state — so state size tracks the sessions
