@@ -674,7 +674,10 @@ def main() -> None:
             .trigger(availableNow=True)
             .start()
         )
-        _q.awaitTermination(600)
+        # awaitTermination(timeout) returns False on timeout WITHOUT
+        # raising — an expired run would otherwise record a partial wall
+        # and an undercounted epoch log as if it had completed
+        assert _q.awaitTermination(600), "drift availableNow run timed out"
         _wall = round(time.perf_counter() - t0, 3)
         streaming_drift = {
             "wall_sec": _wall,
@@ -715,34 +718,52 @@ def main() -> None:
             (F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts")
         ).select(F.lit(999_999_999).alias("user_id"), "ts", F.lit(0.0).alias("value"))
         _sentinel.coalesce(1).write.mode("append").parquet(_landing)
-        t0 = time.perf_counter()
-        _stream = (
-            spark.readStream.schema("user_id long, ts timestamp, value double")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(_landing)
-        )
-        _q = (
-            finalized_user_sessions_legacy(_stream, gap="5 minutes")
-            .writeStream.format("memory")
-            .queryName("bench_sessions")
-            .outputMode("append")
-            .option("checkpointLocation", f"{_sdir}/ck")
-            .trigger(availableNow=True)
-            .start()
-        )
-        _q.awaitTermination(600)
-        _wall = round(time.perf_counter() - t0, 3)
-        streaming_sessions = {
-            "wall_sec": _wall,
+        # min-of-2 with recorded spread (the repo's evidence standard for
+        # every headline row): the observed r8 band on this row was 2×
+        # (8.0–15.9 s), so a single pass is not a measurement. Landing
+        # files are written once; each pass gets a fresh checkpoint +
+        # sink so availableNow replays the full stream.
+        _walls, _emitted, _epochs = [], [], []
+        for _pass in range(2):
+            t0 = time.perf_counter()
+            _stream = (
+                spark.readStream.schema(
+                    "user_id long, ts timestamp, value double"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(_landing)
+            )
+            _view = f"bench_sessions_{_pass}"
+            _q = (
+                finalized_user_sessions_legacy(_stream, gap="5 minutes")
+                .writeStream.format("memory")
+                .queryName(_view)
+                .outputMode("append")
+                .option("checkpointLocation", f"{_sdir}/ck{_pass}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            # returns False on timeout without raising — assert so an
+            # expired run can't record a partial wall as a result
+            assert _q.awaitTermination(600), "sessions availableNow timed out"
+            _walls.append(round(time.perf_counter() - t0, 3))
             # data epochs (one per landed file) + the engine's no-data
-            # batches that fire the ripening timeouts
-            "epochs": len(_q.recentProgress),
+            # batches that fire the ripening timeouts; batchId is exact
+            # where recentProgress is a ring buffer capped at 100 entries
+            _epochs.append(int(_q.lastProgress["batchId"]) + 1)
+            _emitted.append(
+                int(spark.sql(f"SELECT COUNT(*) c FROM {_view}").first()["c"])
+            )
+            spark.catalog.dropTempView(_view)
+        assert _emitted[0] == _emitted[1], _emitted
+        streaming_sessions = {
+            "wall_sec": min(_walls),
+            "passes": _walls,
+            "spread_max_over_min": round(max(_walls) / min(_walls), 2),
+            "epochs": _epochs[0],
             "stream_rows": int(_ev.count()) + 1,
-            "sessions_emitted": int(
-                spark.sql("SELECT COUNT(*) c FROM bench_sessions").first()["c"]
-            ),
+            "sessions_emitted": _emitted[0],
         }
-        spark.catalog.dropTempView("bench_sessions")
     finally:
         _shutil.rmtree(_sdir, ignore_errors=True)
 
