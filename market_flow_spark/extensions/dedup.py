@@ -417,8 +417,43 @@ def freq_ordered_arrays(arrs: DataFrame) -> DataFrame:
     )
 
 
+def estimate_index_emission(
+    arrs: DataFrame, n_full: int, n_sample: int
+) -> float:
+    """Scale a SAMPLE's inverted-index join emission Σ df(w)² to the full
+    corpus: under frequency stationarity (a word's document share is the
+    same in the sample as in the corpus), df_full ≈ df_sample · (N/n), so
+    Σ df_full² ≈ (N/n)² · Σ df_sample². ``arrs`` is the sampled
+    (doc_id, sh) frame whose exploded elements feed the index — pass the
+    full arrays for the count-common shape, the sliced prefixes for the
+    prefix-filtered shape. One sample-bounded aggregate."""
+    row = (
+        arrs.select(F.explode("sh").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.sum(F.col("df") * F.col("df")).alias("sum_df2"))
+        .first()
+    )
+    scale = (n_full / n_sample) ** 2 if n_sample else 1.0
+    return float(row["sum_df2"] or 0) * scale
+
+
+# Documented routing threshold for the exact unigram tier (candidate rows
+# the inverted-index join must materialize). Measured throughput on the
+# 32-core bench box is ~33 M candidate rows/s (Σdf² = 4.55e9 → 138.7 s at
+# sf1), so 1e10 ≈ 5 minutes of pure emission on one box — and because the
+# emission grows quadratically with corpus size, any 100 TB-scale input
+# lands many orders of magnitude above it. Below the cap the exact tier is
+# measured-fast at every tested scale (sf0.1: 4.5e8 → 1.8 s).
+WORD_JACCARD_MAX_EMISSION = 1e10
+
+
 def choose_word_jaccard_strategy(
-    docs: DataFrame, text_col: str = "text", sample_docs: int = 2048
+    docs: DataFrame,
+    text_col: str = "text",
+    sample_docs: int = 2048,
+    threshold: float = 0.7,
+    max_emission: float | None = WORD_JACCARD_MAX_EMISSION,
 ) -> str:
     """Cost-based strategy pick for the unigram tier, from a BOUNDED sample.
 
@@ -454,16 +489,37 @@ def choose_word_jaccard_strategy(
     emission takes 46.6 s vs freq_ordered's 1.5 s (31×), and the gap keeps
     growing as N². So a freq_ordered pick costs at most noise where it is
     wrong and saves unbounded quadratic work where it is right — the
-    correct side of the bet for a selector that must survive 100 TB."""
+    correct side of the bet for a selector that must survive 100 TB.
+
+    **Emission routing (round-9):** picking the best *exact* shape is not
+    enough — the sf1 audit showed the chosen shape can be optimal yet
+    output-bound (Σdf² ≈ 4.5e9 candidates → 138 s; growing quadratically,
+    a 100 TB caller would launch an hours-to-days job). So the selector now
+    estimates the picked shape's OWN index emission from the same bounded
+    sample — Σdf² over full arrays for count_common, over the ⌊(1-t)·n⌋+1
+    prefixes for freq_ordered (the prefix filter is exactly what bounds
+    that shape, so its estimate must be prefix-grained or stop-word corpora
+    would be mis-routed) — scaled by (N/n_sample)², and returns
+    ``'lsh_prefilter'`` when it exceeds ``max_emission``
+    (``WORD_JACCARD_MAX_EMISSION`` = 1e10 ≈ 5 min of pure emission on the
+    bench box; ``None`` disables routing). The routed shape is
+    MinHash-LSH candidate generation over unigrams + exact word-Jaccard
+    verification of candidates only: identical output schema, recall
+    bounded by the 4×4 band S-curve instead of exhaustive — per-pair
+    recall 1-(1-J⁴)⁴: ~0.67 for a just-qualifying J=0.7 pair, 0.91 at
+    J=0.82, ~0.999 at J≥0.95 (measured 36/40 and 40/40 respectively on
+    deterministic clone corpora, tests/test_steering.py). The
+    estimate is sampled and ~2×-noisy near the cap — both shapes are
+    acceptable there; the cap exists to stop the unbounded tail, not to
+    split hairs at the boundary. The bitmask shape is never routed: its
+    ≤64-token vocabulary and ``max_masks`` guard already bound it."""
     # the bounded sampled index is persisted so the two stat grains (per-
     # word dfs, distinct doc count) share one shingle build instead of
     # re-tokenizing the sample per action; docs with empty token sets are
     # invisible to countDistinct, which is fine — they contribute no
     # posting lists, so they are irrelevant to the strategy choice
-    sample = doc_shingle_arrays(docs.limit(sample_docs), 1, text_col)
-    exploded = sample.select(
-        F.col("doc_id"), F.explode("sh").alias("word")
-    ).persist()
+    sample = doc_shingle_arrays(docs.limit(sample_docs), 1, text_col).persist()
+    exploded = sample.select(F.col("doc_id"), F.explode("sh").alias("word"))
     try:
         row = (
             exploded.groupBy("word")
@@ -472,25 +528,64 @@ def choose_word_jaccard_strategy(
                 F.max("df").alias("max_df"),
                 F.sum("df").alias("total"),
                 F.count(F.lit(1)).alias("vocab"),
+                F.sum(F.col("df") * F.col("df")).alias("sum_df2"),
             )
             .first()
         )
-        n_docs = exploded.agg(F.countDistinct("doc_id").alias("n")).first()["n"] or 0
+        n_docs = (
+            exploded.agg(F.countDistinct("doc_id").alias("n")).first()["n"] or 0
+        )
+        vocab = row["vocab"] or 0
+        top_share = (row["max_df"] or 0) / max(row["total"] or 0, 1)
+        if vocab < 0.5 * n_docs:
+            # saturated token universe → output is dense. If the sampled
+            # vocabulary also fits one machine word, the bitset path skips
+            # the inverted index entirely (word_jaccard_pairs re-verifies
+            # against the FULL vocabulary and falls back to count_common if
+            # the sample under-counted); otherwise count_common's emission
+            # tracks the dense output and is the optimal shape.
+            if vocab <= 64:
+                return "bitmask"
+            pick = "count_common"
+        else:
+            # >2% of all sampled token occurrences in ONE token =
+            # shared-vocabulary corpus; posting-list join emission would be
+            # quadratic vs sparse output.
+            pick = "count_common" if top_share <= 0.02 else "freq_ordered"
+        if max_emission is None:
+            return pick
+        # route off the exact tier when the PICKED shape's estimated
+        # emission exceeds the cap. n_full counts all docs (empty-text docs
+        # included) while n_docs counts tokenized sample docs — the scale
+        # factor over-estimates slightly, which errs toward routing: the
+        # safe side of the bet (the routed tier is near-linear; the exact
+        # tier's tail is unbounded).
+        n_full = docs.count()
+        if n_full <= n_docs:
+            # sample IS the corpus — the estimate below is exact
+            n_full = n_docs
+        if pick == "count_common":
+            est = float(row["sum_df2"] or 0) * (
+                (n_full / n_docs) ** 2 if n_docs else 1.0
+            )
+        else:
+            # the prefix filter is what bounds this shape, so estimate at
+            # prefix grain: freq-order the sampled arrays and index only
+            # the ⌊(1-t)·n⌋+1 rarest elements — the same slice
+            # _prefix_candidates will feed the join (exact integer
+            # arithmetic shared via _threshold_ratio).
+            num, den = _threshold_ratio(threshold)
+            pref_len = F.expr(
+                f"CAST(sz - (-((-CAST(sz AS BIGINT) * {num}) div {den})) + 1"
+                " AS INT)"
+            )
+            pref = freq_ordered_arrays(sample).select(
+                F.slice("sh", F.lit(1), pref_len).alias("sh")
+            )
+            est = estimate_index_emission(pref, n_full, n_docs)
+        return pick if est <= max_emission else "lsh_prefilter"
     finally:
-        exploded.unpersist()
-    vocab = row["vocab"] or 0
-    top_share = (row["max_df"] or 0) / max(row["total"] or 0, 1)
-    if vocab < 0.5 * n_docs:
-        # saturated token universe → output is dense. If the sampled
-        # vocabulary also fits one machine word, the bitset path skips the
-        # inverted index entirely (word_jaccard_pairs re-verifies against
-        # the FULL vocabulary and falls back to count_common if the sample
-        # under-counted); otherwise count_common's emission tracks the
-        # dense output and is the optimal shape.
-        return "bitmask" if vocab <= 64 else "count_common"
-    # >2% of all sampled token occurrences in ONE token = shared-vocabulary
-    # corpus; posting-list join emission would be quadratic vs sparse output.
-    return "count_common" if top_share <= 0.02 else "freq_ordered"
+        sample.unpersist()
 
 
 def word_jaccard_pairs(
@@ -499,6 +594,7 @@ def word_jaccard_pairs(
     text_col: str = "text",
     freq_ordered: bool | None = None,
     strategy: str = "auto",
+    max_emission: float | None = WORD_JACCARD_MAX_EMISSION,
 ) -> DataFrame:
     """Exact near-dup pairs by word-set Jaccard ≥ threshold: prefix-filtered
     inverted-index self-join (never a cross join) + in-row array
@@ -527,12 +623,28 @@ def word_jaccard_pairs(
       doesn't, or when the distinct-mask count would make the M² compare
       unbounded).
 
+    - ``'lsh_prefilter'``: the ROUTED scale path — MinHash-LSH candidate
+      generation over unigram word sets (band equi-join, emission
+      near-linear in the corpus) + exact word-Jaccard verification of
+      candidates only. Same output schema; recall is the LSH band
+      guarantee instead of exhaustive (pairs far above threshold — the
+      near-dup case — are recalled w.p. ≈ 1). ``'auto'`` returns this when
+      the picked exact shape's sampled emission estimate exceeds
+      ``max_emission`` (see ``choose_word_jaccard_strategy``); pass
+      ``max_emission=None`` to pin the selector to exact shapes.
+
     ``freq_ordered`` (bool) is the legacy spelling and overrides
     ``strategy`` when given."""
     if freq_ordered is not None:
         strategy = "freq_ordered" if freq_ordered else "count_common"
     if strategy == "auto":
-        strategy = choose_word_jaccard_strategy(docs, text_col)
+        strategy = choose_word_jaccard_strategy(
+            docs, text_col, threshold=threshold, max_emission=max_emission
+        )
+    if strategy == "lsh_prefilter":
+        return minhash_lsh_pairs(
+            docs, threshold=threshold, text_col=text_col, shingle_n=1
+        )
     arrs = doc_shingle_arrays(docs, 1, text_col)
     if strategy == "freq_ordered":
         arrs = freq_ordered_arrays(arrs)
@@ -766,6 +878,7 @@ def minhash_lsh_pairs(
     min_sig_matches: int = NUM_MINHASHES // 2,
     narrow_verification: bool = False,
     max_band_size: int | None = None,
+    shingle_n: int = 3,
 ) -> DataFrame:
     """Near-dup pairs in three narrowing stages — the shape that survives
     100 TB:
@@ -789,8 +902,13 @@ def minhash_lsh_pairs(
     exchange). Clusters that big belong to the exact-dedup tier (the
     ladder in ``corpus.clean_corpus`` runs it first for precisely this
     reason); everything below the cap is untouched.
+
+    ``shingle_n`` sets the feature grain (default 3-gram shingles). The
+    LSH-prefilter route of the unigram Jaccard tier passes 1 so the exact
+    verification stage computes WORD-set Jaccard — same semantics as
+    ``word_jaccard_pairs``, candidate generation swapped for banding.
     """
-    arrs = doc_shingle_arrays(docs, text_col=text_col)
+    arrs = doc_shingle_arrays(docs, shingle_n, text_col)
     words = arrs.select("doc_id", F.explode("sh").alias("word"))
     sigs = minhash_signatures(words)
     n = len([c for c in sigs.columns if c.startswith("mh")])

@@ -810,6 +810,95 @@ def embedding_neardup_pairs(
     )
 
 
+# Documented routing threshold for the sign-blocked exact cosine tier:
+# candidate pairs the block self-join materializes (each one costs a dim-d
+# dot product, ~50× a bare row emission — hence a cap an order below the
+# word tier's). Every tested scale sits far under it (sf1: Σ size² ≈ 1e7);
+# a 100 TB corpus at the default 8 bits would sit many orders above, which
+# is exactly when the chooser buys more hyperplanes.
+NEAR_DUP_MAX_EMISSION = 1e9
+
+
+def choose_near_dup_bits(
+    embeddings: DataFrame,
+    n_bits: int = 8,
+    max_emission: float | None = NEAR_DUP_MAX_EMISSION,
+    sample_rows: int = 4096,
+    emb_col: str = "embedding",
+    max_bits: int | None = None,
+) -> int:
+    """Emission-aware block-width chooser for the sign-bucket near-dup
+    tier (the embedding mirror of ``dedup.choose_word_jaccard_strategy``'s
+    routing): estimate the block self-join's candidate emission Σ size²
+    from a bounded sample's bucket histogram, scaled by (N/n_sample)²
+    (frequency stationarity, same estimator as the word tier), and add
+    hyperplane bits until the estimate fits ``max_emission`` or the
+    embedding dimension runs out.
+
+    More bits = smaller blocks = less emission but lower recall (a pair
+    straddling any added hyperplane is lost) — the standard sign-LSH
+    trade, now taken deliberately from a measured estimate instead of
+    hardwired at 8. The escalated output is exactly
+    ``embedding_neardup_pairs(n_bits=chosen)``: semantics stay in-family
+    and DuckDB-twin-checkable at any chosen width.
+
+    Cost: ONE bounded job — the sample's buckets are computed once at
+    ``max_bits`` width and collected (≤ ``sample_rows`` ints, the same
+    bounded-pull class as the IVF/PQ codebook builds); bucket histograms
+    at narrower widths are low-bit masks of that, folded driver-side."""
+    if max_emission is None:
+        return n_bits
+    dim = embeddings.select(F.size(F.col(emb_col)).alias("d")).first()
+    if dim is None:
+        return n_bits
+    # bit weights are 2^i in an INT32 bucket — 30 bits is the safe ceiling
+    hi = min(max_bits if max_bits is not None else 24, int(dim["d"]), 30)
+    if hi <= n_bits:
+        return n_bits
+    n_full = embeddings.count()
+    sample = embeddings.limit(sample_rows).select(
+        sign_bucket(F.col(emb_col), hi).alias("s")
+    )
+    sigs = [r["s"] for r in sample.collect()]
+    n_s = len(sigs)
+    if not n_s:
+        return n_bits
+    scale = (max(n_full, n_s) / n_s) ** 2
+    from collections import Counter
+
+    bits = n_bits
+    while bits < hi:
+        counts = Counter(s & ((1 << bits) - 1) for s in sigs)
+        if sum(c * c for c in counts.values()) * scale <= max_emission:
+            break
+        bits += 1
+    return bits
+
+
+def embedding_neardup_pairs_routed(
+    embeddings: DataFrame,
+    threshold: float = 0.25,
+    n_bits: int = 8,
+    max_emission: float | None = NEAR_DUP_MAX_EMISSION,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_bits: int | None = None,
+) -> DataFrame:
+    """``embedding_neardup_pairs`` behind the emission-aware block-width
+    chooser: the sign-block tier with enough hyperplane bits that the
+    sampled candidate-emission estimate fits ``max_emission`` — the
+    steering that stops a 100 TB caller from launching the 8-bit
+    quadratic-block job the sf1 audit flagged (20.8 s at sf1 and growing
+    ~quadratically, vs sub-second for the escalated/ANN tiers)."""
+    bits = choose_near_dup_bits(
+        embeddings, n_bits, max_emission, emb_col=emb_col, max_bits=max_bits
+    )
+    return embedding_neardup_pairs(
+        embeddings, threshold=threshold, n_bits=bits,
+        id_col=id_col, emb_col=emb_col,
+    )
+
+
 def semantic_dedup_keep(
     embeddings: DataFrame,
     threshold: float = 0.25,

@@ -14,38 +14,35 @@ Window structure (since round 6, per the round-5 verdict's #1 ask): a
 the flagship — and 35 ROTATING slots scheduled strictly by
 "never-driver-certified first", then "oldest certification first".
 
-Round-8 rotation (this file's current window). After round 7 the union of
-driver-green rows covered every name registered before round 7; the three
-never-certified names go first, then the refresh runs strictly
-oldest-certification-first:
-  slots 1-3 (never certified): user_sessions_core, pii_redact (the two
-    round-7 additions), and winnow_containment_capped (new this round —
-    the round-7 verdict's #2 ask: the max_fp_df scale path of winnow
-    containment, now with its own DuckDB twin instead of bench-only
-    numbers).
-  slots 4-14 (last green in r1-r4, every such name still registered):
-    r1: events_typed, monthly_event_stats, multimodal_bytes,
-        seasonal_forecast, simhash_signatures
-    r3: dedup_ngram_jaccard, sliding_window_stats
-    r4: ann_lsh_topk, float_key_join, forecast_horizon, page_and_tail
-    (the other 12 r1-certified names were renamed/consolidated in r2 —
-    pagination->page_and_tail, in/contains/positive_filter->filter_suite,
-    text_stats->text_profile etc. — and their successors certified later.)
-  slots 15-35 (21 of the 35 r5-certified names, prioritizing files that
-    have since taken diffs — the whole dedup tier sits in dedup.py, which
-    changed in r7 — plus the cube_returnflag_priority watch item):
-    winnow_containment, dedup_word_jaccard, dedup_exact,
-    dedup_minhash_incremental, contamination_ngram, span_dedup,
-    simhash_pairs, embedding_near_dup, ivf_topk, kmv_distinct_parts,
-    theta_rollup_custkeys, variant_events_stats, cube_returnflag_priority,
-    rollup_revenue, asof_last_view, session_windows, tumbling_hour_stats,
-    range_join_nearby, json_props_stats, multimodal_frames,
-    corpus_prefilter
-  The 14 remaining r5-certified names (best_markets, country_month_avg,
-  dim_product, ffill_bfill_impute, filter_suite, mean_impute,
-  normalized_join, pivot_returnflag, price_summary_stats, quota_cap,
-  sales_agg_profile, stratified_sample, train_test_split, upsert_plan)
-  are the round-9 refresh front of the queue, followed by the r6 cohort.
+Round-9 rotation (this file's current window). As of round 8 every
+registered name has carried a green driver row (certification debt zero),
+so the window is pure freshness refresh plus this round's two new
+never-certified names:
+  slots 1-2 (never certified — the round-8 verdict's #2 ask, emission
+    routing for the exact pairwise tiers): dedup_word_jaccard_routed
+    (MinHash-LSH candidate generation + exact word-Jaccard verify, the
+    shape 'auto' returns above WORD_JACCARD_MAX_EMISSION) and
+    embedding_near_dup_routed (sign-block width chosen by sampled
+    Σ block-size² estimate).
+  slots 3-16 (the 14 remaining r5-certified names — the documented
+    round-9 refresh front): best_markets, country_month_avg, dim_product,
+    ffill_bfill_impute, filter_suite, mean_impute, normalized_join,
+    pivot_returnflag, price_summary_stats, quota_cap, sales_agg_profile,
+    stratified_sample, train_test_split, upsert_plan.
+  slots 17-35 (19 of the 31 r6-certified names, alphabetical — oldest
+    certification first, no intra-round priority signal):
+    bigram_logprob, bm25_topk, cdc_apply_orders, chunk_documents,
+    cohort_retention, dedup_cluster_sizes, dedup_clusters_minhash,
+    event_transitions, funnel_view_click_purchase, fuzzy_customer_names,
+    grouping_sets_sales, kfold_orders, kmv_overlap_parts,
+    leakage_safe_split, merge_aggregate_returnflag, mixture_sample,
+    pagerank_part_supplier, pii_scan, pmi_collocations.
+  The 12 remaining r6-certified names (repetition_stats, scd2_part_prices,
+  semantic_dedup_keep, sequence_packing, snapshot_diff_orders,
+  tfidf_doc_similarity, token_counts, top_tokens_per_lang,
+  top_values_orders, unigram_logprob, view_click_attribution,
+  winsorize_prices) are the round-10 refresh front, followed by the r7
+  cohort.
 
 Permanent core (always in-window; each anchors a §2 family):
   flagship_wide (J2 star join)      fact_transactions (J4/J11/W2)
@@ -88,48 +85,44 @@ _PRIORITY: list[str] = [
     "text_profile",
     "linear_forecast",
     # ---- rotating slots (35): never-driver-certified first -------------
-    # never certified (3): the two round-7 additions + this round's new
-    # scale-path certification
-    "user_sessions_core",
-    "pii_redact",
-    "winnow_containment_capped",
-    # oldest-certified refresh: last green in r1 (5)
-    "events_typed",
-    "monthly_event_stats",
-    "multimodal_bytes",
-    "seasonal_forecast",
-    "simhash_signatures",
-    # last green in r3 (2)
-    "dedup_ngram_jaccard",
-    "sliding_window_stats",
-    # last green in r4 (4)
-    "ann_lsh_topk",
-    "float_key_join",
-    "forecast_horizon",
-    "page_and_tail",
-    # last green in r5 (21 of 35; dedup.py took an r7 diff, so the whole
-    # dedup tier refreshes, plus the cube watch item)
-    "winnow_containment",
-    "dedup_word_jaccard",
-    "dedup_exact",
-    "dedup_minhash_incremental",
-    "contamination_ngram",
-    "span_dedup",
-    "simhash_pairs",
-    "embedding_near_dup",
-    "ivf_topk",
-    "kmv_distinct_parts",
-    "theta_rollup_custkeys",
-    "variant_events_stats",
-    "cube_returnflag_priority",
-    "rollup_revenue",
-    "asof_last_view",
-    "session_windows",
-    "tumbling_hour_stats",
-    "range_join_nearby",
-    "json_props_stats",
-    "multimodal_frames",
-    "corpus_prefilter",
+    # never certified (2): the round-9 emission-routing additions
+    "dedup_word_jaccard_routed",
+    "embedding_near_dup_routed",
+    # oldest-certified refresh: the 14 remaining r5 names
+    "best_markets",
+    "country_month_avg",
+    "dim_product",
+    "ffill_bfill_impute",
+    "filter_suite",
+    "mean_impute",
+    "normalized_join",
+    "pivot_returnflag",
+    "price_summary_stats",
+    "quota_cap",
+    "sales_agg_profile",
+    "stratified_sample",
+    "train_test_split",
+    "upsert_plan",
+    # last green in r6 (19 of 31, alphabetical)
+    "bigram_logprob",
+    "bm25_topk",
+    "cdc_apply_orders",
+    "chunk_documents",
+    "cohort_retention",
+    "dedup_cluster_sizes",
+    "dedup_clusters_minhash",
+    "event_transitions",
+    "funnel_view_click_purchase",
+    "fuzzy_customer_names",
+    "grouping_sets_sales",
+    "kfold_orders",
+    "kmv_overlap_parts",
+    "leakage_safe_split",
+    "merge_aggregate_returnflag",
+    "mixture_sample",
+    "pagerank_part_supplier",
+    "pii_scan",
+    "pmi_collocations",
 ]
 
 _WINDOW = 50

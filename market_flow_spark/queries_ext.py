@@ -283,11 +283,20 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(
+    words_sql: str | None = None, threshold: float = 0.8
+) -> str:
+    """DuckDB twin of ``dedup.minhash_lsh_pairs`` — parameterized by the
+    feature grain (3-gram shingles by default; ``WORDS_SQL`` reproduces the
+    ``shingle_n=1`` routed tier) and the exact-verify threshold. Every
+    stage is bit-reproducible: md5-derived uint32s, the same BIGINT
+    multiply-add minhash literals, band hashes, the ≥8/16 signature
+    screen, then exact Jaccard on candidates."""
     n, bands = dedup.NUM_MINHASHES, dedup.LSH_BANDS
     rows = n // bands
     min_matches = n // 2
     p = dedup.MINHASH_PRIME
+    words_sql = SHINGLES_SQL if words_sql is None else words_sql
     mh_cols = ",\n    ".join(
         f"min((h32 * {a} + {b}) % {p}) AS mh{i}"
         for i, (a, b) in enumerate(dedup.MINHASH_PARAMS[:n])
@@ -305,7 +314,7 @@ def _minhash_oracle() -> str:
         f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(n)
     )
     return f"""
-WITH words AS ({SHINGLES_SQL}),
+WITH words AS ({words_sql}),
 hashed AS (
   SELECT doc_id,
          CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS h32
@@ -331,7 +340,7 @@ pairs AS (
   WHERE {sig_matches} >= {min_matches}
 ),
 {_JACCARD_TAIL_SQL}
-SELECT doc1, doc2, jaccard FROM j WHERE jaccard >= 0.8
+SELECT doc1, doc2, jaccard FROM j WHERE jaccard >= {threshold}
 """
 
 
@@ -339,6 +348,25 @@ SELECT doc1, doc2, jaccard FROM j WHERE jaccard >= 0.8
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
         load_tables(spark, sf_dir)["documents"], threshold=0.8
+    )
+
+
+@register(
+    "dedup_word_jaccard_routed", _minhash_oracle(WORDS_SQL, threshold=0.7)
+)
+def q_dedup_word_jaccard_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The emission-routed shape of the unigram Jaccard tier (round-8
+    verdict ask #2): MinHash-LSH candidate generation over word sets +
+    exact word-Jaccard ≥ 0.7 verification of candidates only — what
+    ``strategy='auto'`` returns when the sampled Σdf² emission estimate of
+    the best exact shape exceeds ``WORD_JACCARD_MAX_EMISSION``. The oracle
+    is a TRUE twin (DuckDB replays the md5 minhash, banding, and ≥8/16
+    screen bit-for-bit), so the driver row certifies the routed physical
+    shape itself, not a corpus-dependent recall claim."""
+    return dedup.word_jaccard_pairs(
+        load_tables(spark, sf_dir)["documents"],
+        threshold=0.7,
+        strategy="lsh_prefilter",
     )
 
 
@@ -1308,6 +1336,21 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's value-hash comparison at every SF."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     return similarity.embedding_neardup_pairs(emb, threshold=0.25, n_bits=8)
+
+
+@register("embedding_near_dup_routed", _near_dup_oracle())
+def q_embedding_near_dup_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The emission-routed shape of the embedding near-dup tier (round-8
+    verdict ask #2, embedding mirror): the sign-block width is chosen by
+    ``choose_near_dup_bits`` from a sampled Σ block-size² candidate
+    estimate instead of hardwired. At every registered SF the estimate
+    sits far under ``NEAR_DUP_MAX_EMISSION`` so the chooser provably
+    returns the base 8 bits (pinned by tests/test_steering.py, which also
+    certifies an ESCALATED width against a DuckDB twin on a skewed
+    synthetic corpus) — the driver row certifies the routed plumbing on
+    real data; the escalation behavior is certified locally."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return similarity.embedding_neardup_pairs_routed(emb, threshold=0.25)
 
 
 @register(

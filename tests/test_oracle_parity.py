@@ -65,3 +65,65 @@ def test_relation_cache_memoizes_per_session(spark, sf_dir):
     c = tables.load_table(spark, sf_dir, "lineitem")
     assert c is not a
     assert c.count() == a.count()
+
+
+def test_winnow_capped_parity_at_crossover_scale(spark, sf_dir):
+    """Round-8 verdict ask #6: the capped winnow variant's VALUE is the
+    inflated-corpus regime (boilerplate fp dfs grow with corpus size, so
+    the cap prunes more and diverges further from exact) — parity-check
+    that regime itself, not just the base size. The corpus is the
+    documents table unioned 3x with id offsets that preserve the %10
+    probe/train split; at this size the max training-side fp df is ~900
+    (vs the 50 cap), so the capped output provably diverges from exact,
+    and the Spark result must still match the DuckDB twin row-for-row."""
+    import duckdb
+
+    from market_flow_spark.extensions import dedup
+    from market_flow_spark.queries_ext import _winnow_oracle
+    from market_flow_spark.tables import load_tables
+    from pyspark.sql import functions as F
+    from tests.oracle_utils import assert_matches_oracle
+
+    base = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    offset = 1000  # multiple of 10: copies keep their probe/train class
+    inflated = base
+    for i in (1, 2):
+        inflated = inflated.union(
+            base.select(
+                (F.col("doc_id") + offset * i).alias("doc_id"), "text"
+            )
+        )
+    capped = dedup.winnow_containment(
+        inflated.filter(F.col("doc_id") % 10 != 0),
+        inflated.filter(F.col("doc_id") % 10 == 0),
+        threshold=0.5,
+        max_fp_df=50,
+    )
+    exact = dedup.winnow_containment(
+        inflated.filter(F.col("doc_id") % 10 != 0),
+        inflated.filter(F.col("doc_id") % 10 == 0),
+        threshold=0.5,
+    )
+    # the cap must be ACTIVE at this scale: capped and exact disagree
+    capped_rows = {
+        (r["test_doc_id"], r["train_doc_id"], r["n_shared"], r["containment"])
+        for r in capped.collect()
+    }
+    exact_rows = {
+        (r["test_doc_id"], r["train_doc_id"], r["n_shared"], r["containment"])
+        for r in exact.collect()
+    }
+    assert capped_rows != exact_rows
+    con = duckdb.connect()
+    try:
+        src = f"{sf_dir}/documents.parquet"
+        union = " UNION ALL ".join(
+            f"SELECT doc_id + {offset * i} AS doc_id, text FROM '{src}'"
+            for i in range(3)
+        )
+        con.execute(f"CREATE VIEW documents AS {union}")
+        assert_matches_oracle(
+            capped, con, _winnow_oracle(threshold=0.5, max_fp_df=50)
+        )
+    finally:
+        con.close()

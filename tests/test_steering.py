@@ -1,0 +1,260 @@
+"""Emission-aware steering of the exact pairwise tiers (round-8 verdict
+ask #2): the word-Jaccard strategy selector and the embedding near-dup
+block-width chooser must route off the exact/8-bit shapes when a sampled
+candidate-emission estimate exceeds the documented cap, and the routed
+outputs must stay oracle-checkable.
+
+The sf1 audit showed these two tiers are the registry's only ×50-plus
+slopes — optimal plans, unbounded emission. Steering is the missing guard
+rail: nothing else stops a 100 TB caller from launching the quadratic
+path.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from market_flow_spark.extensions import dedup, similarity
+from market_flow_spark.queries_ext import _minhash_oracle, _near_dup_oracle, WORDS_SQL
+from tests.oracle_utils import assert_matches_oracle
+
+
+# ---------------------------------------------------------------------------
+# corpora
+# ---------------------------------------------------------------------------
+
+
+def _dense_shared_vocab(spark):
+    """200 docs × 60 words over a 100-word vocabulary: not saturated
+    (vocab ≥ 0.5·N), no stop-word skew (top share ≈ 0.8%), so the exact
+    pick is count_common — whose Σdf² ≈ 100·120² ≈ 1.4e6 candidate rows."""
+    vocab = [f"w{i:03d}" for i in range(100)]
+    rows = [
+        (i, " ".join(vocab[(i * 7 + j * 13) % 100] for j in range(60)))
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _stopword_corpus(spark):
+    """600 docs, each 15 doc-unique rare words + the same 10 stop words:
+    top share 600/15000 = 4% → the exact pick is freq_ordered, whose
+    PREFIX emission is tiny (the ⌊0.3·25⌋+1 = 8 rarest words per doc are
+    the unique ones, df ≤ 1) even though naive Σdf² ≈ 10·600² = 3.6e6."""
+    stops = " ".join(f"the{k}" for k in range(10))
+    rows = [
+        (i, stops + " " + " ".join(f"u{i}x{j}" for j in range(15)))
+        for i in range(600)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _clone_corpus(spark):
+    """40 clone pairs with doc-pair-unique vocabularies: doc 2i and 2i+1
+    share 9 of their 10 words (Jaccard 9/11 ≈ 0.818 ≥ 0.7), and no words
+    cross pairs — the exact qualifying-pair set is exactly the 40 clones."""
+    rows = []
+    for p in range(40):
+        words = [f"p{p}w{j}" for j in range(10)]
+        rows.append((2 * p, " ".join(words)))
+        rows.append((2 * p + 1, " ".join(words[:9] + [f"p{p}alt"])))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# word-Jaccard selector routing
+# ---------------------------------------------------------------------------
+
+
+def test_selector_routes_dense_corpus_above_cap(spark):
+    docs = _dense_shared_vocab(spark)
+    # default cap (1e10): the 1.4e6-row job is fine for the exact tier
+    assert dedup.choose_word_jaccard_strategy(docs) == "count_common"
+    # tightened cap: the same corpus routes to the LSH-prefilter shape
+    assert (
+        dedup.choose_word_jaccard_strategy(docs, max_emission=1e5)
+        == "lsh_prefilter"
+    )
+
+
+def test_selector_estimates_prefix_grain_for_freq_ordered(spark):
+    """The freq_ordered shape must be costed at PREFIX grain: a stop-word
+    corpus whose naive Σdf² (3.6e6) busts the cap stays on the exact tier
+    because the prefix filter is precisely what bounds it — and only an
+    absurdly tight cap (below even the prefix emission) routes it."""
+    docs = _stopword_corpus(spark)
+    assert (
+        dedup.choose_word_jaccard_strategy(docs, max_emission=1e5)
+        == "freq_ordered"
+    )
+    assert (
+        dedup.choose_word_jaccard_strategy(docs, max_emission=10)
+        == "lsh_prefilter"
+    )
+
+
+def test_selector_none_cap_disables_routing(spark):
+    docs = _dense_shared_vocab(spark)
+    assert (
+        dedup.choose_word_jaccard_strategy(docs, max_emission=None)
+        == "count_common"
+    )
+
+
+def test_registered_corpora_stay_exact_at_test_scale(tables):
+    """Pins the registered dedup_word_jaccard staying on an exact shape at
+    driver SFs under the default cap (its oracle is the exhaustive pair
+    set, so a silent route would be a driver red)."""
+    pick = dedup.choose_word_jaccard_strategy(tables["documents"])
+    assert pick != "lsh_prefilter"
+
+
+def test_lsh_prefilter_recall_tracks_band_s_curve(spark):
+    """Recall on the J≈0.82 clone corpus: the 4×4 band S-curve predicts
+    1-(1-0.818⁴)⁴ ≈ 0.91 per pair — measured 36/40 on this deterministic
+    corpus. The routed tier must never INVENT a pair, and every recalled
+    pair must carry the same exact Jaccard."""
+    docs = _clone_corpus(spark)
+    exact = {
+        (r["doc1"], r["doc2"], r["jaccard"])
+        for r in dedup.word_jaccard_pairs(
+            docs, 0.7, strategy="count_common"
+        ).collect()
+    }
+    routed = {
+        (r["doc1"], r["doc2"], r["jaccard"])
+        for r in dedup.word_jaccard_pairs(
+            docs, 0.7, strategy="lsh_prefilter"
+        ).collect()
+    }
+    assert len(exact) == 40
+    assert routed <= exact
+    assert len(routed) >= 34  # measured 36; slack for tokenizer tweaks
+
+
+def test_lsh_prefilter_full_recall_on_near_clones(spark):
+    """At true near-dup similarity (J = 39/41 ≈ 0.95, the regime the
+    routed tier exists for) the S-curve miss probability is ~1e-3/pair —
+    measured 40/40 on this deterministic corpus."""
+    rows = []
+    for p in range(40):
+        words = [f"q{p}w{j}" for j in range(40)]
+        rows.append((2 * p, " ".join(words)))
+        rows.append((2 * p + 1, " ".join(words[:39] + [f"q{p}alt"])))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["doc1"], r["doc2"], r["jaccard"])
+        for r in dedup.word_jaccard_pairs(
+            docs, 0.7, strategy="count_common"
+        ).collect()
+    }
+    routed = {
+        (r["doc1"], r["doc2"], r["jaccard"])
+        for r in dedup.word_jaccard_pairs(
+            docs, 0.7, strategy="lsh_prefilter"
+        ).collect()
+    }
+    assert len(exact) == 40
+    assert routed == exact
+
+
+def test_routed_word_jaccard_is_subset_of_exact_on_testdata(tables):
+    """On the real documents table the routed tier may drop
+    threshold-boundary pairs (band S-curve) but must never invent one, and
+    every surviving pair carries the same exact Jaccard value."""
+    exact = {
+        (r["doc1"], r["doc2"]): r["jaccard"]
+        for r in dedup.word_jaccard_pairs(
+            tables["documents"], 0.7, strategy="count_common"
+        ).collect()
+    }
+    routed = {
+        (r["doc1"], r["doc2"]): r["jaccard"]
+        for r in dedup.word_jaccard_pairs(
+            tables["documents"], 0.7, strategy="lsh_prefilter"
+        ).collect()
+    }
+    assert set(routed) <= set(exact)
+    for pair, j in routed.items():
+        assert j == exact[pair]
+
+
+def test_unknown_strategy_still_raises(spark):
+    with pytest.raises(ValueError, match="unknown word-jaccard strategy"):
+        dedup.word_jaccard_pairs(
+            _clone_corpus(spark), 0.7, strategy="nonsense"
+        )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup block-width chooser
+# ---------------------------------------------------------------------------
+
+
+def _skewed_embeddings(spark):
+    """400 vectors, dim 16, ALL sharing the 8-bit sign bucket (first 8
+    dims positive) — the degenerate case for the hardwired width: Σ size²
+    = 400² = 1.6e5 candidates from one block. Dims 8-15 carry varied
+    signs, so added hyperplanes genuinely split the block."""
+    rows = []
+    for i in range(400):
+        head = [0.1 + 0.001 * ((i + d) % 7) for d in range(8)]
+        tail = [
+            (0.2 if (i >> (d - 8)) & 1 else -0.2) + 0.001 * ((i * d) % 5)
+            for d in range(8, 16)
+        ]
+        rows.append((i, head + tail))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_choose_bits_escalates_on_skewed_block(spark):
+    emb = _skewed_embeddings(spark)
+    bits = similarity.choose_near_dup_bits(emb, max_emission=2e4)
+    assert 8 < bits <= 16
+    # and the default cap leaves the base width alone (1.6e5 << 1e9)
+    assert similarity.choose_near_dup_bits(emb) == 8
+
+
+def test_choose_bits_default_stays_8_on_testdata(tables):
+    """Pins the registered embedding_near_dup_routed oracle's n_bits=8
+    assumption at driver SFs."""
+    assert similarity.choose_near_dup_bits(tables["embeddings"]) == 8
+
+
+def test_escalated_width_matches_duckdb_twin(spark):
+    """The escalated output is still a bit-reproducible contract: run the
+    routed tier on the skewed corpus and check it against the DuckDB twin
+    generated at the CHOSEN width — certifying the escalation path with
+    the same evidence class as the driver's sf0.01 row."""
+    emb = _skewed_embeddings(spark)
+    bits = similarity.choose_near_dup_bits(emb, max_emission=2e4)
+    routed = similarity.embedding_neardup_pairs_routed(
+        emb, threshold=0.25, max_emission=2e4
+    )
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [r["vec_id"] for r in emb.collect()],
+            "embedding": [list(r["embedding"]) for r in emb.collect()],
+        }
+    )
+    con = duckdb.connect()
+    try:
+        con.register("embeddings", pdf)
+        assert_matches_oracle(
+            routed, con, _near_dup_oracle(n_bits=bits, threshold=0.25)
+        )
+    finally:
+        con.close()
+
+
+def test_routed_word_jaccard_twin_is_parameterized_correctly():
+    """The routed oracle must be the UNIGRAM twin at 0.7 — guard the
+    parameterization (a silent SHINGLES/0.8 fallback would certify the
+    wrong tier)."""
+    sql = _minhash_oracle(WORDS_SQL, threshold=0.7)
+    assert ">= 0.7" in sql and "0.8" not in sql
+    assert WORDS_SQL.splitlines()[0] in sql
