@@ -447,6 +447,17 @@ def estimate_index_emission(
 # measured-fast at every tested scale (sf0.1: 4.5e8 → 1.8 s).
 WORD_JACCARD_MAX_EMISSION = 1e10
 
+# The routed (LSH-prefilter) shape always runs with the degenerate-bucket
+# guard ON: a band bucket holding k near-identical documents emits k²
+# candidate rows before any screen can help, and the corpora that get
+# ROUTED here are precisely those with heavy sharing (measured: the
+# uncapped unigram tier spent 28 s at sf0.1 on band buckets thousands
+# deep — 17× the exact tier it was meant to relieve; capped it runs the
+# same job in ~1.5 s). 64 bounds per-bucket emission at 64² = 4 096 rows;
+# mutual near-dup clusters bigger than that belong to the exact-dedup
+# (fingerprint) tier upstream, per the minhash_lsh_pairs contract.
+WORD_JACCARD_LSH_BAND_CAP = 64
+
 
 def choose_word_jaccard_strategy(
     docs: DataFrame,
@@ -625,10 +636,14 @@ def word_jaccard_pairs(
 
     - ``'lsh_prefilter'``: the ROUTED scale path — MinHash-LSH candidate
       generation over unigram word sets (band equi-join, emission
-      near-linear in the corpus) + exact word-Jaccard verification of
-      candidates only. Same output schema; recall is the LSH band
-      guarantee instead of exhaustive (pairs far above threshold — the
-      near-dup case — are recalled w.p. ≈ 1). ``'auto'`` returns this when
+      near-linear in the corpus; degenerate band buckets dropped at
+      ``WORD_JACCARD_LSH_BAND_CAP`` so no bucket ever emits more than
+      64² candidate rows) + exact word-Jaccard verification of candidates
+      only. Same output schema; recall is the LSH band guarantee instead
+      of exhaustive (pairs far above threshold — the near-dup case — are
+      recalled w.p. ≈ 1), minus pairs confined to over-cap buckets
+      (mutual near-dup clusters > 64 docs — the exact-dedup tier's job).
+      ``'auto'`` returns this when
       the picked exact shape's sampled emission estimate exceeds
       ``max_emission`` (see ``choose_word_jaccard_strategy``); pass
       ``max_emission=None`` to pin the selector to exact shapes.
@@ -643,7 +658,11 @@ def word_jaccard_pairs(
         )
     if strategy == "lsh_prefilter":
         return minhash_lsh_pairs(
-            docs, threshold=threshold, text_col=text_col, shingle_n=1
+            docs,
+            threshold=threshold,
+            text_col=text_col,
+            shingle_n=1,
+            max_band_size=WORD_JACCARD_LSH_BAND_CAP,
         )
     arrs = doc_shingle_arrays(docs, 1, text_col)
     if strategy == "freq_ordered":

@@ -284,11 +284,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle(
-    words_sql: str | None = None, threshold: float = 0.8
+    words_sql: str | None = None,
+    threshold: float = 0.8,
+    band_cap: int | None = None,
 ) -> str:
     """DuckDB twin of ``dedup.minhash_lsh_pairs`` — parameterized by the
     feature grain (3-gram shingles by default; ``WORDS_SQL`` reproduces the
-    ``shingle_n=1`` routed tier) and the exact-verify threshold. Every
+    ``shingle_n=1`` routed tier), the exact-verify threshold, and the
+    degenerate-bucket guard (``band_cap`` twins ``max_band_size``: band
+    buckets holding more docs are dropped before the candidate join). Every
     stage is bit-reproducible: md5-derived uint32s, the same BIGINT
     multiply-add minhash literals, band hashes, the ≥8/16 signature
     screen, then exact Jaccard on candidates."""
@@ -297,6 +301,18 @@ def _minhash_oracle(
     min_matches = n // 2
     p = dedup.MINHASH_PRIME
     words_sql = SHINGLES_SQL if words_sql is None else words_sql
+    if band_cap is None:
+        cand_src = "bands"
+        cap_cte = ""
+    else:
+        cap_cte = f"""
+bands_kept AS (
+  SELECT b.* FROM bands b
+  JOIN (SELECT band_idx, band_hash FROM bands
+        GROUP BY 1, 2 HAVING COUNT(*) <= {band_cap}) ok
+  USING (band_idx, band_hash)
+),"""
+        cand_src = "bands_kept"
     mh_cols = ",\n    ".join(
         f"min((h32 * {a} + {b}) % {p}) AS mh{i}"
         for i, (a, b) in enumerate(dedup.MINHASH_PARAMS[:n])
@@ -325,11 +341,11 @@ mh AS (
     {mh_cols}
   FROM hashed GROUP BY doc_id
 ),
-bands AS ({band_selects}),
+bands AS ({band_selects}),{cap_cte}
 cand AS (
   SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-  FROM bands a
-  JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  FROM {cand_src} a
+  JOIN {cand_src} b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
              AND a.doc_id < b.doc_id
 ),
 pairs AS (
@@ -352,15 +368,21 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_word_jaccard_routed", _minhash_oracle(WORDS_SQL, threshold=0.7)
+    "dedup_word_jaccard_routed",
+    _minhash_oracle(
+        WORDS_SQL, threshold=0.7, band_cap=dedup.WORD_JACCARD_LSH_BAND_CAP
+    ),
 )
 def q_dedup_word_jaccard_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The emission-routed shape of the unigram Jaccard tier (round-8
     verdict ask #2): MinHash-LSH candidate generation over word sets +
     exact word-Jaccard ≥ 0.7 verification of candidates only — what
     ``strategy='auto'`` returns when the sampled Σdf² emission estimate of
-    the best exact shape exceeds ``WORD_JACCARD_MAX_EMISSION``. The oracle
-    is a TRUE twin (DuckDB replays the md5 minhash, banding, and ≥8/16
+    the best exact shape exceeds ``WORD_JACCARD_MAX_EMISSION``. Runs with
+    the degenerate-bucket guard ON (band buckets > 64 docs dropped —
+    measured 28 s → ~1.5 s at sf0.1 on this heavy-sharing corpus; clusters
+    that big are the exact-dedup tier's job). The oracle is a TRUE twin
+    (DuckDB replays the md5 minhash, banding, bucket cap, and ≥8/16
     screen bit-for-bit), so the driver row certifies the routed physical
     shape itself, not a corpus-dependent recall claim."""
     return dedup.word_jaccard_pairs(
