@@ -811,12 +811,17 @@ def embedding_neardup_pairs(
 
 
 # Documented routing threshold for the sign-blocked exact cosine tier:
-# candidate pairs the block self-join materializes (each one costs a dim-d
-# dot product, ~50× a bare row emission — hence a cap an order below the
-# word tier's). Every tested scale sits far under it (sf1: Σ size² ≈ 1e7);
-# a 100 TB corpus at the default 8 bits would sit many orders above, which
-# is exactly when the chooser buys more hyperplanes.
-NEAR_DUP_MAX_EMISSION = 1e9
+# candidate pairs the block self-join materializes. Each candidate row
+# carries BOTH dim-64 arrays through the join and pays an exact cosine —
+# measured ~1.3e5 pairs/s/box at sf1 (Σ size² = 1.58e6 → 12 s at 8 bits;
+# 4.1e5 → 3.3 s at 10; 1.2e5 → 1.1 s at 12), ~250× costlier per row than
+# the word tier's bare index emission, hence a cap four orders below its
+# 1e10. 2e6 ≈ 15 s of verify: sf1 sits just under it (the registered
+# record's 8-bit shape stays the chooser's pick at every benched scale),
+# and emission grows ~N²/2^bits, so the first corpus past sf1 starts
+# buying hyperplanes and per-job verify cost stays roughly constant
+# thereafter — the recall trade is the documented sign-LSH contract.
+NEAR_DUP_MAX_EMISSION = 2e6
 
 
 def choose_near_dup_bits(
