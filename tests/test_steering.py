@@ -258,3 +258,23 @@ def test_routed_word_jaccard_twin_is_parameterized_correctly():
     sql = _minhash_oracle(WORDS_SQL, threshold=0.7)
     assert ">= 0.7" in sql and "0.8" not in sql
     assert WORDS_SQL.splitlines()[0] in sql
+
+
+def test_emission_estimate_exact_when_sample_covers_corpus(spark):
+    """With the sample covering the whole corpus the (N/n)² scale factor is
+    1 and estimate_index_emission must equal the true Σ df² — the estimator
+    is exact arithmetic plus frequency-stationarity scaling, nothing else."""
+    docs = _dense_shared_vocab(spark)
+    arrs = dedup.doc_shingle_arrays(docs, 1, "text")
+    words = [
+        (r["doc_id"], w)
+        for r in arrs.collect()
+        for w in r["sh"]
+    ]
+    from collections import Counter
+
+    df = Counter(w for _, w in words)
+    true_sum = sum(c * c for c in df.values())
+    n_docs = len({d for d, _ in words})
+    est = dedup.estimate_index_emission(arrs, n_docs, n_docs)
+    assert est == true_sum
