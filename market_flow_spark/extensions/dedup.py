@@ -1300,6 +1300,78 @@ def winnow_fingerprints(
     return hashed.select("doc_id", F.explode(fps.alias("fps")).alias("fp"))
 
 
+def exact_substring_spans(
+    docs: DataFrame, min_len: int = 30, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, span_start, span_end, n_windows): maximal character ranges
+    of the NORMALIZED text covered by ``min_len``-char windows whose
+    content occurs more than once in the corpus — in another document or
+    at another position of the same one. This is the exact-substring
+    duplication criterion of Lee et al. 2022 (arXiv:2107.06499,
+    "Deduplicating Training Data Makes Language Models Better") at fixed
+    window grain: any duplicated substring of length ≥ min_len yields at
+    least one duplicated window, and the emitted span is the union of all
+    overlapping duplicated windows — the byte range a dedup pass would
+    cut. Their suffix-array tool finds variable-length maximal matches;
+    the fixed grain trades match-length precision for a fully distributed
+    plan (a suffix array is a global sort over corpus bytes; this is a
+    hash aggregate).
+
+    Complements the tiers around it: exact_dedup removes whole-doc
+    clones, span_dedup removes repeated LINES (C4), winnowing SAMPLES
+    k-gram hashes for containment scoring — this one reports EVERY
+    duplicated char range exactly (no sampling), at window resolution.
+
+    Plan (100 TB shape): one map-only pass hashes every window start
+    (winnow-style md5-prefix uint32s, bit-reproducible in DuckDB — the
+    corpus-bytes-sized explode is the price of the exact criterion and is
+    scan-local); one hash aggregate finds hashes occurring ≥ 2 times; a
+    semi-join back on the SAME hash key reuses that partitioning; then
+    one per-doc window pass merges overlapping windows into maximal
+    spans (gaps-and-islands over a running max of pos + min_len)."""
+    from pyspark.sql import Window
+
+    n, h = "__es_norm", "__es_h"
+    base = _spread(docs).select("doc_id", _norm_text(text_col).alias(n))
+    gram_hashes = F.expr(
+        f"CASE WHEN length({n}) >= {min_len} THEN "
+        f"transform(sequence(0, length({n}) - {min_len}), "
+        f"i -> CAST(conv(substr(md5(substr({n}, i + 1, {min_len})), 1, 8), 16, 10)"
+        f" AS BIGINT)) "
+        f"ELSE CAST(array() AS array<bigint>) END"
+    )
+    wins = (
+        base.select("doc_id", F.posexplode(gram_hashes).alias("pos", h))
+    )
+    dup = (
+        wins.groupBy(h)
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select(h)
+    )
+    dup_wins = wins.join(dup, h, "left_semi")
+    byp = Window.partitionBy("doc_id").orderBy("pos")
+    reach = F.max(F.col("pos") + min_len).over(
+        byp.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        reach.isNull() | (F.col("pos") > reach), F.lit(1)
+    ).otherwise(F.lit(0))
+    island = F.sum(new_island).over(
+        byp.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        dup_wins.withColumn("__island", island)
+        .groupBy("doc_id", "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(min_len)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )
+
+
 def winnow_containment(
     corpus: DataFrame,
     probe: DataFrame,

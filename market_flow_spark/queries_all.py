@@ -18,31 +18,33 @@ Round-9 rotation (this file's current window). As of round 8 every
 registered name has carried a green driver row (certification debt zero),
 so the window is pure freshness refresh plus this round's two new
 never-certified names:
-  slots 1-2 (never certified — the round-8 verdict's #2 ask, emission
-    routing for the exact pairwise tiers): dedup_word_jaccard_routed
-    (MinHash-LSH candidate generation + exact word-Jaccard verify, the
-    shape 'auto' returns above WORD_JACCARD_MAX_EMISSION) and
+  slots 1-3 (never certified): dedup_word_jaccard_routed (the round-8
+    verdict's #2 ask — MinHash-LSH candidate generation + exact
+    word-Jaccard verify, the shape 'auto' returns above
+    WORD_JACCARD_MAX_EMISSION, degenerate band buckets capped at 64),
     embedding_near_dup_routed (sign-block width chosen by sampled
-    Σ block-size² estimate).
-  slots 3-16 (the 14 remaining r5-certified names — the documented
+    Σ block-size² estimate), and exact_substring_spans (Lee et al. 2022
+    exact-substring duplicate ranges at 30-char window grain — new
+    operator this round).
+  slots 4-17 (the 14 remaining r5-certified names — the documented
     round-9 refresh front): best_markets, country_month_avg, dim_product,
     ffill_bfill_impute, filter_suite, mean_impute, normalized_join,
     pivot_returnflag, price_summary_stats, quota_cap, sales_agg_profile,
     stratified_sample, train_test_split, upsert_plan.
-  slots 17-35 (19 of the 31 r6-certified names, alphabetical — oldest
+  slots 18-35 (18 of the 31 r6-certified names, alphabetical — oldest
     certification first, no intra-round priority signal):
     bigram_logprob, bm25_topk, cdc_apply_orders, chunk_documents,
     cohort_retention, dedup_cluster_sizes, dedup_clusters_minhash,
     event_transitions, funnel_view_click_purchase, fuzzy_customer_names,
     grouping_sets_sales, kfold_orders, kmv_overlap_parts,
     leakage_safe_split, merge_aggregate_returnflag, mixture_sample,
-    pagerank_part_supplier, pii_scan, pmi_collocations.
-  The 12 remaining r6-certified names (repetition_stats, scd2_part_prices,
-  semantic_dedup_keep, sequence_packing, snapshot_diff_orders,
-  tfidf_doc_similarity, token_counts, top_tokens_per_lang,
-  top_values_orders, unigram_logprob, view_click_attribution,
-  winsorize_prices) are the round-10 refresh front, followed by the r7
-  cohort.
+    pagerank_part_supplier, pii_scan.
+  The 13 remaining r6-certified names (pmi_collocations,
+  repetition_stats, scd2_part_prices, semantic_dedup_keep,
+  sequence_packing, snapshot_diff_orders, tfidf_doc_similarity,
+  token_counts, top_tokens_per_lang, top_values_orders, unigram_logprob,
+  view_click_attribution, winsorize_prices) are the round-10 refresh
+  front, followed by the r7 cohort.
 
 Permanent core (always in-window; each anchors a §2 family):
   flagship_wide (J2 star join)      fact_transactions (J4/J11/W2)
@@ -85,9 +87,11 @@ _PRIORITY: list[str] = [
     "text_profile",
     "linear_forecast",
     # ---- rotating slots (35): never-driver-certified first -------------
-    # never certified (2): the round-9 emission-routing additions
+    # never certified (3): the round-9 emission-routing additions + the
+    # new exact-substring span operator
     "dedup_word_jaccard_routed",
     "embedding_near_dup_routed",
+    "exact_substring_spans",
     # oldest-certified refresh: the 14 remaining r5 names
     "best_markets",
     "country_month_avg",
@@ -122,7 +126,6 @@ _PRIORITY: list[str] = [
     "mixture_sample",
     "pagerank_part_supplier",
     "pii_scan",
-    "pmi_collocations",
 ]
 
 _WINDOW = 50

@@ -1868,6 +1868,64 @@ WHERE floor(s.n_shared / z.n_test_fps * 1e6 + 0.5) / 1e6 >= {threshold}
 """
 
 
+def _exact_substring_oracle(min_len: int = 30) -> str:
+    """DuckDB twin of dedup.exact_substring_spans: same normalization, the
+    same md5-prefix uint32 per window start, total-occurrence ≥ 2 filter,
+    then the identical gaps-and-islands merge (running max of pos+L over
+    preceding rows)."""
+    L = min_len
+    return f"""
+WITH normed AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
+  FROM documents
+),
+win AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(n) >= {L} THEN range(0, len(n) - {L} + 1)
+           ELSE [] END) AS pos,
+    unnest(CASE WHEN len(n) >= {L} THEN
+      list_transform(range(0, len(n) - {L} + 1),
+        i -> CAST(('0x' || substr(md5(substr(n, i + 1, {L})), 1, 8)) AS BIGINT))
+      ELSE [] END) AS h
+  FROM normed
+),
+heavy AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) >= 2),
+dup AS (SELECT w.doc_id, w.pos FROM win w SEMI JOIN heavy USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN max(pos + {L}) OVER w IS NULL OR pos > max(pos + {L}) OVER w
+         THEN 1 ELSE 0 END AS ni
+  FROM dup
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl2 AS (
+  SELECT doc_id, pos,
+    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {L} AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM isl2 GROUP BY doc_id, island
+"""
+
+
+@register("exact_substring_spans", _exact_substring_oracle())
+def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2022, arXiv:2107.06499)
+    at 30-char window grain: every maximal normalized-char range covered
+    by windows whose content occurs ≥ 2 times anywhere in the corpus —
+    the byte ranges an exact-substring dedup pass would cut. At sf0.01:
+    ~12k duplicated windows of ~135k merge into per-doc spans. Suffix-
+    array-free distributed shape: corpus-bytes explode (scan-local) + one
+    hash aggregate + a semi-join reusing its partitioning + one per-doc
+    window pass."""
+    return dedup.exact_substring_spans(
+        load_tables(spark, sf_dir)["documents"], min_len=30
+    )
+
+
 @register("winnow_containment", _winnow_oracle(threshold=0.5))
 def q_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (winnowing) containment contamination: test docs
