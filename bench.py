@@ -656,32 +656,43 @@ def main() -> None:
     try:
         _ref_path = f"{_sdir}/ref"
         _landing = f"{_sdir}/landing"
-        _log_path = f"{_sdir}/log"
-        _ck = f"{_sdir}/ck"
         _drift.write_reference_distribution(
             docs.filter(F.col("doc_id") % 2 == 0), _ref_path
         )
         _odd = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
         _odd.repartition(4).write.parquet(_landing)
-        t0 = time.perf_counter()
-        _stream = (
-            spark.readStream.schema("doc_id long, text string")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(_landing)
-        )
-        _q = (
-            _drift.start_drift_monitor(_stream, _ref_path, _log_path, _ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        # awaitTermination(timeout) returns False on timeout WITHOUT
-        # raising — an expired run would otherwise record a partial wall
-        # and an undercounted epoch log as if it had completed
-        assert _q.awaitTermination(600), "drift availableNow run timed out"
-        _wall = round(time.perf_counter() - t0, 3)
+        # min-of-2 with recorded spread (the repo's evidence standard for
+        # every headline row — this was the last single-pass row). The
+        # reference distribution and landing files are written once; each
+        # pass gets a fresh checkpoint + epoch log so availableNow
+        # replays the full 4-file stream.
+        _dwalls, _depochs = [], []
+        for _pass in range(2):
+            _log_path = f"{_sdir}/log{_pass}"
+            _ck = f"{_sdir}/ck{_pass}"
+            t0 = time.perf_counter()
+            _stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(_landing)
+            )
+            _q = (
+                _drift.start_drift_monitor(_stream, _ref_path, _log_path, _ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            # awaitTermination(timeout) returns False on timeout WITHOUT
+            # raising — an expired run would otherwise record a partial
+            # wall and an undercounted epoch log as if it had completed
+            assert _q.awaitTermination(600), "drift availableNow run timed out"
+            _dwalls.append(round(time.perf_counter() - t0, 3))
+            _depochs.append(int(spark.read.parquet(_log_path).count()))
+        assert _depochs[0] == _depochs[1], _depochs
         streaming_drift = {
-            "wall_sec": _wall,
-            "epochs": int(spark.read.parquet(_log_path).count()),
+            "wall_sec": min(_dwalls),
+            "passes": _dwalls,
+            "spread_max_over_min": round(max(_dwalls) / min(_dwalls), 2),
+            "epochs": _depochs[0],
             "stream_rows": int(_odd.count()),
         }
     finally:

@@ -465,6 +465,7 @@ def choose_word_jaccard_strategy(
     sample_docs: int = 2048,
     threshold: float = 0.7,
     max_emission: float | None = WORD_JACCARD_MAX_EMISSION,
+    n_full: int | None = None,
 ) -> str:
     """Cost-based strategy pick for the unigram tier, from a BOUNDED sample.
 
@@ -523,13 +524,23 @@ def choose_word_jaccard_strategy(
     estimate is sampled and ~2×-noisy near the cap — both shapes are
     acceptable there; the cap exists to stop the unbounded tail, not to
     split hairs at the boundary. The bitmask shape is never routed: its
-    ≤64-token vocabulary and ``max_masks`` guard already bound it."""
+    ≤64-token vocabulary and ``max_masks`` guard already bound it.
+
+    The corpus size the scale factor needs comes from (in order):
+    ``n_full`` if the caller already knows it (e.g. a pipeline that just
+    counted the corpus — keeps the chooser's contract at one
+    sample-bounded job even when ``docs`` is an expensive upstream
+    transform); else, when the ``limit(sample_docs)`` pull returns fewer
+    rows than requested, the sample IS the corpus and its own row count
+    is exact; only otherwise does the chooser run ``docs.count()`` — one
+    full-input action, the price of routing on an unknown-size input."""
     # the bounded sampled index is persisted so the two stat grains (per-
     # word dfs, distinct doc count) share one shingle build instead of
     # re-tokenizing the sample per action; docs with empty token sets are
     # invisible to countDistinct, which is fine — they contribute no
     # posting lists, so they are irrelevant to the strategy choice
-    sample = doc_shingle_arrays(docs.limit(sample_docs), 1, text_col).persist()
+    raw_sample = docs.limit(sample_docs).persist()
+    sample = doc_shingle_arrays(raw_sample, 1, text_col).persist()
     exploded = sample.select(F.col("doc_id"), F.explode("sh").alias("word"))
     try:
         row = (
@@ -571,7 +582,14 @@ def choose_word_jaccard_strategy(
         # factor over-estimates slightly, which errs toward routing: the
         # safe side of the bet (the routed tier is near-linear; the exact
         # tier's tail is unbounded).
-        n_full = docs.count()
+        if n_full is None:
+            sampled_rows = raw_sample.count()
+            if sampled_rows < sample_docs:
+                # limit() returned everything — the sample IS the corpus;
+                # no full-input count needed
+                n_full = sampled_rows
+            else:
+                n_full = docs.count()
         if n_full <= n_docs:
             # sample IS the corpus — the estimate below is exact
             n_full = n_docs
@@ -597,6 +615,7 @@ def choose_word_jaccard_strategy(
         return pick if est <= max_emission else "lsh_prefilter"
     finally:
         sample.unpersist()
+        raw_sample.unpersist()
 
 
 def word_jaccard_pairs(
@@ -606,6 +625,7 @@ def word_jaccard_pairs(
     freq_ordered: bool | None = None,
     strategy: str = "auto",
     max_emission: float | None = WORD_JACCARD_MAX_EMISSION,
+    n_full: int | None = None,
 ) -> DataFrame:
     """Exact near-dup pairs by word-set Jaccard ≥ threshold: prefix-filtered
     inverted-index self-join (never a cross join) + in-row array
@@ -646,16 +666,35 @@ def word_jaccard_pairs(
       ``'auto'`` returns this when
       the picked exact shape's sampled emission estimate exceeds
       ``max_emission`` (see ``choose_word_jaccard_strategy``); pass
-      ``max_emission=None`` to pin the selector to exact shapes.
+      ``max_emission=None`` to pin the selector to exact shapes. When
+      ``'auto'`` takes this exit it logs a WARNING naming the estimate,
+      the cap, and the recall contract — an exact-by-default caller whose
+      corpus crossed the cap gets a runtime signal, not a silent recall
+      drop; pin ``strategy=`` explicitly to silence it either way.
 
     ``freq_ordered`` (bool) is the legacy spelling and overrides
-    ``strategy`` when given."""
+    ``strategy`` when given. ``n_full`` (known corpus row count) is
+    forwarded to the chooser so 'auto' routing needs no full-input
+    count action."""
     if freq_ordered is not None:
         strategy = "freq_ordered" if freq_ordered else "count_common"
     if strategy == "auto":
         strategy = choose_word_jaccard_strategy(
-            docs, text_col, threshold=threshold, max_emission=max_emission
+            docs, text_col, threshold=threshold, max_emission=max_emission,
+            n_full=n_full,
         )
+        if strategy == "lsh_prefilter":
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "word_jaccard_pairs(strategy='auto'): sampled index "
+                "emission estimate exceeds max_emission=%g — routing to "
+                "the APPROXIMATE lsh_prefilter shape (per-pair recall "
+                "1-(1-J^4)^4, band buckets capped at %d docs). Pass "
+                "max_emission=None to force an exact shape.",
+                max_emission,
+                WORD_JACCARD_LSH_BAND_CAP,
+            )
     if strategy == "lsh_prefilter":
         return minhash_lsh_pairs(
             docs,
@@ -1301,7 +1340,10 @@ def winnow_fingerprints(
 
 
 def exact_substring_spans(
-    docs: DataFrame, min_len: int = 30, text_col: str = "text"
+    docs: DataFrame,
+    min_len: int = 30,
+    text_col: str = "text",
+    _hash_hex: int = 15,
 ) -> DataFrame:
     """(doc_id, span_start, span_end, n_windows): maximal character ranges
     of the NORMALIZED text covered by ``min_len``-char windows whose
@@ -1317,18 +1359,46 @@ def exact_substring_spans(
     plan (a suffix array is a global sort over corpus bytes; this is a
     hash aggregate).
 
+    Exactness is hash-collision-proof: the window hash is only a
+    PREFILTER. Hash-heavy windows (hash occurs ≥ 2 times) are joined back
+    to their documents and re-grouped on the actual ``min_len``-char
+    CONTENT; only content occurring ≥ 2 times survives. Equal content
+    always has equal hash, so the prefilter never drops a true duplicate,
+    and the verify stage kills every collision false positive — without
+    it, a 32-bit hash fabricates ~n²/2³³ duplicate spans in unique text
+    (≈ 2 already at sf0.01's 135 k windows; saturated at 100 TB). The
+    60-bit prefilter (15 md5 hex chars, fits a signed BIGINT in both
+    engines) keeps the expected collision count driving spurious verify
+    work to ~n²/2⁶¹ — ≲ 0.005 % of windows even at 10¹⁴ windows.
+
     Complements the tiers around it: exact_dedup removes whole-doc
     clones, span_dedup removes repeated LINES (C4), winnowing SAMPLES
     k-gram hashes for containment scoring — this one reports EVERY
     duplicated char range exactly (no sampling), at window resolution.
 
     Plan (100 TB shape): one map-only pass hashes every window start
-    (winnow-style md5-prefix uint32s, bit-reproducible in DuckDB — the
+    (md5-prefix BIGINTs, bit-reproducible in DuckDB — the
     corpus-bytes-sized explode is the price of the exact criterion and is
     scan-local); one hash aggregate finds hashes occurring ≥ 2 times; a
-    semi-join back on the SAME hash key reuses that partitioning; then
+    semi-join back on the SAME hash key reuses that partitioning; the
+    survivors (output-sized: the corpus's duplicated share, plus the
+    ~2⁻⁶¹-rate collision noise) join back on doc_id for content
+    extraction and one more hash aggregate verifies content counts; then
     one per-doc window pass merges overlapping windows into maximal
-    spans (gaps-and-islands over a running max of pos + min_len)."""
+    spans (gaps-and-islands over a running max of pos + min_len).
+
+    Scale contract (the emission number for this tier): the window-hash
+    explode shuffles one (doc_id, pos, hash) row per normalized char into
+    the occ≥2 aggregate — ≈ 12-20× corpus bytes through one exchange, the
+    largest shuffle multiplier in the registry (sf0.01 peak memory 495 MB
+    is already the registry's largest). The content-verify stage adds
+    dup_share × min_len bytes per char of DUPLICATED text only. There is
+    no sampled escape hatch inside this operator because sampling is
+    exactly what it exists to avoid: above the scale where a
+    corpus-bytes-sized shuffle is affordable, route to the winnowing
+    containment tier (``winnow_containment*``, ~1/(window) of the hashes,
+    containment scores instead of exact spans) or to line-grain
+    ``span_dedup`` — the documented neighbors, one tier over each way."""
     from pyspark.sql import Window
 
     n, h = "__es_norm", "__es_h"
@@ -1336,8 +1406,8 @@ def exact_substring_spans(
     gram_hashes = F.expr(
         f"CASE WHEN length({n}) >= {min_len} THEN "
         f"transform(sequence(0, length({n}) - {min_len}), "
-        f"i -> CAST(conv(substr(md5(substr({n}, i + 1, {min_len})), 1, 8), 16, 10)"
-        f" AS BIGINT)) "
+        f"i -> CAST(conv(substr(md5(substr({n}, i + 1, {min_len})), 1, "
+        f"{_hash_hex}), 16, 10) AS BIGINT)) "
         f"ELSE CAST(array() AS array<bigint>) END"
     )
     wins = (
@@ -1349,7 +1419,23 @@ def exact_substring_spans(
         .filter(F.col("occ") >= 2)
         .select(h)
     )
-    dup_wins = wins.join(dup, h, "left_semi")
+    cand = wins.join(dup, h, "left_semi").select("doc_id", "pos")
+    # content verify: hash matches are candidates, not verdicts — re-group
+    # the survivors on the actual window content so a hash collision can
+    # never fabricate a duplicate span
+    c = "__es_c"
+    cand_c = cand.join(base, "doc_id").select(
+        "doc_id",
+        "pos",
+        F.expr(f"substring({n}, pos + 1, {min_len})").alias(c),
+    )
+    dup_c = (
+        cand_c.groupBy(c)
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select(c)
+    )
+    dup_wins = cand_c.join(dup_c, c, "left_semi").select("doc_id", "pos")
     byp = Window.partitionBy("doc_id").orderBy("pos")
     reach = F.max(F.col("pos") + min_len).over(
         byp.rowsBetween(Window.unboundedPreceding, -1)

@@ -831,6 +831,7 @@ def choose_near_dup_bits(
     sample_rows: int = 4096,
     emb_col: str = "embedding",
     max_bits: int | None = None,
+    id_col: str = "vec_id",
 ) -> int:
     """Emission-aware block-width chooser for the sign-bucket near-dup
     tier (the embedding mirror of ``dedup.choose_word_jaccard_strategy``'s
@@ -850,7 +851,15 @@ def choose_near_dup_bits(
     Cost: ONE bounded job — the sample's buckets are computed once at
     ``max_bits`` width and collected (≤ ``sample_rows`` ints, the same
     bounded-pull class as the IVF/PQ codebook builds); bucket histograms
-    at narrower widths are low-bit masks of that, folded driver-side."""
+    at narrower widths are low-bit masks of that, folded driver-side.
+
+    The sample is DETERMINISTIC: the ``sample_rows`` lowest ``id_col``
+    values (TakeOrdered — one bounded pass, no full sort materialized).
+    A bare ``limit`` is partition-order dependent in Spark, so two runs
+    of the same chooser on the same data could disagree near the cap and
+    flip the chosen width — nondeterministic plans and driver-parity
+    flakes. When ``id_col`` is absent the first physical column is used
+    as the tiebreaker (still deterministic for a deterministic source)."""
     if max_emission is None:
         return n_bits
     dim = embeddings.select(F.size(F.col(emb_col)).alias("d")).first()
@@ -861,8 +870,11 @@ def choose_near_dup_bits(
     if hi <= n_bits:
         return n_bits
     n_full = embeddings.count()
-    sample = embeddings.limit(sample_rows).select(
-        sign_bucket(F.col(emb_col), hi).alias("s")
+    order_key = id_col if id_col in embeddings.columns else embeddings.columns[0]
+    sample = (
+        embeddings.orderBy(order_key)
+        .limit(sample_rows)
+        .select(sign_bucket(F.col(emb_col), hi).alias("s"))
     )
     sigs = [r["s"] for r in sample.collect()]
     n_s = len(sigs)
@@ -896,7 +908,8 @@ def embedding_neardup_pairs_routed(
     quadratic-block job the sf1 audit flagged (20.8 s at sf1 and growing
     ~quadratically, vs sub-second for the escalated/ANN tiers)."""
     bits = choose_near_dup_bits(
-        embeddings, n_bits, max_emission, emb_col=emb_col, max_bits=max_bits
+        embeddings, n_bits, max_emission, emb_col=emb_col, max_bits=max_bits,
+        id_col=id_col,
     )
     return embedding_neardup_pairs(
         embeddings, threshold=threshold, n_bits=bits,

@@ -14,37 +14,31 @@ Window structure (since round 6, per the round-5 verdict's #1 ask): a
 the flagship — and 35 ROTATING slots scheduled strictly by
 "never-driver-certified first", then "oldest certification first".
 
-Round-9 rotation (this file's current window). As of round 8 every
-registered name has carried a green driver row (certification debt zero),
-so the window is pure freshness refresh plus this round's two new
-never-certified names:
-  slots 1-3 (never certified): dedup_word_jaccard_routed (the round-8
-    verdict's #2 ask — MinHash-LSH candidate generation + exact
-    word-Jaccard verify, the shape 'auto' returns above
-    WORD_JACCARD_MAX_EMISSION, degenerate band buckets capped at 64),
-    embedding_near_dup_routed (sign-block width chosen by sampled
-    Σ block-size² estimate), and exact_substring_spans (Lee et al. 2022
-    exact-substring duplicate ranges at 30-char window grain — new
-    operator this round).
-  slots 4-17 (the 14 remaining r5-certified names — the documented
-    round-9 refresh front): best_markets, country_month_avg, dim_product,
-    ffill_bfill_impute, filter_suite, mean_impute, normalized_join,
-    pivot_returnflag, price_summary_stats, quota_cap, sales_agg_profile,
-    stratified_sample, train_test_split, upsert_plan.
-  slots 18-35 (18 of the 31 r6-certified names, alphabetical — oldest
-    certification first, no intra-round priority signal):
-    bigram_logprob, bm25_topk, cdc_apply_orders, chunk_documents,
-    cohort_retention, dedup_cluster_sizes, dedup_clusters_minhash,
-    event_transitions, funnel_view_click_purchase, fuzzy_customer_names,
-    grouping_sets_sales, kfold_orders, kmv_overlap_parts,
-    leakage_safe_split, merge_aggregate_returnflag, mixture_sample,
-    pagerank_part_supplier, pii_scan.
-  The 13 remaining r6-certified names (pmi_collocations,
-  repetition_stats, scd2_part_prices, semantic_dedup_keep,
-  sequence_packing, snapshot_diff_orders, tfidf_doc_similarity,
-  token_counts, top_tokens_per_lang, top_values_orders, unigram_logprob,
-  view_click_attribution, winsorize_prices) are the round-10 refresh
-  front, followed by the r7 cohort.
+Round-10 rotation (this file's current window). Certification debt is
+zero (every registered name has carried a green driver row; the r9 window
+re-certified the r5 front and 18 r6 names), so the window is pure
+freshness refresh, strictly oldest-certification-first:
+  slots 1-13 (the 13 remaining r6-certified names — the documented
+    round-10 refresh front, alphabetical): pmi_collocations,
+    repetition_stats, scd2_part_prices, semantic_dedup_keep,
+    sequence_packing, snapshot_diff_orders, tfidf_doc_similarity,
+    token_counts, top_tokens_per_lang, top_values_orders,
+    unigram_logprob, view_click_attribution, winsorize_prices.
+  slots 14-35 (22 of the 35 r7-certified names, alphabetical — no
+    intra-round priority signal): basket_pairs, cms_heavy_hitters,
+    contamination_exact, contamination_exact_bloomed, corpus_clean,
+    corpus_kl_by_lang, corpus_shuffle, corr_quantity_price,
+    country_name_cleaning, curriculum_stages, domain_url_stats,
+    drift_score_odd_vs_even, dsir_weights, ewma_daily_price_unbounded,
+    ewma_monthly_price, feature_encode_panel, gap_fill_months,
+    interval_price_bands, kmv_distinct_by_returnflag, knn_label_vote,
+    langid_trigram, nb_classify_lang.
+  The 13 remaining r7-certified names (pit_part_price_sales,
+  price_anomalies, price_histogram, price_percentiles,
+  profile_drift_orders, profile_orders, rolling_median_price,
+  theta_overlap_years, token_budget_select, unpivot_flag_metrics,
+  url_canonical_dedup, weighted_sample_docs, window_panel) are the
+  round-11 refresh front, followed by the r8 cohort (35 names).
 
 Permanent core (always in-window; each anchors a §2 family):
   flagship_wide (J2 star join)      fact_transactions (J4/J11/W2)
@@ -56,9 +50,9 @@ Permanent core (always in-window; each anchors a §2 family):
   cosine_topk (similarity tier)     text_profile (text tier)
   linear_forecast (UD1)
 
-Rotated OUT this round: the full r7 rotating cohort (all 35 driver-green
-in CORRECTNESS_r07, still in the local all-oracle parity sweep every
-suite run). The r1-r7 past-window set listed in prior revisions of this
+Rotated OUT this round: the full r9 rotating cohort (all 35 driver-green
+in CORRECTNESS_r09, still in the local all-oracle parity sweep every
+suite run). The r1-r9 past-window set listed in prior revisions of this
 docstring remains driver-green and local-sweep-green.
 """
 
@@ -86,46 +80,44 @@ _PRIORITY: list[str] = [
     "cosine_topk",
     "text_profile",
     "linear_forecast",
-    # ---- rotating slots (35): never-driver-certified first -------------
-    # never certified (3): the round-9 emission-routing additions + the
-    # new exact-substring span operator
-    "dedup_word_jaccard_routed",
-    "embedding_near_dup_routed",
-    "exact_substring_spans",
-    # oldest-certified refresh: the 14 remaining r5 names
-    "best_markets",
-    "country_month_avg",
-    "dim_product",
-    "ffill_bfill_impute",
-    "filter_suite",
-    "mean_impute",
-    "normalized_join",
-    "pivot_returnflag",
-    "price_summary_stats",
-    "quota_cap",
-    "sales_agg_profile",
-    "stratified_sample",
-    "train_test_split",
-    "upsert_plan",
-    # last green in r6 (19 of 31, alphabetical)
-    "bigram_logprob",
-    "bm25_topk",
-    "cdc_apply_orders",
-    "chunk_documents",
-    "cohort_retention",
-    "dedup_cluster_sizes",
-    "dedup_clusters_minhash",
-    "event_transitions",
-    "funnel_view_click_purchase",
-    "fuzzy_customer_names",
-    "grouping_sets_sales",
-    "kfold_orders",
-    "kmv_overlap_parts",
-    "leakage_safe_split",
-    "merge_aggregate_returnflag",
-    "mixture_sample",
-    "pagerank_part_supplier",
-    "pii_scan",
+    # ---- rotating slots (35): oldest certification first ---------------
+    # last green in r6 (the 13 remaining r6 names, alphabetical)
+    "pmi_collocations",
+    "repetition_stats",
+    "scd2_part_prices",
+    "semantic_dedup_keep",
+    "sequence_packing",
+    "snapshot_diff_orders",
+    "tfidf_doc_similarity",
+    "token_counts",
+    "top_tokens_per_lang",
+    "top_values_orders",
+    "unigram_logprob",
+    "view_click_attribution",
+    "winsorize_prices",
+    # last green in r7 (22 of 35, alphabetical)
+    "basket_pairs",
+    "cms_heavy_hitters",
+    "contamination_exact",
+    "contamination_exact_bloomed",
+    "corpus_clean",
+    "corpus_kl_by_lang",
+    "corpus_shuffle",
+    "corr_quantity_price",
+    "country_name_cleaning",
+    "curriculum_stages",
+    "domain_url_stats",
+    "drift_score_odd_vs_even",
+    "dsir_weights",
+    "ewma_daily_price_unbounded",
+    "ewma_monthly_price",
+    "feature_encode_panel",
+    "gap_fill_months",
+    "interval_price_bands",
+    "kmv_distinct_by_returnflag",
+    "knn_label_vote",
+    "langid_trigram",
+    "nb_classify_lang",
 ]
 
 _WINDOW = 50

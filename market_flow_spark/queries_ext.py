@@ -1870,9 +1870,12 @@ WHERE floor(s.n_shared / z.n_test_fps * 1e6 + 0.5) / 1e6 >= {threshold}
 
 def _exact_substring_oracle(min_len: int = 30) -> str:
     """DuckDB twin of dedup.exact_substring_spans: same normalization, the
-    same md5-prefix uint32 per window start, total-occurrence ≥ 2 filter,
-    then the identical gaps-and-islands merge (running max of pos+L over
-    preceding rows)."""
+    same 60-bit md5-prefix per window start, total-occurrence ≥ 2
+    PREFILTER, the same content-verification re-group (hash survivors
+    joined back on doc_id, window content extracted, content-occurrence
+    ≥ 2 kept — so hash collisions cannot fabricate spans in either
+    engine), then the identical gaps-and-islands merge (running max of
+    pos+L over preceding rows)."""
     L = min_len
     return f"""
 WITH normed AS (
@@ -1885,12 +1888,18 @@ win AS (
            ELSE [] END) AS pos,
     unnest(CASE WHEN len(n) >= {L} THEN
       list_transform(range(0, len(n) - {L} + 1),
-        i -> CAST(('0x' || substr(md5(substr(n, i + 1, {L})), 1, 8)) AS BIGINT))
+        i -> CAST(('0x' || substr(md5(substr(n, i + 1, {L})), 1, 15)) AS BIGINT))
       ELSE [] END) AS h
   FROM normed
 ),
 heavy AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) >= 2),
-dup AS (SELECT w.doc_id, w.pos FROM win w SEMI JOIN heavy USING (h)),
+cand AS (SELECT w.doc_id, w.pos FROM win w SEMI JOIN heavy USING (h)),
+candc AS (
+  SELECT cd.doc_id, cd.pos, substr(nm.n, cd.pos + 1, {L}) AS wc
+  FROM cand cd JOIN normed nm USING (doc_id)
+),
+heavyc AS (SELECT wc FROM candc GROUP BY wc HAVING COUNT(*) >= 2),
+dup AS (SELECT cc.doc_id, cc.pos FROM candc cc SEMI JOIN heavyc USING (wc)),
 isl AS (
   SELECT doc_id, pos,
     CASE WHEN max(pos + {L}) OVER w IS NULL OR pos > max(pos + {L}) OVER w
@@ -1915,12 +1924,13 @@ FROM isl2 GROUP BY doc_id, island
 def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplicate spans (Lee et al. 2022, arXiv:2107.06499)
     at 30-char window grain: every maximal normalized-char range covered
-    by windows whose content occurs ≥ 2 times anywhere in the corpus —
+    by windows whose CONTENT occurs ≥ 2 times anywhere in the corpus —
     the byte ranges an exact-substring dedup pass would cut. At sf0.01:
     ~12k duplicated windows of ~135k merge into per-doc spans. Suffix-
-    array-free distributed shape: corpus-bytes explode (scan-local) + one
-    hash aggregate + a semi-join reusing its partitioning + one per-doc
-    window pass."""
+    array-free distributed shape: corpus-bytes explode (scan-local) + a
+    60-bit-hash occ≥2 prefilter aggregate + a semi-join reusing its
+    partitioning + a content-verification re-group of the survivors
+    (collision-proof exactness) + one per-doc window pass."""
     return dedup.exact_substring_spans(
         load_tables(spark, sf_dir)["documents"], min_len=30
     )

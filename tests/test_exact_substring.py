@@ -64,3 +64,45 @@ def test_short_docs_contribute_nothing(spark):
         [(0, "tiny"), (1, "tiny")], "doc_id long, text string"
     )
     assert exact_substring_spans(docs, min_len=L).count() == 0
+
+
+def test_hash_collisions_cannot_fabricate_spans(spark):
+    """The window hash is a prefilter, not a verdict: with the prefilter
+    squeezed to 4 bits (1 md5 hex char → 16 buckets), a fully-unique
+    corpus floods the occ≥2 hash filter with collisions, and the
+    content-verification stage must still return ZERO spans. This is the
+    exact failure the 32-bit-hash-only v1 had at scale (expected FP
+    windows ~ n²/2³³ — saturated at the 100 TB shape), reproduced
+    deterministically and required dead."""
+    docs = spark.createDataFrame(
+        [(i, _blocks(10_000 + 100 * i, 40)) for i in range(4)],
+        "doc_id long, text string",
+    )  # 160 unique chars/doc, zero repeated 30-char windows anywhere
+    assert exact_substring_spans(docs, min_len=L, _hash_hex=1).count() == 0
+    # and the production 60-bit prefilter agrees
+    assert exact_substring_spans(docs, min_len=L).count() == 0
+
+
+def test_true_duplicates_survive_a_saturated_prefilter(spark):
+    """Equal content ⇒ equal hash, so prefilter saturation (4-bit) can
+    only ADD candidates, never drop a true duplicate: real spans come out
+    identical at 4-bit and 60-bit widths."""
+    shared = _blocks(1000, 15)
+    docs = spark.createDataFrame(
+        [
+            (0, _blocks(0, 10) + "g" + shared),
+            (1, shared + "q" + _blocks(2000, 9)),
+        ],
+        "doc_id long, text string",
+    )
+    got_4bit = {
+        tuple(r) for r in exact_substring_spans(docs, min_len=L, _hash_hex=1).collect()
+    }
+    got_60bit = {
+        tuple(r) for r in exact_substring_spans(docs, min_len=L).collect()
+    }
+    n_win = len(shared) - L + 1
+    assert got_4bit == got_60bit == {
+        (0, 41, 41 + len(shared), n_win),
+        (1, 0, len(shared), n_win),
+    }
