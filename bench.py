@@ -48,6 +48,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in QUERIES if n not in EXCLUDE]
+    # SPARK_GRAFT_ONLY=a,b,c: restrict the pass to named queries — the
+    # single-row refresh mode (e.g. adding one new operator's sf1 row to
+    # the merged record without re-running the full registry at sf1;
+    # bench_merge.py flags single-run rows via runs.only_in_one either way)
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = wanted - set(names)
+        assert not unknown, (
+            "SPARK_GRAFT_ONLY names not in registry: " + ", ".join(sorted(unknown))
+        )
+        names = [n for n in names if n in wanted]
     # warm-up: JVM startup + the Python worker pool / Arrow path (smallest
     # scale factor so warm-up cost stays low)
     QUERIES["top10_products"](spark, sf_dir).write.format("noop").mode(
