@@ -131,8 +131,15 @@ def main() -> None:
     flat = similarity.embedding_neardup_pairs(emb, n_bits=8).collect()
     flat_wall = round(time.perf_counter() - t0, 3)
 
+    # the banded shape (4 bands x 16 bits): same expected emission as a
+    # single 14-bit block, recall 1-(1-p^16)^4 instead of p^14
+    t0 = time.perf_counter()
+    banded = similarity.embedding_neardup_pairs_banded(emb).collect()
+    banded_wall = round(time.perf_counter() - t0, 3)
+
     routed_set = {(r["vec1"], r["vec2"]): r["cosine"] for r in routed}
     flat_set = {(r["vec1"], r["vec2"]): r["cosine"] for r in flat}
+    banded_set = {(r["vec1"], r["vec2"]): r["cosine"] for r in banded}
     assert set(routed_set) <= set(flat_set), "wider blocks must refine narrower"
 
     # recall by cosine band: the overall ratio is dominated by the
@@ -152,6 +159,7 @@ def main() -> None:
     planted_pairs = {(min(a, b), max(a, b)) for a, b in planted.items()}
     plant_flat = sum(1 for p in planted_pairs if p in flat_set)
     plant_routed = sum(1 for p in planted_pairs if p in routed_set)
+    plant_banded = sum(1 for p in planted_pairs if p in banded_set)
 
     rec = {
         "corpus_rows": N_OUT + N_PLANT,
@@ -170,7 +178,13 @@ def main() -> None:
         "planted_pairs": len(planted_pairs),
         "planted_recalled_8bit": plant_flat,
         "planted_recalled_routed": plant_routed,
+        "banded_wall_sec": banded_wall,
+        "banded_pairs": len(banded_set),
+        "planted_recalled_banded_4x16": plant_banded,
         "speedup_vs_8bit": round(flat_wall / max(routed_wall, 1e-9), 2),
+        "banded_speedup_vs_8bit": round(
+            flat_wall / max(banded_wall, 1e-9), 2
+        ),
     }
     Path(__file__).resolve().parent.joinpath("bench_escalation.json").write_text(
         json.dumps(rec, indent=1)

@@ -917,6 +917,110 @@ def embedding_neardup_pairs_routed(
     )
 
 
+def band_sign_keys(emb: Column, n_bands: int, band_bits: int) -> Column:
+    """array<int> of per-band sign keys: band j's key packs the sign bits
+    of dims [j·band_bits, (j+1)·band_bits). Disjoint dim slices keep the
+    bands' collision events independent, which is what gives banding its
+    1-(1-p^r)^B recall curve."""
+    keys = []
+    for j in range(n_bands):
+        k = None
+        for i in range(band_bits):
+            bit = F.when(
+                emb.getItem(j * band_bits + i) > 0, F.lit(2**i)
+            ).otherwise(F.lit(0))
+            k = bit if k is None else k + bit
+        keys.append(k.cast("int"))
+    return F.array(*keys)
+
+
+def embedding_neardup_pairs_banded(
+    embeddings: DataFrame,
+    threshold: float = 0.25,
+    n_bands: int = 4,
+    band_bits: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_band_size: int | None = None,
+) -> DataFrame:
+    """(vec1, vec2, cosine): the BANDED sign-LSH shape of the embedding
+    near-dup tier — candidate pair iff the two vectors agree on ALL sign
+    bits of AT LEAST ONE of ``n_bands`` disjoint ``band_bits``-dim
+    slices, then exact cosine ≥ threshold verification. The MinHash-LSH
+    banding construction transplanted to hyperplane signatures.
+
+    Why it exists (measured, bench_escalation.json): the single-block
+    escalated shape holds emission bounded but pays recall
+    geometrically — at the ×4-sf1 point the 14-bit block recalled 131 of
+    400 planted cos≈0.97 pairs vs the 8-bit block's own 216/400 ceiling.
+    Banding spends the same emission budget better: expected candidate
+    emission is B·N²/2^r (4·N²/2¹⁶ = N²/2¹⁴ at the defaults — exactly
+    the single 14-bit block's), while per-pair recall is 1-(1-p^r)^B
+    instead of p^(r-log₂B) (p = 1-θ/π per hyperplane): at cos 0.97,
+    ~0.71 expected vs the measured 0.33. One extra join's worth of work
+    (candidates carry only (band, key, id) ints; the two dim-64 payloads
+    join in AFTER distinct-pair dedup, so the banded shape moves LESS
+    array payload than the single-block tier, which drags both arrays
+    through the block join).
+
+    Plan (100 TB shape): map-only explode to B (band, key, id) int rows
+    per vector → band equi-join (never a cross join) → distinct id pairs
+    → two hash joins back to the vectors for one exact cosine each.
+    ``max_band_size`` is the degenerate-bucket guard (same contract as
+    the MinHash tier's ``max_band_size``): mass-duplicate buckets belong
+    to the exact-dedup tier upstream. Scale ``band_bits`` up with corpus
+    size exactly as ``choose_near_dup_bits`` scales the single block —
+    the same sampled Σ size² estimator applies per band."""
+    dim_row = embeddings.select(F.size(F.col(emb_col)).alias("d")).first()
+    if dim_row is not None and n_bands * band_bits > int(dim_row["d"]):
+        raise ValueError(
+            f"n_bands*band_bits = {n_bands * band_bits} exceeds embedding "
+            f"dim {dim_row['d']}"
+        )
+    keys = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(
+            band_sign_keys(F.col(emb_col), n_bands, band_bits)
+        ).alias("band", "bkey"),
+    )
+    if max_band_size is not None:
+        wbk = Window.partitionBy("band", "bkey")
+        keys = (
+            keys.withColumn("__bsz", F.count(F.lit(1)).over(wbk))
+            .filter(F.col("__bsz") <= max_band_size)
+            .drop("__bsz")
+        )
+    ka, kb = keys.alias("ka"), keys.alias("kb")
+    cand = (
+        ka.join(
+            kb,
+            (F.col("ka.band") == F.col("kb.band"))
+            & (F.col("ka.bkey") == F.col("kb.bkey"))
+            & (F.col("ka.vid") < F.col("kb.vid")),
+        )
+        .select(F.col("ka.vid").alias("vec1"), F.col("kb.vid").alias("vec2"))
+        .distinct()
+    )
+    emb_kv = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(emb_col).alias("emb")
+    )
+    a, b = emb_kv.alias("ea"), emb_kv.alias("eb")
+    cos = det_round(
+        _dot(F.col("ea.emb"), F.col("eb.emb"))
+        / (
+            F.sqrt(_norm_sq(F.col("ea.emb")))
+            * F.sqrt(_norm_sq(F.col("eb.emb")))
+        ),
+        6,
+    )
+    return (
+        cand.join(a, F.col("vec1") == F.col("ea.vid"))
+        .join(b, F.col("vec2") == F.col("eb.vid"))
+        .select("vec1", "vec2", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def semantic_dedup_keep(
     embeddings: DataFrame,
     threshold: float = 0.25,

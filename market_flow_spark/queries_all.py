@@ -14,17 +14,20 @@ Window structure (since round 6, per the round-5 verdict's #1 ask): a
 the flagship — and 35 ROTATING slots scheduled strictly by
 "never-driver-certified first", then "oldest certification first".
 
-Round-10 rotation (this file's current window). Certification debt is
-zero (every registered name has carried a green driver row; the r9 window
-re-certified the r5 front and 18 r6 names), so the window is pure
-freshness refresh, strictly oldest-certification-first:
-  slots 1-13 (the 13 remaining r6-certified names — the documented
+Round-10 rotation (this file's current window), scheduled by the
+standing rule — never-driver-certified first, then oldest certification
+first:
+  slot 1 (never certified): embedding_near_dup_banded (round-10
+    operator — the banded sign-LSH shape that repairs the recall the
+    measured escalation regime pays; 4 disjoint 16-bit bands, same
+    expected emission as one 14-bit block).
+  slots 2-14 (the 13 remaining r6-certified names — the documented
     round-10 refresh front, alphabetical): pmi_collocations,
     repetition_stats, scd2_part_prices, semantic_dedup_keep,
     sequence_packing, snapshot_diff_orders, tfidf_doc_similarity,
     token_counts, top_tokens_per_lang, top_values_orders,
     unigram_logprob, view_click_attribution, winsorize_prices.
-  slots 14-35 (22 of the 35 r7-certified names, alphabetical — no
+  slots 15-35 (21 of the 35 r7-certified names, alphabetical — no
     intra-round priority signal): basket_pairs, cms_heavy_hitters,
     contamination_exact, contamination_exact_bloomed, corpus_clean,
     corpus_kl_by_lang, corpus_shuffle, corr_quantity_price,
@@ -32,13 +35,14 @@ freshness refresh, strictly oldest-certification-first:
     drift_score_odd_vs_even, dsir_weights, ewma_daily_price_unbounded,
     ewma_monthly_price, feature_encode_panel, gap_fill_months,
     interval_price_bands, kmv_distinct_by_returnflag, knn_label_vote,
-    langid_trigram, nb_classify_lang.
-  The 13 remaining r7-certified names (pit_part_price_sales,
-  price_anomalies, price_histogram, price_percentiles,
-  profile_drift_orders, profile_orders, rolling_median_price,
-  theta_overlap_years, token_budget_select, unpivot_flag_metrics,
-  url_canonical_dedup, weighted_sample_docs, window_panel) are the
-  round-11 refresh front, followed by the r8 cohort (35 names).
+    langid_trigram.
+  The 14 remaining r7-certified names (nb_classify_lang,
+  pit_part_price_sales, price_anomalies, price_histogram,
+  price_percentiles, profile_drift_orders, profile_orders,
+  rolling_median_price, theta_overlap_years, token_budget_select,
+  unpivot_flag_metrics, url_canonical_dedup, weighted_sample_docs,
+  window_panel) are the round-11 refresh front, followed by the r8
+  cohort (35 names).
 
 Permanent core (always in-window; each anchors a §2 family):
   flagship_wide (J2 star join)      fact_transactions (J4/J11/W2)
@@ -80,7 +84,9 @@ _PRIORITY: list[str] = [
     "cosine_topk",
     "text_profile",
     "linear_forecast",
-    # ---- rotating slots (35): oldest certification first ---------------
+    # ---- rotating slots (35): never-driver-certified first -------------
+    # never certified (1): the round-10 banded near-dup operator
+    "embedding_near_dup_banded",
     # last green in r6 (the 13 remaining r6 names, alphabetical)
     "pmi_collocations",
     "repetition_stats",
@@ -95,7 +101,7 @@ _PRIORITY: list[str] = [
     "unigram_logprob",
     "view_click_attribution",
     "winsorize_prices",
-    # last green in r7 (22 of 35, alphabetical)
+    # last green in r7 (21 of 35, alphabetical)
     "basket_pairs",
     "cms_heavy_hitters",
     "contamination_exact",
@@ -117,7 +123,6 @@ _PRIORITY: list[str] = [
     "kmv_distinct_by_returnflag",
     "knn_label_vote",
     "langid_trigram",
-    "nb_classify_lang",
 ]
 
 _WINDOW = 50

@@ -1375,6 +1375,73 @@ def q_embedding_near_dup_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardup_pairs_routed(emb, threshold=0.25)
 
 
+def _banded_near_dup_oracle(
+    n_bands: int = 4, band_bits: int = 16, threshold: float = 0.25
+) -> str:
+    """DuckDB twin of similarity.embedding_neardup_pairs_banded: one
+    UNION-ALL arm per band building the same packed sign key over the
+    same disjoint dim slice, band equi-join, DISTINCT id pairs, then the
+    shared exact-cosine verify at det-round 6."""
+    arms = []
+    for j in range(n_bands):
+        key = " + ".join(
+            f"(CASE WHEN embedding[{j * band_bits + i + 1}] > 0 "
+            f"THEN {2**i} ELSE 0 END)"
+            for i in range(band_bits)
+        )
+        arms.append(
+            f"SELECT vec_id, {j} AS band, CAST({key} AS INT) AS bkey "
+            "FROM embeddings"
+        )
+    keys = " UNION ALL ".join(arms)
+    dot = _COSINE_SQL.format(a="e1.embedding", b="e2.embedding")
+    n1 = _COSINE_SQL.format(a="e1.embedding", b="e1.embedding")
+    n2 = _COSINE_SQL.format(a="e2.embedding", b="e2.embedding")
+    return f"""
+WITH keys AS ({keys}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec1, b.vec_id AS vec2
+  FROM keys a JOIN keys b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+),
+p AS (
+  SELECT c.vec1, c.vec2,
+         {dot} AS dot, {n1} AS nsq1, {n2} AS nsq2
+  FROM cand c
+  JOIN embeddings e1 ON c.vec1 = e1.vec_id
+  JOIN embeddings e2 ON c.vec2 = e2.vec_id
+)
+SELECT vec1, vec2,
+       {_floor_round_sql("dot / (sqrt(nsq1) * sqrt(nsq2))", 6)} AS cosine
+FROM p
+WHERE {_floor_round_sql("dot / (sqrt(nsq1) * sqrt(nsq2))", 6)} >= {threshold}
+"""
+
+
+@register(
+    "embedding_near_dup_banded", _banded_near_dup_oracle(band_bits=10)
+)
+def q_embedding_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BANDED sign-LSH shape of the embedding near-dup tier (round-10:
+    the recall-repair for the escalation regime bench_escalation.json
+    measured): candidate iff all sign bits of ≥ 1 of 4 disjoint dim
+    slices agree, then exact cosine ≥ 0.25 verify. At the scale defaults
+    (4 × 16 bits) the expected emission equals a single 14-bit block's
+    (4·N²/2¹⁶ = N²/2¹⁴) with 1-(1-p¹⁶)⁴ recall instead of p¹⁴ — see
+    bench_escalation.json for the measured ×4-sf1 head-to-head.
+    Registered at band_bits=10 for the same reason embedding_near_dup
+    registers threshold 0.25: the synthetic embeddings are near-uniform,
+    and the 16-bit width leaves ~1 pair at sf0.01 — 10 bits keeps tens
+    of rows flowing through the driver's value-hash comparison while
+    certifying the identical banded plumbing. Candidates carry only
+    (band, key, id) ints; the dim-64 payloads join in after
+    DISTINCT-pair dedup."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return similarity.embedding_neardup_pairs_banded(
+        emb, threshold=0.25, band_bits=10
+    )
+
+
 @register(
     "forecast_horizon",
     """
