@@ -957,7 +957,10 @@ def embedding_neardup_pairs_banded(
     emission is B·N²/2^r (4·N²/2¹⁶ = N²/2¹⁴ at the defaults — exactly
     the single 14-bit block's), while per-pair recall is 1-(1-p^r)^B
     instead of p^(r-log₂B) (p = 1-θ/π per hyperplane): at cos 0.97,
-    ~0.71 expected vs the measured 0.33. One extra join's worth of work
+    theory ~0.75 vs ~0.32 — measured at the ×4-sf1 point 289/400 planted
+    pairs vs the 14-bit block's 131/400, and even above the UNBANDED
+    8-bit block's 216/400 at 4.6× its speed (5.0 s vs 23.1 s,
+    bench_escalation.json). One extra join's worth of work
     (candidates carry only (band, key, id) ints; the two dim-64 payloads
     join in AFTER distinct-pair dedup, so the banded shape moves LESS
     array payload than the single-block tier, which drags both arrays
