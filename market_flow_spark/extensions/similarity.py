@@ -1024,6 +1024,115 @@ def embedding_neardup_pairs_banded(
     )
 
 
+def choose_banded_layout(
+    embeddings: DataFrame,
+    n_bands: int = 4,
+    band_bits: int = 16,
+    max_emission: float | None = NEAR_DUP_MAX_EMISSION,
+    sample_rows: int = 4096,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[int, int]:
+    """Emission-aware LAYOUT chooser for the banded sign-LSH tier — the
+    banded mirror of ``choose_near_dup_bits``. Expected candidate
+    emission is B·N²/2^r, so the escalation ladder trades bands for
+    width: from the entry layout (B, r) it walks (B-1, dim//(B-1)),
+    (B-2, dim//(B-2)), … (1, dim) until the SAMPLED emission estimate —
+    Σ over bands of Σ bucket-size², scaled by (N/n)² (the same
+    frequency-stationarity estimator as the word tier and the
+    single-block chooser) — fits ``max_emission``. Each rung divides
+    expected emission by ~2^(Δr)·B-ratio (e.g. dim 64: (4,16) → (3,21)
+    is ×43 less, (2,32) another ×1500), while recall decays only as one
+    band's worth of the 1-(1-p^r)^B curve per rung — far gentler than
+    the single block's per-bit p multiplier.
+
+    Cost: ONE bounded job — the sample's full sign pattern is collected
+    as ceil(dim/8) 8-bit chunk keys per row (≤ sample_rows small ints,
+    the same bounded-pull class as the other choosers), and every
+    candidate layout's band histogram is folded from those chunks
+    driver-side. The sample is deterministic (TakeOrdered on id), same
+    contract as ``choose_near_dup_bits``."""
+    if max_emission is None:
+        return n_bands, band_bits
+    dim_row = embeddings.select(F.size(F.col(emb_col)).alias("d")).first()
+    if dim_row is None:
+        return n_bands, band_bits
+    dim = int(dim_row["d"])
+    n_full = embeddings.count()
+    n_chunks = (dim + 7) // 8
+    chunk_keys = F.array(
+        *[
+            sum(
+                (
+                    F.when(
+                        F.col(emb_col).getItem(j * 8 + i) > 0, F.lit(2**i)
+                    ).otherwise(F.lit(0))
+                    for i in range(min(8, dim - j * 8))
+                ),
+                start=F.lit(0),
+            ).cast("int")
+            for j in range(n_chunks)
+        ]
+    )
+    order_key = id_col if id_col in embeddings.columns else embeddings.columns[0]
+    rows = (
+        embeddings.orderBy(order_key)
+        .limit(sample_rows)
+        .select(chunk_keys.alias("ck"))
+        .collect()
+    )
+    if not rows:
+        return n_bands, band_bits
+    patterns = [
+        sum(int(c) << (8 * j) for j, c in enumerate(r["ck"])) for r in rows
+    ]
+    n_s = len(patterns)
+    scale = (max(n_full, n_s) / n_s) ** 2
+    from collections import Counter
+
+    def est(bands: int, bits: int) -> float:
+        total = 0
+        for b in range(bands):
+            mask = (1 << bits) - 1
+            counts = Counter((p >> (b * bits)) & mask for p in patterns)
+            total += sum(c * c for c in counts.values())
+        return total * scale
+
+    layouts = [(n_bands, band_bits)] + [
+        (b, dim // b) for b in range(n_bands - 1, 0, -1)
+    ]
+    for bands, bits in layouts:
+        if bands * bits > dim:
+            continue
+        if est(bands, bits) <= max_emission:
+            return bands, bits
+    return layouts[-1]
+
+
+def embedding_neardup_pairs_banded_routed(
+    embeddings: DataFrame,
+    threshold: float = 0.25,
+    n_bands: int = 4,
+    band_bits: int = 16,
+    max_emission: float | None = NEAR_DUP_MAX_EMISSION,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """``embedding_neardup_pairs_banded`` behind the emission-aware
+    layout chooser: the banded tier at whatever (n_bands, band_bits) rung
+    of the ladder fits the sampled emission cap — the shape a 100 TB
+    caller gets without thinking about N. Output semantics stay in-family
+    and DuckDB-twin-checkable at any chosen layout."""
+    bands, bits = choose_banded_layout(
+        embeddings, n_bands, band_bits, max_emission,
+        emb_col=emb_col, id_col=id_col,
+    )
+    return embedding_neardup_pairs_banded(
+        embeddings, threshold=threshold, n_bands=bands, band_bits=bits,
+        id_col=id_col, emb_col=emb_col,
+    )
+
+
 def semantic_dedup_keep(
     embeddings: DataFrame,
     threshold: float = 0.25,

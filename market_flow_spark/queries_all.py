@@ -17,32 +17,36 @@ the flagship — and 35 ROTATING slots scheduled strictly by
 Round-10 rotation (this file's current window), scheduled by the
 standing rule — never-driver-certified first, then oldest certification
 first:
-  slot 1 (never certified): embedding_near_dup_banded (round-10
+  slots 1-2 (never certified): embedding_near_dup_banded (round-10
     operator — the banded sign-LSH shape that repairs the recall the
-    measured escalation regime pays; 4 disjoint 16-bit bands, same
-    expected emission as one 14-bit block).
-  slots 2-14 (the 13 remaining r6-certified names — the documented
+    measured escalation regime pays; disjoint sign bands at equal
+    emission to a single wider block) and embedding_near_dup_banded_routed
+    (the same tier behind its emission-aware layout chooser — the ladder
+    (4,10)→(3,21)→(2,32)→(1,64) walked until the sampled emission fits
+    the 2e6 cap).
+  slots 3-15 (the 13 remaining r6-certified names — the documented
     round-10 refresh front, alphabetical): pmi_collocations,
     repetition_stats, scd2_part_prices, semantic_dedup_keep,
     sequence_packing, snapshot_diff_orders, tfidf_doc_similarity,
     token_counts, top_tokens_per_lang, top_values_orders,
     unigram_logprob, view_click_attribution, winsorize_prices.
-  slots 15-35 (21 of the 35 r7-certified names, alphabetical — no
+  slots 16-35 (20 of the 35 r7-certified names, alphabetical — no
     intra-round priority signal): basket_pairs, cms_heavy_hitters,
     contamination_exact, contamination_exact_bloomed, corpus_clean,
     corpus_kl_by_lang, corpus_shuffle, corr_quantity_price,
     country_name_cleaning, curriculum_stages, domain_url_stats,
     drift_score_odd_vs_even, dsir_weights, ewma_daily_price_unbounded,
     ewma_monthly_price, feature_encode_panel, gap_fill_months,
-    interval_price_bands, kmv_distinct_by_returnflag, knn_label_vote,
-    langid_trigram.
-  The 14 remaining r7-certified names (nb_classify_lang,
+    interval_price_bands, kmv_distinct_by_returnflag, knn_label_vote.
+  The 15 remaining r7-certified names (langid_trigram, nb_classify_lang,
   pit_part_price_sales, price_anomalies, price_histogram,
   price_percentiles, profile_drift_orders, profile_orders,
   rolling_median_price, theta_overlap_years, token_budget_select,
   unpivot_flag_metrics, url_canonical_dedup, weighted_sample_docs,
   window_panel) are the round-11 refresh front, followed by the r8
-  cohort (35 names).
+  cohort (35 names). (langid_trigram and nb_classify_lang were displaced
+  by this round's two never-certified registrations, per the standing
+  rule.)
 
 Permanent core (always in-window; each anchors a §2 family):
   flagship_wide (J2 star join)      fact_transactions (J4/J11/W2)
@@ -85,8 +89,10 @@ _PRIORITY: list[str] = [
     "text_profile",
     "linear_forecast",
     # ---- rotating slots (35): never-driver-certified first -------------
-    # never certified (1): the round-10 banded near-dup operator
+    # never certified (2): the round-10 banded near-dup operator + its
+    # emission-aware layout-routed shape
     "embedding_near_dup_banded",
+    "embedding_near_dup_banded_routed",
     # last green in r6 (the 13 remaining r6 names, alphabetical)
     "pmi_collocations",
     "repetition_stats",
@@ -101,7 +107,7 @@ _PRIORITY: list[str] = [
     "unigram_logprob",
     "view_click_attribution",
     "winsorize_prices",
-    # last green in r7 (21 of 35, alphabetical)
+    # last green in r7 (20 of 35, alphabetical)
     "basket_pairs",
     "cms_heavy_hitters",
     "contamination_exact",
@@ -122,7 +128,6 @@ _PRIORITY: list[str] = [
     "interval_price_bands",
     "kmv_distinct_by_returnflag",
     "knn_label_vote",
-    "langid_trigram",
 ]
 
 _WINDOW = 50

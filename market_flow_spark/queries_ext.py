@@ -1443,6 +1443,30 @@ def q_embedding_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_near_dup_banded_routed", _banded_near_dup_oracle(band_bits=10)
+)
+def q_embedding_near_dup_banded_routed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The banded tier behind its emission-aware LAYOUT chooser
+    (``choose_banded_layout`` — the banded mirror of the single-block
+    width chooser): from the (4, 10) entry the ladder walks to fewer,
+    wider bands ((3, 21) → (2, 32) → (1, 64)) until the sampled
+    Σ-over-bands bucket-size² estimate fits the 2e6 cap. At every
+    registered SF the estimate sits far under the cap so the chooser
+    provably keeps the entry layout (pinned by
+    tests/test_steering.py::test_choose_banded_layout_stays_base_on_testdata,
+    which also certifies an ESCALATED layout against a DuckDB twin on a
+    degenerate-band corpus) — the driver row certifies the routed
+    plumbing on real data; the escalation behavior is certified
+    locally."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return similarity.embedding_neardup_pairs_banded_routed(
+        emb, threshold=0.25, n_bands=4, band_bits=10
+    )
+
+
+@register(
     "forecast_horizon",
     """
 WITH last_obs AS (

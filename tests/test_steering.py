@@ -373,3 +373,99 @@ def test_banded_band_cap_drops_degenerate_buckets(spark):
         emb, max_band_size=10
     )
     assert capped.count() == 0
+
+
+def _degenerate_band0_embeddings(spark):
+    """400 dim-64 vectors whose first 16 dims are ALL positive — at the
+    (4,16) entry layout band 0 is one 400-deep bucket (Sigma c^2 = 1.6e5
+    from that band alone). Dims 16+ carry varied signs keyed to the row
+    index, so wider bands genuinely split the degenerate block."""
+    rows = []
+    for i in range(400):
+        head = [0.1 + 0.001 * ((i + d) % 7) for d in range(16)]
+        tail = [
+            (0.2 if (i >> (d % 9)) & 1 else -0.2) + 0.001 * ((i * d) % 5)
+            for d in range(16, 64)
+        ]
+        rows.append((i, head + tail))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_choose_banded_layout_stays_base_on_testdata(tables):
+    """Pins the registered embedding_near_dup_banded_routed oracle's
+    static layout assumption at driver SFs (mirror of
+    test_choose_bits_default_stays_8_on_testdata)."""
+    assert similarity.choose_banded_layout(
+        tables["embeddings"], n_bands=4, band_bits=10
+    ) == (4, 10)
+    assert similarity.choose_banded_layout(tables["embeddings"]) == (4, 16)
+
+
+def test_choose_banded_layout_escalates_down_the_ladder(spark):
+    emb = _degenerate_band0_embeddings(spark)
+    layout = similarity.choose_banded_layout(emb, max_emission=2e4)
+    assert layout[0] < 4 and layout[0] * layout[1] <= 64
+    # the default cap leaves the entry layout alone (1.6e5 << 2e6)
+    assert similarity.choose_banded_layout(emb) == (4, 16)
+
+
+def test_banded_escalated_layout_matches_duckdb_twin(spark):
+    """The escalated banded output stays a bit-reproducible contract:
+    route on the degenerate corpus, then check against the DuckDB twin
+    generated at the CHOSEN layout — same evidence class as
+    test_escalated_width_matches_duckdb_twin."""
+    from market_flow_spark.queries_ext import _banded_near_dup_oracle
+
+    emb = _degenerate_band0_embeddings(spark)
+    bands, bits = similarity.choose_banded_layout(emb, max_emission=2e4)
+    routed = similarity.embedding_neardup_pairs_banded_routed(
+        emb, threshold=0.25, max_emission=2e4
+    )
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [r["vec_id"] for r in emb.collect()],
+            "embedding": [list(r["embedding"]) for r in emb.collect()],
+        }
+    )
+    con = duckdb.connect()
+    try:
+        con.register("embeddings", pdf)
+        assert_matches_oracle(
+            routed,
+            con,
+            _banded_near_dup_oracle(
+                n_bands=bands, band_bits=bits, threshold=0.25
+            ),
+        )
+    finally:
+        con.close()
+
+
+def test_banded_layout_estimator_exact_at_full_coverage(spark):
+    """With the sample covering the whole corpus the folded-chunk
+    estimate equals the true Sigma-over-bands bucket-size^2 — pinned by
+    forcing a cap BETWEEN the true emissions of two ladder rungs and
+    asserting the chooser lands exactly on the first rung that fits."""
+    import numpy as np
+
+    emb = _degenerate_band0_embeddings(spark)
+    rows = emb.collect()
+    vecs = np.array([r["embedding"] for r in rows])
+
+    def true_emission(bands, bits):
+        total = 0
+        for b in range(bands):
+            keys = {}
+            for v in vecs:
+                k = sum(
+                    (1 << i) for i in range(bits) if v[b * bits + i] > 0
+                )
+                keys[k] = keys.get(k, 0) + 1
+            total += sum(c * c for c in keys.values())
+        return total
+
+    e_entry = true_emission(4, 16)
+    e_next = true_emission(3, 21)
+    assert e_next < e_entry
+    cap = (e_next + e_entry) / 2
+    assert similarity.choose_banded_layout(emb, max_emission=cap) == (3, 21)
