@@ -1339,6 +1339,69 @@ def winnow_fingerprints(
     return hashed.select("doc_id", F.explode(fps.alias("fps")).alias("fp"))
 
 
+# Documented routing threshold for the exact-substring span tier, in
+# WINDOW ROWS (≈ normalized chars: one hashed window per char position).
+# Measured end-to-end throughput on the 32-core bench box is ~0.6-1.9 M
+# window rows/s (sf0.1: 1.49 M chars → 2.4 s; sf1: 14.9 M → 7.9 s), so
+# 6e8 ≈ 5 minutes of wall — the same budget class as the word tier's
+# 1e10-candidate cap. Above it, the corpus-bytes-sized shuffle this tier
+# is honest about stops being affordable and the winnowing containment
+# tier (sampled ~1/window of the hashes, scores instead of exact spans)
+# is the documented route.
+EXACT_SUBSTRING_MAX_WINDOW_ROWS = 6e8
+
+
+def estimate_exact_substring_window_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    sample_docs: int = 2048,
+    n_full: int | None = None,
+) -> float:
+    """Projected window-row emission of ``exact_substring_spans``: Σ of
+    normalized text lengths (an upper bound — docs shorter than min_len
+    contribute no windows), estimated as sample-mean chars/doc × N. One
+    bounded job; the corpus count follows the word-tier contract —
+    caller-provided ``n_full``, else exact when the ``limit`` pull
+    returns fewer rows than requested, else one ``docs.count()``."""
+    raw = docs.limit(sample_docs).persist()
+    try:
+        row = raw.agg(
+            F.sum(F.length(_norm_text(text_col))).alias("chars"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        n_s = int(row["n"] or 0)
+        if not n_s:
+            return 0.0
+        if n_full is None:
+            n_full = n_s if n_s < sample_docs else docs.count()
+        return float(row["chars"] or 0) * (max(n_full, n_s) / n_s)
+    finally:
+        raw.unpersist()
+
+
+def choose_exact_substring_route(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_window_rows: float | None = EXACT_SUBSTRING_MAX_WINDOW_ROWS,
+    sample_docs: int = 2048,
+    n_full: int | None = None,
+) -> str:
+    """'exact' (run ``exact_substring_spans``) or 'winnow_containment'
+    (the sampled tier one over) from the bounded emission estimate — the
+    exact-substring mirror of ``choose_word_jaccard_strategy``'s routing.
+    Unlike the word tier this cannot silently swap the physical shape
+    under one function: the two routes return DIFFERENT shapes (exact
+    char spans vs containment scores), so the chooser only advises and
+    callers pick the operator — which is why there is no *_routed query:
+    an auto-switch that changes the output schema would be a lie."""
+    if max_window_rows is None:
+        return "exact"
+    est = estimate_exact_substring_window_rows(
+        docs, text_col, sample_docs, n_full
+    )
+    return "exact" if est <= max_window_rows else "winnow_containment"
+
+
 def exact_substring_spans(
     docs: DataFrame,
     min_len: int = 30,
@@ -1398,7 +1461,11 @@ def exact_substring_spans(
     corpus-bytes-sized shuffle is affordable, route to the winnowing
     containment tier (``winnow_containment*``, ~1/(window) of the hashes,
     containment scores instead of exact spans) or to line-grain
-    ``span_dedup`` — the documented neighbors, one tier over each way."""
+    ``span_dedup`` — the documented neighbors, one tier over each way.
+    ``choose_exact_substring_route`` makes that threshold executable
+    (bounded sampled estimate vs ``EXACT_SUBSTRING_MAX_WINDOW_ROWS`` =
+    6e8 ≈ 5 min at the measured rate); it advises rather than
+    auto-switches because the routes return different shapes."""
     from pyspark.sql import Window
 
     n, h = "__es_norm", "__es_h"

@@ -106,3 +106,28 @@ def test_true_duplicates_survive_a_saturated_prefilter(spark):
         (0, 41, 41 + len(shared), n_win),
         (1, 0, len(shared), n_win),
     }
+
+
+def test_route_chooser_estimate_and_flip(spark):
+    """The advisory route chooser: estimator exact at full coverage
+    (sample >= corpus -> Sigma normalized chars, no scaling), and the
+    route flips to the winnowing tier when the cap drops below it."""
+    from market_flow_spark.extensions.dedup import (
+        choose_exact_substring_route,
+        estimate_exact_substring_window_rows,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "  One  Document "), (1, "another doc"), (2, "")],
+        "doc_id long, text string",
+    )
+    # normalized: "one document" (12) + "another doc" (11) + "" (0) = 23
+    assert estimate_exact_substring_window_rows(docs) == 23.0
+    assert choose_exact_substring_route(docs) == "exact"
+    assert (
+        choose_exact_substring_route(docs, max_window_rows=10)
+        == "winnow_containment"
+    )
+    # caller-known n_full skips the count and scales the sample mean
+    est = estimate_exact_substring_window_rows(docs, n_full=300)
+    assert est == 23.0 / 3 * 300
