@@ -1362,8 +1362,15 @@ def estimate_exact_substring_window_rows(
     contribute no windows), estimated as sample-mean chars/doc × N. One
     bounded job; the corpus count follows the word-tier contract —
     caller-provided ``n_full``, else exact when the ``limit`` pull
-    returns fewer rows than requested, else one ``docs.count()``."""
-    raw = docs.limit(sample_docs).persist()
+    returns fewer rows than requested, else one ``docs.count()``.
+
+    The sample is DETERMINISTIC (TakeOrdered on ``doc_id``, same
+    contract as ``choose_near_dup_bits``): a bare ``limit`` is
+    partition-order dependent, so two runs of
+    ``choose_exact_substring_route`` on the same data could flip
+    'exact' vs 'winnow_containment' near the 6e8 threshold."""
+    order_key = "doc_id" if "doc_id" in docs.columns else docs.columns[0]
+    raw = docs.orderBy(order_key).limit(sample_docs).persist()
     try:
         row = raw.agg(
             F.sum(F.length(_norm_text(text_col))).alias("chars"),

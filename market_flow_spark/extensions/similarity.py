@@ -843,10 +843,13 @@ def choose_near_dup_bits(
 
     More bits = smaller blocks = less emission but lower recall (a pair
     straddling any added hyperplane is lost) — the standard sign-LSH
-    trade, now taken deliberately from a measured estimate instead of
-    hardwired at 8. The escalated output is exactly
-    ``embedding_neardup_pairs(n_bits=chosen)``: semantics stay in-family
-    and DuckDB-twin-checkable at any chosen width.
+    trade. Since round 11 the routed entry point uses this chooser only
+    as the escalation DETECTOR (does the base width's estimate fit the
+    cap?): escalated EXECUTION goes to the banded ladder, which the
+    ×4-sf1 measurement (bench_escalation.json) shows dominates
+    bit-walking on both recall and speed. A caller who wants the wider
+    single block anyway calls ``embedding_neardup_pairs(n_bits=chosen)``
+    directly — it stays DuckDB-twin-checkable at any width.
 
     Cost: ONE bounded job — the sample's buckets are computed once at
     ``max_bits`` width and collected (≤ ``sample_rows`` ints, the same
@@ -901,36 +904,72 @@ def embedding_neardup_pairs_routed(
     emb_col: str = "embedding",
     max_bits: int | None = None,
 ) -> DataFrame:
-    """``embedding_neardup_pairs`` behind the emission-aware block-width
-    chooser: the sign-block tier with enough hyperplane bits that the
-    sampled candidate-emission estimate fits ``max_emission`` — the
+    """The emission-routed embedding near-dup entry point: the base
+    ``n_bits`` sign-block tier while the sampled candidate-emission
+    estimate fits ``max_emission``, the BANDED sign-LSH ladder
+    (``embedding_neardup_pairs_banded_routed``) once it doesn't — the
     steering that stops a 100 TB caller from launching the 8-bit
     quadratic-block job the sf1 audit flagged (20.8 s at sf1 and growing
-    ~quadratically, vs sub-second for the escalated/ANN tiers)."""
+    ~quadratically).
+
+    Why banded, not a wider single block (round-11; the round-10 ×4-sf1
+    head-to-head, bench_escalation.json): single-block bit-walking pays
+    recall geometrically per added hyperplane — the escalated 14-bit
+    block recalled 131/400 planted cos≈0.97 pairs vs the banded ladder's
+    289/400 AT EQUAL EMISSION, and the banded shape also beat the
+    unescalated 8-bit block (216/400) at ×4.6 its speed. Bit escalation
+    is dominated on both axes, so no caller should land on it:
+    ``choose_near_dup_bits`` serves here only as the escalation DETECTOR
+    (its width estimate at ``n_bits`` is exactly the block's emission
+    check); the escalated execution shape is the banded ladder. Output
+    schema is identical on both routes ((vec1, vec2, cosine)); the
+    escalated route is certified against its parameterized DuckDB twin
+    by tests/test_steering.py."""
     bits = choose_near_dup_bits(
         embeddings, n_bits, max_emission, emb_col=emb_col, max_bits=max_bits,
         id_col=id_col,
     )
-    return embedding_neardup_pairs(
-        embeddings, threshold=threshold, n_bits=bits,
+    if bits == n_bits:
+        return embedding_neardup_pairs(
+            embeddings, threshold=threshold, n_bits=bits,
+            id_col=id_col, emb_col=emb_col,
+        )
+    return embedding_neardup_pairs_banded_routed(
+        embeddings, threshold=threshold, max_emission=max_emission,
         id_col=id_col, emb_col=emb_col,
     )
 
 
 def band_sign_keys(emb: Column, n_bands: int, band_bits: int) -> Column:
-    """array<int> of per-band sign keys: band j's key packs the sign bits
-    of dims [j·band_bits, (j+1)·band_bits). Disjoint dim slices keep the
-    bands' collision events independent, which is what gives banding its
-    1-(1-p^r)^B recall curve."""
+    """array<bigint> of per-band sign keys: band j's key packs the sign
+    bits of dims [j·band_bits, (j+1)·band_bits). Disjoint dim slices keep
+    the bands' collision events independent, which is what gives banding
+    its 1-(1-p^r)^B recall curve.
+
+    Keys are built on BIGINT with shiftleft + bitwise OR, never INT
+    arithmetic: the layout ladder's deep rungs are (2, 32) and (1, 64),
+    where a 2³¹-and-up bit weight overflows an INT cast under ANSI mode
+    and a 2⁶³ literal cannot even be planned (NumberFormatException).
+    band_bits = 64 packs bit 63 into the BIGINT sign bit (1L << 63 is
+    Long.MIN_VALUE) — pure bitwise, so the key stays a deterministic
+    join-stable value; only collision structure matters, not sign.
+    Widths past 64 have no single-column packing and raise."""
+    if not 1 <= band_bits <= 64:
+        raise ValueError(
+            f"band_bits must be in [1, 64], got {band_bits}"
+        )
+    if n_bands < 1:
+        raise ValueError(f"n_bands must be >= 1, got {n_bands}")
     keys = []
     for j in range(n_bands):
-        k = None
+        k = F.lit(0).cast("long")
         for i in range(band_bits):
             bit = F.when(
-                emb.getItem(j * band_bits + i) > 0, F.lit(2**i)
-            ).otherwise(F.lit(0))
-            k = bit if k is None else k + bit
-        keys.append(k.cast("int"))
+                emb.getItem(j * band_bits + i) > 0,
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
+            k = k.bitwiseOR(bit)
+        keys.append(k)
     return F.array(*keys)
 
 
@@ -1032,6 +1071,7 @@ def choose_banded_layout(
     sample_rows: int = 4096,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    n_full: int | None = None,
 ) -> tuple[int, int]:
     """Emission-aware LAYOUT chooser for the banded sign-LSH tier — the
     banded mirror of ``choose_near_dup_bits``. Expected candidate
@@ -1046,19 +1086,22 @@ def choose_banded_layout(
     band's worth of the 1-(1-p^r)^B curve per rung — far gentler than
     the single block's per-bit p multiplier.
 
-    Cost: ONE bounded job — the sample's full sign pattern is collected
-    as ceil(dim/8) 8-bit chunk keys per row (≤ sample_rows small ints,
-    the same bounded-pull class as the other choosers), and every
-    candidate layout's band histogram is folded from those chunks
-    driver-side. The sample is deterministic (TakeOrdered on id), same
-    contract as ``choose_near_dup_bits``."""
+    Cost: ONE bounded job for the histogram — the sample's full sign
+    pattern is collected as ceil(dim/8) 8-bit chunk keys per row
+    (≤ sample_rows small ints, the same bounded-pull class as the other
+    choosers), and every candidate layout's band histogram is folded
+    from those chunks driver-side. The corpus count follows the word
+    tier's contract: caller-provided ``n_full``, else exact when the
+    bounded sample returns fewer rows than requested, else one
+    ``count()`` (a full-input action — pass ``n_full`` from catalog
+    stats to skip it at 100 TB). The sample is deterministic
+    (TakeOrdered on id), same contract as ``choose_near_dup_bits``."""
     if max_emission is None:
         return n_bands, band_bits
     dim_row = embeddings.select(F.size(F.col(emb_col)).alias("d")).first()
     if dim_row is None:
         return n_bands, band_bits
     dim = int(dim_row["d"])
-    n_full = embeddings.count()
     n_chunks = (dim + 7) // 8
     chunk_keys = F.array(
         *[
@@ -1087,6 +1130,8 @@ def choose_banded_layout(
         sum(int(c) << (8 * j) for j, c in enumerate(r["ck"])) for r in rows
     ]
     n_s = len(patterns)
+    if n_full is None:
+        n_full = n_s if n_s < sample_rows else embeddings.count()
     scale = (max(n_full, n_s) / n_s) ** 2
     from collections import Counter
 
@@ -1117,15 +1162,17 @@ def embedding_neardup_pairs_banded_routed(
     max_emission: float | None = NEAR_DUP_MAX_EMISSION,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    n_full: int | None = None,
 ) -> DataFrame:
     """``embedding_neardup_pairs_banded`` behind the emission-aware
     layout chooser: the banded tier at whatever (n_bands, band_bits) rung
     of the ladder fits the sampled emission cap — the shape a 100 TB
     caller gets without thinking about N. Output semantics stay in-family
-    and DuckDB-twin-checkable at any chosen layout."""
+    and DuckDB-twin-checkable at any chosen layout. ``n_full`` (e.g.
+    from catalog stats) skips the chooser's corpus count."""
     bands, bits = choose_banded_layout(
         embeddings, n_bands, band_bits, max_emission,
-        emb_col=emb_col, id_col=id_col,
+        emb_col=emb_col, id_col=id_col, n_full=n_full,
     )
     return embedding_neardup_pairs_banded(
         embeddings, threshold=threshold, n_bands=bands, band_bits=bits,

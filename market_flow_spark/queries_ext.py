@@ -1363,14 +1363,20 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("embedding_near_dup_routed", _near_dup_oracle())
 def q_embedding_near_dup_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The emission-routed shape of the embedding near-dup tier (round-8
-    verdict ask #2, embedding mirror): the sign-block width is chosen by
-    ``choose_near_dup_bits`` from a sampled Σ block-size² candidate
-    estimate instead of hardwired. At every registered SF the estimate
-    sits far under ``NEAR_DUP_MAX_EMISSION`` so the chooser provably
-    returns the base 8 bits (pinned by tests/test_steering.py, which also
-    certifies an ESCALATED width against a DuckDB twin on a skewed
-    synthetic corpus) — the driver row certifies the routed plumbing on
-    real data; the escalation behavior is certified locally."""
+    verdict ask #2, embedding mirror; escalation redirected round-11 per
+    verdict ask #2): while the sampled Σ block-size² candidate estimate
+    fits the cap this is the base 8-bit sign block; once it doesn't, the
+    routed entry now executes the BANDED sign-LSH ladder instead of
+    walking the block width up — the round-10 ×4-sf1 head-to-head
+    (bench_escalation.json) measured bit-walking dominated on both axes
+    (131/400 planted recall vs the banded ladder's 289/400 at equal
+    emission). At every registered SF the estimate sits far under
+    ``NEAR_DUP_MAX_EMISSION`` so the router provably stays on the base
+    8-bit block (pinned by tests/test_steering.py, which also certifies
+    the ESCALATED banded route against its parameterized DuckDB twin on
+    a skewed synthetic corpus) — the driver row certifies the routed
+    plumbing on real data; the escalation behavior is certified
+    locally."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     return similarity.embedding_neardup_pairs_routed(emb, threshold=0.25)
 
@@ -1381,16 +1387,29 @@ def _banded_near_dup_oracle(
     """DuckDB twin of similarity.embedding_neardup_pairs_banded: one
     UNION-ALL arm per band building the same packed sign key over the
     same disjoint dim slice, band equi-join, DISTINCT id pairs, then the
-    shared exact-cosine verify at det-round 6."""
+    shared exact-cosine verify at det-round 6.
+
+    Keys are BIGINT, mirroring the Spark side's shiftleft/OR packing so
+    the twin stays valid at every ladder rung: an INT cast overflows at
+    band_bits >= 32 under DuckDB's strict casts, and the 2⁶³ literal at
+    band_bits = 64 is emitted pre-wrapped to Long.MIN_VALUE (bit 63 of a
+    signed 64-bit key) — the identical two's-complement value Spark's
+    ``1L << 63`` produces, so the packed keys match bit-for-bit."""
+
+    def bit_weight(i: int) -> int:
+        v = 1 << i
+        return v - (1 << 64) if v >= 1 << 63 else v
+
     arms = []
     for j in range(n_bands):
-        key = " + ".join(
+        key = " | ".join(
             f"(CASE WHEN embedding[{j * band_bits + i + 1}] > 0 "
-            f"THEN {2**i} ELSE 0 END)"
+            f"THEN CAST({bit_weight(i)} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
             for i in range(band_bits)
         )
         arms.append(
-            f"SELECT vec_id, {j} AS band, CAST({key} AS INT) AS bkey "
+            f"SELECT vec_id, {j} AS band, ({key}) AS bkey "
             "FROM embeddings"
         )
     keys = " UNION ALL ".join(arms)

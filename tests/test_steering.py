@@ -19,7 +19,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from market_flow_spark.extensions import dedup, similarity
-from market_flow_spark.queries_ext import _minhash_oracle, _near_dup_oracle, WORDS_SQL
+from market_flow_spark.queries_ext import (
+    WORDS_SQL,
+    _banded_near_dup_oracle,
+    _minhash_oracle,
+    _near_dup_oracle,
+)
 from tests.oracle_utils import assert_matches_oracle
 
 
@@ -226,14 +231,18 @@ def test_choose_bits_default_stays_8_on_testdata(tables):
 
 
 def test_escalated_width_matches_duckdb_twin(spark):
-    """The escalated output is still a bit-reproducible contract: run the
-    routed tier on the skewed corpus and check it against the DuckDB twin
-    generated at the CHOSEN width — certifying the escalation path with
-    the same evidence class as the driver's sf0.01 row."""
+    """The single-block shape at an ESCALATED width stays a
+    bit-reproducible contract: run ``embedding_neardup_pairs`` directly
+    at the chooser's escalated width on the skewed corpus and check it
+    against the DuckDB twin generated at that width. (Round-11: the
+    routed ENTRY no longer executes this shape — its escalation regime
+    goes to the banded ladder, certified below — but the wide block
+    remains a caller-selectable tier and must stay twin-true.)"""
     emb = _skewed_embeddings(spark)
     bits = similarity.choose_near_dup_bits(emb, max_emission=2e4)
-    routed = similarity.embedding_neardup_pairs_routed(
-        emb, threshold=0.25, max_emission=2e4
+    assert bits > 8
+    wide = similarity.embedding_neardup_pairs(
+        emb, threshold=0.25, n_bits=bits
     )
     pdf = pd.DataFrame(
         {
@@ -245,10 +254,55 @@ def test_escalated_width_matches_duckdb_twin(spark):
     try:
         con.register("embeddings", pdf)
         assert_matches_oracle(
-            routed, con, _near_dup_oracle(n_bits=bits, threshold=0.25)
+            wide, con, _near_dup_oracle(n_bits=bits, threshold=0.25)
         )
     finally:
         con.close()
+
+
+def test_routed_entry_escalates_onto_banded_ladder(spark):
+    """Round-11 verdict ask #2: in the escalation regime the canonical
+    routed entry must produce the BANDED ladder's output (the measured
+    ×4-sf1 dominant shape), certified against the parameterized banded
+    DuckDB twin at the layout the banded chooser picks — no caller lands
+    on the dominated single-block bit-walk anymore."""
+    emb = _skewed_embeddings(spark)
+    routed = similarity.embedding_neardup_pairs_routed(
+        emb, threshold=0.25, max_emission=2e4
+    )
+    bands, bits = similarity.choose_banded_layout(emb, max_emission=2e4)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [r["vec_id"] for r in emb.collect()],
+            "embedding": [list(r["embedding"]) for r in emb.collect()],
+        }
+    )
+    con = duckdb.connect()
+    try:
+        con.register("embeddings", pdf)
+        assert_matches_oracle(
+            routed,
+            con,
+            _banded_near_dup_oracle(
+                n_bands=bands, band_bits=bits, threshold=0.25
+            ),
+        )
+    finally:
+        con.close()
+
+
+def test_routed_entry_stays_single_block_under_cap(tables):
+    """The non-escalated regime of the routed entry is byte-identical to
+    the base 8-bit block (the registered twin's assumption): same pair
+    set on the driver's own embeddings table."""
+    emb = tables["embeddings"]
+    routed = similarity.embedding_neardup_pairs_routed(emb, threshold=0.25)
+    base = similarity.embedding_neardup_pairs(
+        emb, threshold=0.25, n_bits=8
+    )
+    assert sorted(map(tuple, routed.collect())) == sorted(
+        map(tuple, base.collect())
+    )
 
 
 def test_routed_word_jaccard_twin_is_parameterized_correctly():
@@ -439,6 +493,128 @@ def test_banded_escalated_layout_matches_duckdb_twin(spark):
         )
     finally:
         con.close()
+
+
+def _deep_rung_embeddings(spark):
+    """400 base vectors + 10 planted exact duplicates, dim 64, shaped so
+    the ladder walks to (2, 32): dims 0-20 are constant-positive, which
+    makes (4,16)'s band 0 AND (3,21)'s band 0 one 410-deep bucket
+    (Σc² ≈ 1.7e5 each, over the 2e4 test cap), while dims 21-63 carry
+    signs keyed to the row index so BOTH 32-dim bands split into
+    singletons (Σc² ≈ 8e2 total, under the cap). The planted duplicates
+    (vec_id 400+i copies row i) collide in every band, so the 32-bit
+    rung emits real pairs — the regime the round-10 INT key packing
+    crashed on (ANSI CAST_OVERFLOW at 2³¹-and-up bit weights)."""
+    rows = []
+    for i in range(400):
+        head = [0.1 + 0.001 * ((i + d) % 7) for d in range(21)]
+        tail = [
+            (0.2 if (i >> (d % 9)) & 1 else -0.2) + 0.001 * ((i * d) % 5)
+            for d in range(21, 64)
+        ]
+        rows.append((i, head + tail))
+    for i in range(10):
+        rows.append((400 + i, list(rows[i][1])))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _varied_band_embeddings(spark):
+    """200 base vectors + 10 exact duplicates + 5 one-band-flipped
+    near-dups, dim 64, with index-keyed signs in EVERY 16-dim band so the
+    scale-default (4,16) layout emits exactly the planted pairs: the
+    duplicates collide in all four bands, the flipped rows (vec_id 210+i
+    copies row i with dim 60's sign negated) collide in bands 0-2 but
+    not band 3 — pairs caught by a strict subset of bands, the banding
+    semantics the single block can't express."""
+    rows = []
+    for i in range(200):
+        vec = [
+            (0.2 if (i >> (d % 9)) & 1 else -0.2) + 0.001 * ((i * d) % 5)
+            for d in range(64)
+        ]
+        rows.append((i, vec))
+    for i in range(10):
+        rows.append((200 + i, list(rows[i][1])))
+    for i in range(5):
+        vec = list(rows[i][1])
+        vec[60] = -vec[60]
+        rows.append((210 + i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _assert_banded_matches_twin(emb, result, n_bands, band_bits):
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [r["vec_id"] for r in emb.collect()],
+            "embedding": [list(r["embedding"]) for r in emb.collect()],
+        }
+    )
+    con = duckdb.connect()
+    try:
+        con.register("embeddings", pdf)
+        assert_matches_oracle(
+            result,
+            con,
+            _banded_near_dup_oracle(
+                n_bands=n_bands, band_bits=band_bits, threshold=0.25
+            ),
+        )
+    finally:
+        con.close()
+
+
+def test_banded_scale_default_layout_matches_duckdb_twin(spark):
+    """Round-11 verdict ask #3: the (4, 16) SCALE-DEFAULT layout —
+    previously certified only by the escalation bench's recall-vs-theory
+    cross-check — pinned against the parameterized DuckDB twin on a
+    corpus where 16-bit bands yield rows (planted duplicates collide in
+    all bands; one-band-flipped near-dups collide in a strict subset)."""
+    emb = _varied_band_embeddings(spark)
+    out = similarity.embedding_neardup_pairs_banded(
+        emb, threshold=0.25, n_bands=4, band_bits=16
+    )
+    assert out.count() >= 15  # 10 exact + 5 flipped planted pairs
+    _assert_banded_matches_twin(emb, out, 4, 16)
+
+
+def test_banded_32bit_rung_routes_and_matches_twin(spark):
+    """ADVICE r10 (high): the (2, 32) rung crashed at runtime under the
+    INT key packing (ANSI CAST_OVERFLOW at bit weight 2³¹). Route the
+    deep-rung corpus — the chooser must land on (2, 32) — and certify
+    the executed output against the BIGINT-keyed DuckDB twin."""
+    emb = _deep_rung_embeddings(spark)
+    assert similarity.choose_banded_layout(emb, max_emission=2e4) == (2, 32)
+    routed = similarity.embedding_neardup_pairs_banded_routed(
+        emb, threshold=0.25, max_emission=2e4
+    )
+    assert routed.count() >= 10  # the planted duplicate pairs
+    _assert_banded_matches_twin(emb, routed, 2, 32)
+
+
+def test_banded_64bit_rung_executes_and_matches_twin(spark):
+    """ADVICE r10 (high), deepest rung: (1, 64) packs bit 63 into the
+    BIGINT sign bit (1L << 63 = Long.MIN_VALUE on the Spark side, the
+    pre-wrapped literal on the DuckDB side) — under the old packing this
+    failed at PLAN BUILD (lit(2⁶³) → NumberFormatException). Execute it
+    end-to-end and certify against the twin."""
+    emb = _deep_rung_embeddings(spark)
+    out = similarity.embedding_neardup_pairs_banded(
+        emb, threshold=0.25, n_bands=1, band_bits=64
+    )
+    assert out.count() >= 10
+    _assert_banded_matches_twin(emb, out, 1, 64)
+
+
+def test_band_sign_keys_rejects_unpackable_widths(spark):
+    """Widths past 64 have no single-BIGINT packing — the guard must
+    raise at plan build, not overflow silently."""
+    emb = _deep_rung_embeddings(spark)
+    with pytest.raises(ValueError, match=r"band_bits"):
+        similarity.embedding_neardup_pairs_banded(
+            emb, n_bands=1, band_bits=65
+        )
+    with pytest.raises(ValueError, match=r"n_bands"):
+        similarity.band_sign_keys(F.col("embedding"), 0, 8)
 
 
 def test_banded_layout_estimator_exact_at_full_coverage(spark):
