@@ -13,24 +13,28 @@ vectors with sf0.1's measured own-label centroid pull, NOT clones — where
 the 8-bit emission (~16× sf1's ≈ 2.5e7) forces the chooser past 8 bits
 end-to-end on data whose similarity structure matches the driver's.
 
-Head-to-head on the same corpus, one process:
-  - chooser: chosen bits + wall (one bounded TakeOrdered sample job)
-  - routed tier (`embedding_neardup_pairs_routed`): wall + pairs
+Head-to-head on the same corpus, one process (round 11: the routed
+entry's escalation regime now EXECUTES the banded ladder — this script
+records the four shapes at the escalation point):
+  - chooser: single-block escalation DETECTOR width + banded LAYOUT
+    chooser pick, with walls (bounded TakeOrdered sample jobs)
+  - routed entry (`embedding_neardup_pairs_routed`): wall + pairs +
+    planted recall — since round 11 this is the BANDED LADDER at the
+    chosen layout, not a wider single block
+  - superseded single-block escalated shape
+    (`embedding_neardup_pairs(n_bits=chosen)`): wall + pairs + planted
+    recall — kept as the dominated comparator; sign_bucket(bits)
+    refines sign_bucket(8), so its pairs ⊆ 8-bit pairs and its recall
+    vs 8-bit is exact, reported OVERALL and BY COSINE BAND (the overall
+    number is dominated by the marginal-cosine noise tail; the
+    near-dup-grade pairs the tier exists for sit at cos → 1)
   - pinned 8-bit tier (`embedding_neardup_pairs`): wall + pairs
-  - recall: sign_bucket(bits) refines sign_bucket(8) (bit i = sign of
-    dim i), so routed pairs ⊆ 8-bit pairs and recall = |routed|/|8-bit|
-    exactly — reported OVERALL and BY COSINE BAND, because the overall
-    number is dominated by the marginal-cosine tail (this corpus, like
-    the driver's, has no planted embedding near-dups: its pair mass sits
-    at cos 0.25-0.6 where per-hyperplane agreement is only 1-θ/π ≈
-    0.58-0.70 and any block scheme sheds pairs fast), while the
-    near-dup-grade pairs the tier exists for sit at cos → 1 where
-    agreement → 1.
+  - banded scale-default (4,16) direct: wall + pairs
   - planted-pair recall: 400 deliberate near-dup pairs at cos ≈ 0.97
     (perturbed copies — the shape real corpora have and this generator
-    deliberately omits) appended to the corpus; recall of those pairs at
-    the chosen width vs at 8 bits measures the escalation's price on the
-    pairs that matter, not on the noise tail.
+    deliberately omits) appended to the corpus; recall of those pairs
+    per shape measures each escalation's price on the pairs that
+    matter, not on the noise tail.
 
 Deterministic (fixed seeds); writes bench_escalation.json and prints one
 JSON line. Run:  python bench_escalation.py  (~4-5 min: the 8-bit side
@@ -122,36 +126,53 @@ def main() -> None:
     t0 = time.perf_counter()
     bits = similarity.choose_near_dup_bits(emb)
     chooser_wall = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    layout = similarity.choose_banded_layout(emb)
+    layout_chooser_wall = round(time.perf_counter() - t0, 3)
 
+    # the canonical routed entry — since round 11 its escalation regime
+    # executes the banded ladder at the layout chooser's pick
     t0 = time.perf_counter()
     routed = similarity.embedding_neardup_pairs_routed(emb).collect()
     routed_wall = round(time.perf_counter() - t0, 3)
+
+    # the SUPERSEDED single-block escalated shape, kept as the dominated
+    # comparator (the round-10 measurement that motivated the redirect)
+    t0 = time.perf_counter()
+    block = similarity.embedding_neardup_pairs(emb, n_bits=bits).collect()
+    block_wall = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
     flat = similarity.embedding_neardup_pairs(emb, n_bits=8).collect()
     flat_wall = round(time.perf_counter() - t0, 3)
 
-    # the banded shape (4 bands x 16 bits): same expected emission as a
-    # single 14-bit block, recall 1-(1-p^16)^4 instead of p^14
+    # the banded scale-default (4 bands x 16 bits) called directly: same
+    # expected emission as a single 14-bit block, recall 1-(1-p^16)^4
     t0 = time.perf_counter()
     banded = similarity.embedding_neardup_pairs_banded(emb).collect()
     banded_wall = round(time.perf_counter() - t0, 3)
 
     routed_set = {(r["vec1"], r["vec2"]): r["cosine"] for r in routed}
+    block_set = {(r["vec1"], r["vec2"]): r["cosine"] for r in block}
     flat_set = {(r["vec1"], r["vec2"]): r["cosine"] for r in flat}
     banded_set = {(r["vec1"], r["vec2"]): r["cosine"] for r in banded}
-    assert set(routed_set) <= set(flat_set), "wider blocks must refine narrower"
+    assert set(block_set) <= set(flat_set), "wider blocks must refine narrower"
+    if tuple(layout) == (4, 16):
+        assert set(routed_set) == set(banded_set), (
+            "routed entry at the default layout must equal the banded tier"
+        )
 
-    # recall by cosine band: the overall ratio is dominated by the
-    # marginal-cosine noise tail; the near-dup tail is what matters
+    # single-block escalation recall by cosine band: the overall ratio is
+    # dominated by the marginal-cosine noise tail; the near-dup tail is
+    # what matters
     bands = [(0.25, 0.4), (0.4, 0.6), (0.6, 0.9), (0.9, 1.01)]
     band_recall = {}
     for lo, hi in bands:
         denom = [p for p, c in flat_set.items() if lo <= c < hi]
-        num = [p for p in denom if p in routed_set]
+        num = [p for p in denom if p in block_set]
         band_recall[f"{lo}-{hi if hi <= 1 else 1.0}"] = {
             "flat8_pairs": len(denom),
-            "routed_pairs": len(num),
+            "block_pairs": len(num),
             "recall": round(len(num) / len(denom), 4) if denom else None,
         }
 
@@ -159,29 +180,41 @@ def main() -> None:
     planted_pairs = {(min(a, b), max(a, b)) for a, b in planted.items()}
     plant_flat = sum(1 for p in planted_pairs if p in flat_set)
     plant_routed = sum(1 for p in planted_pairs if p in routed_set)
+    plant_block = sum(1 for p in planted_pairs if p in block_set)
     plant_banded = sum(1 for p in planted_pairs if p in banded_set)
 
     rec = {
         "corpus_rows": N_OUT + N_PLANT,
         "corpus": "x4-sf1 embeddings, gen_sf1 construction, seed 20260817, "
         f"+{N_PLANT} planted cos~0.97 near-dup pairs",
-        "chosen_bits": int(bits),
+        "detector_bits": int(bits),
         "chooser_wall_sec": chooser_wall,
+        "banded_layout": list(layout),
+        "layout_chooser_wall_sec": layout_chooser_wall,
         "routed_wall_sec": routed_wall,
         "routed_pairs": len(routed_set),
+        "routed_shape": f"banded ladder {tuple(layout)}",
+        "block_escalated_wall_sec": block_wall,
+        "block_escalated_pairs": len(block_set),
         "flat8_wall_sec": flat_wall,
         "flat8_pairs": len(flat_set),
-        "recall_vs_8bit_overall": round(
-            len(routed_set) / max(len(flat_set), 1), 4
+        "block_recall_vs_8bit_overall": round(
+            len(block_set) / max(len(flat_set), 1), 4
         ),
-        "recall_vs_8bit_by_cosine_band": band_recall,
+        "block_recall_vs_8bit_by_cosine_band": band_recall,
         "planted_pairs": len(planted_pairs),
         "planted_recalled_8bit": plant_flat,
         "planted_recalled_routed": plant_routed,
+        "planted_recalled_block_escalated": plant_block,
         "banded_wall_sec": banded_wall,
         "banded_pairs": len(banded_set),
         "planted_recalled_banded_4x16": plant_banded,
-        "speedup_vs_8bit": round(flat_wall / max(routed_wall, 1e-9), 2),
+        "routed_speedup_vs_8bit": round(
+            flat_wall / max(routed_wall, 1e-9), 2
+        ),
+        "block_speedup_vs_8bit": round(
+            flat_wall / max(block_wall, 1e-9), 2
+        ),
         "banded_speedup_vs_8bit": round(
             flat_wall / max(banded_wall, 1e-9), 2
         ),

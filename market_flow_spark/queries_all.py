@@ -14,39 +14,34 @@ Window structure (since round 6, per the round-5 verdict's #1 ask): a
 the flagship — and 35 ROTATING slots scheduled strictly by
 "never-driver-certified first", then "oldest certification first".
 
-Round-10 rotation (this file's current window), scheduled by the
-standing rule — never-driver-certified first, then oldest certification
-first:
-  slots 1-2 (never certified): embedding_near_dup_banded (round-10
-    operator — the banded sign-LSH shape that repairs the recall the
-    measured escalation regime pays; disjoint sign bands at equal
-    emission to a single wider block) and embedding_near_dup_banded_routed
-    (the same tier behind its emission-aware layout chooser — the ladder
-    (4,10)→(3,21)→(2,32)→(1,64) walked until the sampled emission fits
-    the 2e6 cap).
-  slots 3-15 (the 13 remaining r6-certified names — the documented
-    round-10 refresh front, alphabetical): pmi_collocations,
-    repetition_stats, scd2_part_prices, semantic_dedup_keep,
-    sequence_packing, snapshot_diff_orders, tfidf_doc_similarity,
-    token_counts, top_tokens_per_lang, top_values_orders,
-    unigram_logprob, view_click_attribution, winsorize_prices.
-  slots 16-35 (20 of the 35 r7-certified names, alphabetical — no
-    intra-round priority signal): basket_pairs, cms_heavy_hitters,
-    contamination_exact, contamination_exact_bloomed, corpus_clean,
-    corpus_kl_by_lang, corpus_shuffle, corr_quantity_price,
-    country_name_cleaning, curriculum_stages, domain_url_stats,
-    drift_score_odd_vs_even, dsir_weights, ewma_daily_price_unbounded,
-    ewma_monthly_price, feature_encode_panel, gap_fill_months,
-    interval_price_bands, kmv_distinct_by_returnflag, knn_label_vote.
-  The 15 remaining r7-certified names (langid_trigram, nb_classify_lang,
-  pit_part_price_sales, price_anomalies, price_histogram,
-  price_percentiles, profile_drift_orders, profile_orders,
-  rolling_median_price, theta_overlap_years, token_budget_select,
-  unpivot_flag_metrics, url_canonical_dedup, weighted_sample_docs,
-  window_panel) are the round-11 refresh front, followed by the r8
-  cohort (35 names). (langid_trigram and nb_classify_lang were displaced
-  by this round's two never-certified registrations, per the standing
-  rule.)
+Round-11 rotation (this file's current window), scheduled by the
+standing rule — never-driver-certified first (none: every registered
+name has carried a green driver row as of CORRECTNESS_r10), then oldest
+certification first:
+  slots 1-15 (the 15 remaining r7-certified names — the documented
+    round-11 refresh front, alphabetical): langid_trigram,
+    nb_classify_lang, pit_part_price_sales, price_anomalies,
+    price_histogram, price_percentiles, profile_drift_orders,
+    profile_orders, rolling_median_price, theta_overlap_years,
+    token_budget_select, unpivot_flag_metrics, url_canonical_dedup,
+    weighted_sample_docs, window_panel.
+  slots 16-35 (20 of the 35 r8-certified names, alphabetical — no
+    intra-round priority signal): ann_lsh_topk, asof_last_view,
+    contamination_ngram, corpus_prefilter, cube_returnflag_priority,
+    dedup_exact, dedup_minhash_incremental, dedup_ngram_jaccard,
+    dedup_word_jaccard, embedding_near_dup, events_typed,
+    float_key_join, forecast_horizon, ivf_topk, json_props_stats,
+    kmv_distinct_parts, monthly_event_stats, multimodal_bytes,
+    multimodal_frames, page_and_tail.
+  Round-12 refresh front (verdict r10 ask #6 — documented ahead of the
+  window): the 15 remaining r8-certified names (pii_redact,
+  range_join_nearby, rollup_revenue, seasonal_forecast, session_windows,
+  simhash_pairs, simhash_signatures, sliding_window_stats, span_dedup,
+  theta_rollup_custkeys, tumbling_hour_stats, user_sessions_core,
+  variant_events_stats, winnow_containment, winnow_containment_capped),
+  then the r9 cohort (35 names, alphabetical). Any query registered in
+  round 11+ is never-certified and takes the first rotating slots, per
+  the standing rule.
 
 Permanent core (always in-window; each anchors a §2 family):
   flagship_wide (J2 star join)      fact_transactions (J4/J11/W2)
@@ -58,9 +53,9 @@ Permanent core (always in-window; each anchors a §2 family):
   cosine_topk (similarity tier)     text_profile (text tier)
   linear_forecast (UD1)
 
-Rotated OUT this round: the full r9 rotating cohort (all 35 driver-green
-in CORRECTNESS_r09, still in the local all-oracle parity sweep every
-suite run). The r1-r9 past-window set listed in prior revisions of this
+Rotated OUT this round: the full r10 rotating cohort (all 35 driver-green
+in CORRECTNESS_r10, still in the local all-oracle parity sweep every
+suite run). The r1-r10 past-window set listed in prior revisions of this
 docstring remains driver-green and local-sweep-green.
 """
 
@@ -89,45 +84,44 @@ _PRIORITY: list[str] = [
     "text_profile",
     "linear_forecast",
     # ---- rotating slots (35): never-driver-certified first -------------
-    # never certified (2): the round-10 banded near-dup operator + its
-    # emission-aware layout-routed shape
-    "embedding_near_dup_banded",
-    "embedding_near_dup_banded_routed",
-    # last green in r6 (the 13 remaining r6 names, alphabetical)
-    "pmi_collocations",
-    "repetition_stats",
-    "scd2_part_prices",
-    "semantic_dedup_keep",
-    "sequence_packing",
-    "snapshot_diff_orders",
-    "tfidf_doc_similarity",
-    "token_counts",
-    "top_tokens_per_lang",
-    "top_values_orders",
-    "unigram_logprob",
-    "view_click_attribution",
-    "winsorize_prices",
-    # last green in r7 (20 of 35, alphabetical)
-    "basket_pairs",
-    "cms_heavy_hitters",
-    "contamination_exact",
-    "contamination_exact_bloomed",
-    "corpus_clean",
-    "corpus_kl_by_lang",
-    "corpus_shuffle",
-    "corr_quantity_price",
-    "country_name_cleaning",
-    "curriculum_stages",
-    "domain_url_stats",
-    "drift_score_odd_vs_even",
-    "dsir_weights",
-    "ewma_daily_price_unbounded",
-    "ewma_monthly_price",
-    "feature_encode_panel",
-    "gap_fill_months",
-    "interval_price_bands",
-    "kmv_distinct_by_returnflag",
-    "knn_label_vote",
+    # (no never-certified names at round-11 start)
+    # last green in r7 (the 15 remaining r7 names, alphabetical)
+    "langid_trigram",
+    "nb_classify_lang",
+    "pit_part_price_sales",
+    "price_anomalies",
+    "price_histogram",
+    "price_percentiles",
+    "profile_drift_orders",
+    "profile_orders",
+    "rolling_median_price",
+    "theta_overlap_years",
+    "token_budget_select",
+    "unpivot_flag_metrics",
+    "url_canonical_dedup",
+    "weighted_sample_docs",
+    "window_panel",
+    # last green in r8 (20 of 35, alphabetical)
+    "ann_lsh_topk",
+    "asof_last_view",
+    "contamination_ngram",
+    "corpus_prefilter",
+    "cube_returnflag_priority",
+    "dedup_exact",
+    "dedup_minhash_incremental",
+    "dedup_ngram_jaccard",
+    "dedup_word_jaccard",
+    "embedding_near_dup",
+    "events_typed",
+    "float_key_join",
+    "forecast_horizon",
+    "ivf_topk",
+    "json_props_stats",
+    "kmv_distinct_parts",
+    "monthly_event_stats",
+    "multimodal_bytes",
+    "multimodal_frames",
+    "page_and_tail",
 ]
 
 _WINDOW = 50
