@@ -836,10 +836,13 @@ def choose_near_dup_bits(
     """Emission-aware block-width chooser for the sign-bucket near-dup
     tier (the embedding mirror of ``dedup.choose_word_jaccard_strategy``'s
     routing): estimate the block self-join's candidate emission Σ size²
-    from a bounded sample's bucket histogram, scaled by (N/n_sample)²
-    (frequency stationarity, same estimator as the word tier), and add
-    hyperplane bits until the estimate fits ``max_emission`` or the
-    embedding dimension runs out.
+    from a bounded sample's bucket histogram — DIAGONAL-EXACT: the
+    estimate is N + (N/n_sample)²·(Σc² − n_sample), scaling only the
+    collision mass quadratically (frequency stationarity) while the
+    diagonal enters linearly — and add hyperplane bits until the
+    estimate fits ``max_emission`` or the embedding dimension runs out.
+    (Scaling the whole Σc² inflates the sample's singleton buckets into
+    n·(N/n)² phantom emission and over-escalates; measured round-11.)
 
     More bits = smaller blocks = less emission but lower recall (a pair
     straddling any added hyperplane is lost) — the standard sign-LSH
@@ -889,7 +892,13 @@ def choose_near_dup_bits(
     bits = n_bits
     while bits < hi:
         counts = Counter(s & ((1 << bits) - 1) for s in sigs)
-        if sum(c * c for c in counts.values()) * scale <= max_emission:
+        # diagonal-exact collision scaling (see choose_banded_layout.est):
+        # true Σc² = N + collision mass, and only the collision mass
+        # scales (N/n)² — scaling sample singletons quadratically
+        # overestimates wide-width emission by ~n·(N/n)² and walks the
+        # escalation further than the corpus warrants.
+        coll = sum(c * c for c in counts.values()) - n_s
+        if n_full + coll * scale <= max_emission:
             break
         bits += 1
     return bits
@@ -1078,9 +1087,11 @@ def choose_banded_layout(
     emission is B·N²/2^r, so the escalation ladder trades bands for
     width: from the entry layout (B, r) it walks (B-1, dim//(B-1)),
     (B-2, dim//(B-2)), … (1, dim) until the SAMPLED emission estimate —
-    Σ over bands of Σ bucket-size², scaled by (N/n)² (the same
-    frequency-stationarity estimator as the word tier and the
-    single-block chooser) — fits ``max_emission``. Each rung divides
+    Σ over bands of [N + (N/n)²·(Σ bucket-size² − n)], the
+    DIAGONAL-EXACT form of the frequency-stationarity estimator shared
+    with the single-block chooser (see ``est``'s comment for the
+    measured failure the naive form causes) — fits ``max_emission``.
+    Each rung divides
     expected emission by ~2^(Δr)·B-ratio (e.g. dim 64: (4,16) → (3,21)
     is ×43 less, (2,32) another ×1500), while recall decays only as one
     band's worth of the 1-(1-p^r)^B curve per rung — far gentler than
@@ -1136,12 +1147,23 @@ def choose_banded_layout(
     from collections import Counter
 
     def est(bands: int, bits: int) -> float:
-        total = 0
+        # Per band: true Σ bucket² = N (the diagonal — every row pairs
+        # with itself once) + the COLLISION mass, and only the collision
+        # mass scales as (N/n)² under frequency stationarity. Scaling
+        # the whole sample Σc² — diagonal included — inflates the n
+        # singleton buckets a 4096-row sample of a big corpus mostly
+        # consists of into n·(N/n)² phantom emission (~1.6e6 at ×4-sf1,
+        # nearly the whole 2e6 cap), which walked the ladder to (1, 64)
+        # and collapsed planted-pair recall to 1/400 in the round-11
+        # escalation measurement. At full sample coverage (scale = 1)
+        # this equals Σc² exactly, same as before.
+        total = 0.0
         for b in range(bands):
             mask = (1 << bits) - 1
             counts = Counter((p >> (b * bits)) & mask for p in patterns)
-            total += sum(c * c for c in counts.values())
-        return total * scale
+            coll = sum(c * c for c in counts.values()) - n_s
+            total += n_full + coll * scale
+        return total
 
     layouts = [(n_bands, band_bits)] + [
         (b, dim // b) for b in range(n_bands - 1, 0, -1)

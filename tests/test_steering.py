@@ -617,6 +617,63 @@ def test_band_sign_keys_rejects_unpackable_widths(spark):
         similarity.band_sign_keys(F.col("embedding"), 0, 8)
 
 
+def _distinct_band_embeddings(spark, n=2000):
+    """n rows, dim 64, with the row index's low 11 bits sign-encoded into
+    EVERY 16-dim band (dims 16j..16j+10) — all four (4,16) band keys are
+    singletons for every row, so the entry layout's TRUE emission is
+    exactly N per band. A 512-row sample is then ALL singletons: the
+    naive Σc²·(N/n)² estimator reads 512·(N/512)² per band — quadratic
+    phantom emission from the diagonal — while the true value is N."""
+    rows = []
+    for i in range(n):
+        vec = []
+        for d in range(64):
+            k = d % 16
+            if k <= 10:
+                s = 0.2 if (i >> k) & 1 else -0.2
+            else:
+                s = 0.2
+            vec.append(s + 0.001 * ((i * d) % 5))
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_banded_estimator_does_not_inflate_singleton_diagonal(spark):
+    """Round-11 regression (found by the escalation head-to-head: the
+    ladder walked to (1,64) at ×4-sf1 and planted recall collapsed to
+    1/400): on an all-distinct corpus the entry layout's true emission
+    is 4·N = 8e3, under a 2e4 cap — the chooser must KEEP the entry
+    layout even when the 512-row sample is pure singletons (the naive
+    estimator read 4·512·(2000/512)² ≈ 3.1e4 and escalated)."""
+    emb = _distinct_band_embeddings(spark)
+    assert similarity.choose_banded_layout(
+        emb, n_bands=4, band_bits=16, max_emission=2e4, sample_rows=512
+    ) == (4, 16)
+
+
+def test_block_chooser_does_not_inflate_singleton_diagonal(spark):
+    """Single-block mirror of the diagonal regression: 12-bit keys are
+    all-distinct (true Σc² = N = 2048 ≤ the 5e3 cap) so the walk must
+    stop at the base 12 bits; the naive estimator read 512·(2048/512)²
+    = 8192 > cap at EVERY width and walked to max_bits."""
+    rows = []
+    for i in range(2048):
+        vec = [
+            (0.2 if (i >> d) & 1 else -0.2) + 0.001 * ((i * d) % 5)
+            if d <= 11
+            else 0.2 + 0.001 * ((i + d) % 7)
+            for d in range(16)
+        ]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert (
+        similarity.choose_near_dup_bits(
+            emb, n_bits=12, max_emission=5e3, sample_rows=512, max_bits=16
+        )
+        == 12
+    )
+
+
 def test_banded_layout_estimator_exact_at_full_coverage(spark):
     """With the sample covering the whole corpus the folded-chunk
     estimate equals the true Sigma-over-bands bucket-size^2 — pinned by
