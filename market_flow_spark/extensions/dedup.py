@@ -1341,9 +1341,10 @@ def winnow_fingerprints(
 
 # Documented routing threshold for the exact-substring span tier, in
 # WINDOW ROWS (≈ normalized chars: one hashed window per char position).
-# Measured end-to-end throughput on the 32-core bench box is ~0.6-1.9 M
-# window rows/s (sf0.1: 1.49 M chars → 2.4 s; sf1: 14.9 M → 7.9 s), so
-# 6e8 ≈ 5 minutes of wall — the same budget class as the word tier's
+# Measured end-to-end throughput on the 32-core bench box is ~0.7-2.5 M
+# window rows/s (post-r11 verify reclaim: sf0.1's 1.49 M chars → 1.25 s
+# min / sf1's 14.9 M → 5.98 s min; medians ~40% higher), so 6e8 ≈ 5
+# minutes of wall — the same budget class as the word tier's
 # 1e10-candidate cap. Above it, the corpus-bytes-sized shuffle this tier
 # is honest about stops being affordable and the winnowing containment
 # tier (sampled ~1/window of the hashes, scores instead of exact spans)
@@ -1453,9 +1454,17 @@ def exact_substring_spans(
     semi-join back on the SAME hash key reuses that partitioning; the
     survivors (output-sized: the corpus's duplicated share, plus the
     ~2⁻⁶¹-rate collision noise) join back on doc_id for content
-    extraction and one more hash aggregate verifies content counts; then
-    one per-doc window pass merges overlapping windows into maximal
-    spans (gaps-and-islands over a running max of pos + min_len).
+    extraction; content counts are then verified with a count over ONE
+    exchange on the content key (window count — no separate aggregate +
+    join-back), and overlapping windows merge into maximal spans inside
+    one per-doc hash aggregate (sort_array + a linear ``aggregate()``
+    fold over each doc's duplicated positions — no sort-window
+    machinery; a doc's duplicated-window positions fit an array by the
+    same argument its text fits a row). The round-11 rewrite of these
+    two stages measured ×0.75 end-to-end at sf0.1 (min 1.66 → 1.25 s,
+    non-overlapping pass distributions; PLANS.md has the sf1 row),
+    reclaiming about half of the round-10 collision-proofing cost with
+    the unconditional-exactness contract intact.
 
     Scale contract (the emission number for this tier): the window-hash
     explode shuffles one (doc_id, pos, hash) row per normalized char into
@@ -1494,45 +1503,68 @@ def exact_substring_spans(
         .select(h)
     )
     cand = wins.join(dup, h, "left_semi").select("doc_id", "pos")
-    # content verify: hash matches are candidates, not verdicts — re-group
+    # content verify: hash matches are candidates, not verdicts — re-count
     # the survivors on the actual window content so a hash collision can
     # never fabricate a duplicate span. (A pack-positions-per-doc rewrite
     # that moved each doc's text through the join once was MEASURED 2×
     # slower at sf0.1/sf1 — the extra collect_list shuffle costs more
     # than the join-output text duplication it avoids; keep the plain
-    # candidate join.)
+    # candidate join.) The count is a window count over ONE exchange on
+    # the content key — the round-11 reclaim experiment measured the
+    # former groupBy(content) + left_semi join-back shape ×1.33 slower
+    # end-to-end together with the old sort-window span merge below.
     c = "__es_c"
     cand_c = cand.join(base, "doc_id").select(
         "doc_id",
         "pos",
         F.expr(f"substring({n}, pos + 1, {min_len})").alias(c),
     )
-    dup_c = (
-        cand_c.groupBy(c)
-        .agg(F.count(F.lit(1)).alias("occ"))
-        .filter(F.col("occ") >= 2)
-        .select(c)
+    wc = Window.partitionBy(c)
+    dup_wins = (
+        cand_c.withColumn("__occ", F.count(F.lit(1)).over(wc))
+        .filter(F.col("__occ") >= 2)
+        .select("doc_id", "pos")
     )
-    dup_wins = cand_c.join(dup_c, c, "left_semi").select("doc_id", "pos")
-    byp = Window.partitionBy("doc_id").orderBy("pos")
-    reach = F.max(F.col("pos") + min_len).over(
-        byp.rowsBetween(Window.unboundedPreceding, -1)
+    # span merge: one per-doc hash aggregate — sorted positions folded
+    # into maximal [start, end) islands by a linear aggregate() lambda
+    # (running reach = pos + min_len; a gap starts a new span). Replaces
+    # the running-max window + islands + second groupBy of the previous
+    # shape: one exchange on doc_id, no partition sort.
+    packed = dup_wins.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("__ps")
     )
-    new_island = F.when(
-        reach.isNull() | (F.col("pos") > reach), F.lit(1)
-    ).otherwise(F.lit(0))
-    island = F.sum(new_island).over(
-        byp.rowsBetween(Window.unboundedPreceding, 0)
-    )
+    fold = f"""
+      aggregate(
+        __ps,
+        struct(
+          CAST(array() AS array<struct<span_start:int,span_end:int,n_windows:bigint>>) AS done,
+          CAST(-1 AS int) AS s, CAST(-1 AS int) AS e, CAST(0 AS bigint) AS k
+        ),
+        (acc, p) -> CASE
+          WHEN acc.s < 0 THEN
+            struct(acc.done AS done, p AS s,
+                   p + {min_len} AS e, CAST(1 AS bigint) AS k)
+          WHEN p > acc.e THEN
+            struct(array_append(acc.done,
+                     struct(acc.s AS span_start, acc.e AS span_end,
+                            acc.k AS n_windows)) AS done,
+                   p AS s, p + {min_len} AS e, CAST(1 AS bigint) AS k)
+          ELSE
+            struct(acc.done AS done, acc.s AS s,
+                   GREATEST(acc.e, p + {min_len}) AS e,
+                   acc.k + CAST(1 AS bigint) AS k)
+        END,
+        acc -> CASE WHEN acc.s < 0 THEN acc.done
+                    ELSE array_append(acc.done,
+                           struct(acc.s AS span_start, acc.e AS span_end,
+                                  acc.k AS n_windows)) END
+      )
+    """
     return (
-        dup_wins.withColumn("__island", island)
-        .groupBy("doc_id", "__island")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + F.lit(min_len)).alias("span_end"),
-            F.count(F.lit(1)).alias("n_windows"),
+        packed.select("doc_id", F.explode(F.expr(fold)).alias("__sp"))
+        .select(
+            "doc_id", "__sp.span_start", "__sp.span_end", "__sp.n_windows"
         )
-        .select("doc_id", "span_start", "span_end", "n_windows")
     )
 
 

@@ -832,6 +832,7 @@ def choose_near_dup_bits(
     emb_col: str = "embedding",
     max_bits: int | None = None,
     id_col: str = "vec_id",
+    n_full: int | None = None,
 ) -> int:
     """Emission-aware block-width chooser for the sign-bucket near-dup
     tier (the embedding mirror of ``dedup.choose_word_jaccard_strategy``'s
@@ -854,10 +855,14 @@ def choose_near_dup_bits(
     single block anyway calls ``embedding_neardup_pairs(n_bits=chosen)``
     directly — it stays DuckDB-twin-checkable at any width.
 
-    Cost: ONE bounded job — the sample's buckets are computed once at
-    ``max_bits`` width and collected (≤ ``sample_rows`` ints, the same
-    bounded-pull class as the IVF/PQ codebook builds); bucket histograms
-    at narrower widths are low-bit masks of that, folded driver-side.
+    Cost: ONE bounded job for the histogram — the sample's buckets are
+    computed once at ``max_bits`` width and collected (≤ ``sample_rows``
+    ints, the same bounded-pull class as the IVF/PQ codebook builds);
+    bucket histograms at narrower widths are low-bit masks of that,
+    folded driver-side. The corpus count follows the word tier's
+    contract: caller-provided ``n_full``, else exact when the bounded
+    sample returns fewer rows than requested, else one ``count()``
+    (pass ``n_full`` from catalog stats to skip it at 100 TB).
 
     The sample is DETERMINISTIC: the ``sample_rows`` lowest ``id_col``
     values (TakeOrdered — one bounded pass, no full sort materialized).
@@ -875,7 +880,6 @@ def choose_near_dup_bits(
     hi = min(max_bits if max_bits is not None else 24, int(dim["d"]), 30)
     if hi <= n_bits:
         return n_bits
-    n_full = embeddings.count()
     order_key = id_col if id_col in embeddings.columns else embeddings.columns[0]
     sample = (
         embeddings.orderBy(order_key)
@@ -886,6 +890,8 @@ def choose_near_dup_bits(
     n_s = len(sigs)
     if not n_s:
         return n_bits
+    if n_full is None:
+        n_full = n_s if n_s < sample_rows else embeddings.count()
     scale = (max(n_full, n_s) / n_s) ** 2
     from collections import Counter
 
@@ -912,6 +918,7 @@ def embedding_neardup_pairs_routed(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     max_bits: int | None = None,
+    n_full: int | None = None,
 ) -> DataFrame:
     """The emission-routed embedding near-dup entry point: the base
     ``n_bits`` sign-block tier while the sampled candidate-emission
@@ -934,9 +941,14 @@ def embedding_neardup_pairs_routed(
     schema is identical on both routes ((vec1, vec2, cosine)); the
     escalated route is certified against its parameterized DuckDB twin
     by tests/test_steering.py."""
+    if n_full is None:
+        # one count shared by the detector and (if escalating) the
+        # banded layout chooser — the only full-input action on the
+        # routed path (pass n_full from catalog stats to skip it)
+        n_full = embeddings.count()
     bits = choose_near_dup_bits(
         embeddings, n_bits, max_emission, emb_col=emb_col, max_bits=max_bits,
-        id_col=id_col,
+        id_col=id_col, n_full=n_full,
     )
     if bits == n_bits:
         return embedding_neardup_pairs(
@@ -945,7 +957,7 @@ def embedding_neardup_pairs_routed(
         )
     return embedding_neardup_pairs_banded_routed(
         embeddings, threshold=threshold, max_emission=max_emission,
-        id_col=id_col, emb_col=emb_col,
+        id_col=id_col, emb_col=emb_col, n_full=n_full,
     )
 
 
