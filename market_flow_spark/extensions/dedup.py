@@ -1568,6 +1568,65 @@ def exact_substring_spans(
     )
 
 
+def exact_substring_dedup(
+    docs: DataFrame,
+    min_len: int = 30,
+    text_col: str = "text",
+    _hash_hex: int = 15,
+) -> DataFrame:
+    """(doc_id, clean_text, n_cut_chars): the APPLY half of the Lee et
+    al. 2022 exact-substring pipeline — every duplicated span reported by
+    ``exact_substring_spans`` is CUT from its document's normalized text
+    (their deduplicate-text-datasets tool's default: every occurrence of
+    a duplicated substring is removed, not all-but-one), returning the
+    cleaned corpus a training pipeline actually feeds downstream plus
+    the per-doc cut size for loss accounting. Coordinates are on the
+    NORMALIZED text (lower/trim/whitespace-collapse — the span tier's
+    coordinate system), so ``clean_text`` is normalized too; documents
+    with no duplicated spans pass through with ``n_cut_chars`` 0.
+
+    Plan shape: the span tier's plan (see ``exact_substring_spans``)
+    plus one per-doc hash aggregate packing each doc's (start, end)
+    spans — output-sized: only docs WITH spans — and one left join back
+    to the corpus where a linear ``aggregate()`` fold concatenates the
+    kept segments between consecutive spans (spans are disjoint and
+    sorted by construction, so the fold is a single cursor walk; no
+    per-row Python, no window sort)."""
+    spans = exact_substring_spans(docs, min_len, text_col, _hash_hex)
+    n = "__es_norm"
+    base = _spread(docs).select("doc_id", _norm_text(text_col).alias(n))
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__sp")
+    )
+    cut = F.expr(
+        f"""
+      CASE WHEN __sp IS NULL THEN {n} ELSE
+        aggregate(
+          __sp,
+          struct(CAST('' AS string) AS out, CAST(0 AS int) AS cur),
+          (acc, s) -> struct(
+            acc.out || substring({n}, acc.cur + 1, s.span_start - acc.cur)
+              AS out,
+            s.span_end AS cur),
+          acc -> acc.out ||
+                 substring({n}, acc.cur + 1, length({n}) - acc.cur)
+        )
+      END
+    """
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select("doc_id", F.col(n), cut.alias("clean_text"))
+        .select(
+            "doc_id",
+            "clean_text",
+            (F.length(n) - F.length("clean_text")).alias("n_cut_chars"),
+        )
+    )
+
+
 def winnow_containment(
     corpus: DataFrame,
     probe: DataFrame,

@@ -2046,6 +2046,61 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_substring_dedup_oracle(min_len: int = 30) -> str:
+    """DuckDB twin of dedup.exact_substring_dedup: the span twin's CTE
+    chain, then the identical cut — per doc, the kept segment before
+    each span (from the previous span's end, LAG over span_start order)
+    is string_agg'd in span order and the tail after the last span is
+    appended; span-free docs pass through whole."""
+    spans = _exact_substring_oracle(min_len).strip().rstrip()
+    return f"""
+WITH spans AS ({spans}),
+normed2 AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, span_start, span_end,
+         COALESCE(LAG(span_end) OVER (PARTITION BY doc_id
+                                      ORDER BY span_start), 0) AS prev_end
+  FROM spans
+),
+agg AS (
+  SELECT s.doc_id,
+         string_agg(substr(nm.n, CAST(s.prev_end AS INT) + 1,
+                           CAST(s.span_start - s.prev_end AS INT)),
+                    '' ORDER BY s.span_start) AS head_chunks,
+         MAX(s.span_end) AS last_end
+  FROM segs s JOIN normed2 nm USING (doc_id)
+  GROUP BY s.doc_id
+)
+SELECT nm.doc_id,
+       CASE WHEN a.doc_id IS NULL THEN nm.n
+            ELSE COALESCE(a.head_chunks, '')
+                 || substr(nm.n, CAST(a.last_end AS INT) + 1) END
+         AS clean_text,
+       CAST(len(nm.n) - len(CASE WHEN a.doc_id IS NULL THEN nm.n
+            ELSE COALESCE(a.head_chunks, '')
+                 || substr(nm.n, CAST(a.last_end AS INT) + 1) END) AS INT)
+         AS n_cut_chars
+FROM normed2 nm LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("exact_substring_dedup", _exact_substring_dedup_oracle())
+def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of the exact-substring pipeline (Lee et al. 2022,
+    arXiv:2107.06499; round 11): cut every duplicated ≥30-char span
+    from its document's normalized text and return the cleaned corpus
+    with per-doc cut sizes — the step that turns the span REPORT into
+    the training corpus a pipeline actually feeds downstream. Every doc
+    rows through (span-free docs pass unchanged, n_cut_chars 0), so the
+    driver value-hashes the full cleaned text of all documents."""
+    return dedup.exact_substring_dedup(
+        load_tables(spark, sf_dir)["documents"], min_len=30
+    )
+
+
 @register("winnow_containment", _winnow_oracle(threshold=0.5))
 def q_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (winnowing) containment contamination: test docs

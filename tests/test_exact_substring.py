@@ -131,3 +131,52 @@ def test_route_chooser_estimate_and_flip(spark):
     # caller-known n_full skips the count and scales the sample mean
     est = estimate_exact_substring_window_rows(docs, n_full=300)
     assert est == 23.0 / 3 * 300
+
+
+def test_dedup_apply_cuts_exactly_the_spans(spark):
+    """exact_substring_dedup (round 11, the APPLY half): the cleaned text
+    must equal the normalized text with every reported span's char range
+    removed — expectations hand-computed, including the one-char-left /
+    five-char-right extension where the fillers genuinely share ' ' and
+    ' tail' around the planted duplicate."""
+    from market_flow_spark.extensions.dedup import exact_substring_dedup
+
+    dup = "abcdefghijklmnopqrstuvwxyz0123"  # 30 chars
+    docs = spark.createDataFrame(
+        [
+            (0, "head0 " + dup + " tail0"),
+            (1, "head1 " + dup + " tail1x"),
+            (2, "no duplicated windows live here, all of this is unique"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_cut_chars"])
+        for r in exact_substring_dedup(docs, min_len=L).collect()
+    }
+    # shared region = ' ' + dup + ' tail' (36 chars at positions 5..40)
+    assert got[0] == ("head00", 36)
+    assert got[1] == ("head11x", 36)
+    assert got[2] == (
+        "no duplicated windows live here, all of this is unique",
+        0,
+    )
+
+
+def test_dedup_apply_can_cut_a_whole_doc(spark):
+    """s+s: the two 30-char occurrences of s merge into one [0, 60) span
+    (adjacent islands), so the cleaned text is empty — every occurrence
+    of duplicated content is cut, the tool's default semantics."""
+    from market_flow_spark.extensions.dedup import exact_substring_dedup
+
+    s = "abcdefghijklmnopqrstuvwxyz0123"
+    docs = spark.createDataFrame(
+        [(0, s + s), (1, "entirely unique filler text goes here ok")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_cut_chars"])
+        for r in exact_substring_dedup(docs, min_len=L).collect()
+    }
+    assert got[0] == ("", 60)
+    assert got[1][1] == 0
