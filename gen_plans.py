@@ -73,6 +73,25 @@ SHOWCASE: dict[str, str] = {
         "projection over one corpus scan; the dedup window is the only "
         "hash exchange (plan-asserted)."
     ),
+    "exact_substring_spans": (
+        "Collision-proof exact-substring spans (r11 verify reclaim, "
+        "×0.75): the occ≥2 hash prefilter aggregates behind ONE "
+        "corpus-sized exchange and AQE broadcasts the resulting heavy-"
+        "hash list into a LeftSemi BHJ (no second corpus shuffle at this "
+        "SF; SMJ on the same key at scale); survivors pull text through "
+        "one doc_id join; the content verify is a count over ONE "
+        "exchange on the content key (window count — no aggregate + "
+        "join-back pair); the span merge is one per-doc hash aggregate "
+        "folding sorted positions into islands (no running-max window "
+        "pass)."
+    ),
+    "exact_substring_dedup": (
+        "The APPLY half (r11): the span plan above plus one OUTPUT-SIZED "
+        "per-doc aggregate packing (start, end) spans and a left join "
+        "back to the corpus; the cut itself is a linear aggregate() fold "
+        "in the projection — kept segments concatenate in one pass, no "
+        "extra corpus-sized shuffle beyond the doc_id join."
+    ),
     "quota_cap": (
         "Skew-safe two-level cap: per-(group, subsplit) local top-k bounds "
         "every task before the per-group window — a group holding half the "
