@@ -180,3 +180,76 @@ def test_dedup_apply_can_cut_a_whole_doc(spark):
     }
     assert got[0] == ("", 60)
     assert got[1][1] == 0
+
+
+def _py_spans_and_cut(texts: dict, min_len: int):
+    """Pure-python model of the full pipeline: normalize, count every
+    min_len-window's corpus occurrences, keep pos with count >= 2, merge
+    islands (reach = pos + L), cut spans from the normalized text."""
+    import re as _re
+    from collections import Counter
+
+    norm = {
+        d: _re.sub(r"\s+", " ", t.strip().lower()) for d, t in texts.items()
+    }
+    cnt = Counter()
+    for n in norm.values():
+        for i in range(len(n) - min_len + 1):
+            cnt[n[i : i + min_len]] += 1
+    spans, clean = {}, {}
+    for d, n in norm.items():
+        merged = []
+        for p in range(len(n) - min_len + 1):
+            if cnt[n[p : p + min_len]] < 2:
+                continue
+            if merged and p <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], p + min_len)
+                merged[-1][2] += 1
+            else:
+                merged.append([p, p + min_len, 1])
+        if merged:
+            spans[d] = {(s, e, k) for s, e, k in merged}
+        out, cur = [], 0
+        for s, e, _ in sorted(merged):
+            out.append(n[cur:s])
+            cur = e
+        out.append(n[cur:])
+        c = "".join(out)
+        clean[d] = (c, len(n) - len(c))
+    return spans, clean
+
+
+def test_spans_and_cut_match_python_model_on_random_corpora(spark):
+    """Model-based randomized sweep (repo property-test convention: one
+    Spark job per corpus vs a pure-python model): short alphabet + short
+    windows force dense genuine duplication, runs of spaces stress the
+    normalization, and empty/whitespace/short docs hit the no-window
+    edges. Covers exact_substring_spans AND exact_substring_dedup."""
+    import random
+
+    from market_flow_spark.extensions.dedup import exact_substring_dedup
+
+    L5 = 5
+    for seed in (7, 20260816):
+        rng = random.Random(seed)
+        texts = {}
+        for d in range(14):
+            length = rng.choice([0, 3, 12, 40, 80, 120])
+            texts[d] = "".join(
+                rng.choice("ab  B") for _ in range(length)
+            )
+        exp_spans, exp_clean = _py_spans_and_cut(texts, L5)
+        docs = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got_spans = {}
+        for r in exact_substring_spans(docs, min_len=L5).collect():
+            got_spans.setdefault(r["doc_id"], set()).add(
+                (r["span_start"], r["span_end"], r["n_windows"])
+            )
+        assert got_spans == exp_spans, f"seed {seed}: spans diverge"
+        got_clean = {
+            r["doc_id"]: (r["clean_text"], r["n_cut_chars"])
+            for r in exact_substring_dedup(docs, min_len=L5).collect()
+        }
+        assert got_clean == exp_clean, f"seed {seed}: cut diverges"
