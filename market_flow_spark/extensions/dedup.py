@@ -1459,8 +1459,13 @@ def exact_substring_spans(
     join-back), and overlapping windows merge into maximal spans inside
     one per-doc hash aggregate (sort_array + a linear ``aggregate()``
     fold over each doc's duplicated positions — no sort-window
-    machinery; a doc's duplicated-window positions fit an array by the
-    same argument its text fits a row). The round-11 rewrite of these
+    machinery). Per-doc bound: the packed positions array is ~4-8× the
+    doc's DUPLICATED-text bytes in one row, so a mostly-duplicated doc
+    must stay well under Spark's ~2 GB row ceiling (≲ 100 MB normalized
+    text) — ordinary for training corpora, which chunk documents far
+    below that; for pathological single-doc blobs the pre-r11
+    running-max window merge (streaming within a sorted partition,
+    commit ``2db7995^``) is the fallback shape. The round-11 rewrite of these
     two stages measured ×0.75 end-to-end at sf0.1 (min 1.66 → 1.25 s,
     non-overlapping pass distributions; PLANS.md has the sf1 row),
     reclaiming about half of the round-10 collision-proofing cost with
@@ -1591,7 +1596,10 @@ def exact_substring_dedup(
     to the corpus where a linear ``aggregate()`` fold concatenates the
     kept segments between consecutive spans (spans are disjoint and
     sorted by construction, so the fold is a single cursor walk; no
-    per-row Python, no window sort)."""
+    per-row Python, no window sort). The span tier's scale contract
+    applies unchanged: route through ``choose_exact_substring_route``
+    first — above ``EXACT_SUBSTRING_MAX_WINDOW_ROWS`` the winnowing
+    containment tier is the documented neighbor."""
     spans = exact_substring_spans(docs, min_len, text_col, _hash_hex)
     n = "__es_norm"
     base = _spread(docs).select("doc_id", _norm_text(text_col).alias(n))

@@ -941,11 +941,11 @@ def embedding_neardup_pairs_routed(
     schema is identical on both routes ((vec1, vec2, cosine)); the
     escalated route is certified against its parameterized DuckDB twin
     by tests/test_steering.py."""
-    if n_full is None:
-        # one count shared by the detector and (if escalating) the
-        # banded layout chooser — the only full-input action on the
-        # routed path (pass n_full from catalog stats to skip it)
-        n_full = embeddings.count()
+    # n_full is forwarded, never computed eagerly here: each chooser
+    # counts lazily BEHIND its early exits (max_emission=None, dim at or
+    # under the base width, sample covers corpus), so a call that never
+    # needs the estimate launches zero full-input jobs. Pass n_full from
+    # catalog stats to make the escalation regime count-free too.
     bits = choose_near_dup_bits(
         embeddings, n_bits, max_emission, emb_col=emb_col, max_bits=max_bits,
         id_col=id_col, n_full=n_full,
@@ -1177,11 +1177,14 @@ def choose_banded_layout(
             total += n_full + coll * scale
         return total
 
+    # rung widths cap at 64: a band key is one BIGINT (band_sign_keys),
+    # so for dim > 64 the deep rungs hash a 64-dim prefix slice per band
+    # — still valid sign-LSH, just on a subset of hyperplanes
     layouts = [(n_bands, band_bits)] + [
-        (b, dim // b) for b in range(n_bands - 1, 0, -1)
+        (b, min(dim // b, 64)) for b in range(n_bands - 1, 0, -1)
     ]
     for bands, bits in layouts:
-        if bands * bits > dim:
+        if bands * bits > dim or bits > 64:
             continue
         if est(bands, bits) <= max_emission:
             return bands, bits

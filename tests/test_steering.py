@@ -605,6 +605,55 @@ def test_banded_64bit_rung_executes_and_matches_twin(spark):
     _assert_banded_matches_twin(emb, out, 1, 64)
 
 
+def test_banded_ladder_caps_rung_width_at_64_for_wide_dims(spark):
+    """Round-11 review finding: for dim > 64 the ladder's (1, dim) rung
+    exceeded the BIGINT key's 64-bit capacity and the routed escalation
+    path crashed. Rungs now cap at 64 bits (a 64-dim prefix slice per
+    band — still valid sign-LSH); the deep rung must EXECUTE on a
+    dim-128 corpus that escalates all the way down."""
+    rows = []
+    for i in range(300):
+        head = [0.1 + 0.001 * ((i + d) % 7) for d in range(64)]
+        tail = [
+            (0.2 if (i >> (d % 9)) & 1 else -0.2) + 0.001 * ((i * d) % 5)
+            for d in range(64, 128)
+        ]
+        rows.append((i, head + tail))
+    rows.append((300, list(rows[0][1])))  # one planted exact dup
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    bands, bits = similarity.choose_banded_layout(
+        emb, n_bands=4, band_bits=32, max_emission=400.0
+    )
+    assert bits <= 64
+    out = similarity.embedding_neardup_pairs_banded_routed(
+        emb, threshold=0.25, n_bands=4, band_bits=32, max_emission=400.0
+    )
+    assert out.count() >= 1  # the planted dup survives every layout
+
+
+def test_routed_entry_launches_no_full_job_when_routing_disabled(spark):
+    """Round-11 review finding: the routed entry briefly counted the
+    corpus even when max_emission=None made the chooser a no-op. The
+    count must stay lazy: with routing disabled the plan builds and runs
+    without the chooser ever needing n_full — pinned by handing the
+    chooser an unanswerable n_full=None on a corpus whose dim equals the
+    base width (early exit before any count)."""
+    emb = _skewed_embeddings(spark)
+    # dim 16 == max_bits cap at 16: hi <= n_bits -> early exit, no count
+    bits = similarity.choose_near_dup_bits(
+        emb, n_bits=16, max_emission=2e4, max_bits=16
+    )
+    assert bits == 16
+    # max_emission=None short-circuits before any job at all
+    assert similarity.choose_near_dup_bits(emb, max_emission=None) == 8
+    out = similarity.embedding_neardup_pairs_routed(
+        emb, threshold=0.25, max_emission=None
+    )
+    assert out.count() >= 0
+
+
 def test_band_sign_keys_rejects_unpackable_widths(spark):
     """Widths past 64 have no single-BIGINT packing — the guard must
     raise at plan build, not overflow silently."""
