@@ -1118,7 +1118,15 @@ def choose_banded_layout(
     bounded sample returns fewer rows than requested, else one
     ``count()`` (a full-input action — pass ``n_full`` from catalog
     stats to skip it at 100 TB). The sample is deterministic
-    (TakeOrdered on id), same contract as ``choose_near_dup_bits``."""
+    (TakeOrdered on id), same contract as ``choose_near_dup_bits``.
+
+    Last resort: if NO rung fits the cap (every band layout dominated
+    by degenerate buckets — near-identical sign patterns), the deepest
+    rung is returned even though its estimate exceeds the cap. Emission
+    is then driven by mass-near-duplicate buckets, which belong to the
+    exact-dedup tier UPSTREAM of any near-dup pass; pass
+    ``max_band_size`` to ``embedding_neardup_pairs_banded`` to bound
+    them explicitly (the MinHash tier's 64-cap contract)."""
     if max_emission is None:
         return n_bands, band_bits
     dim_row = embeddings.select(F.size(F.col(emb_col)).alias("d")).first()
