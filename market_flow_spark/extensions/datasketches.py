@@ -114,7 +114,12 @@ def theta_overlap(
     return sa.crossJoin(sb).select(
         F.theta_sketch_estimate("sk_a").alias("est_a"),
         F.theta_sketch_estimate("sk_b").alias("est_b"),
-        F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b")).alias("est_union"),
+        # theta_union takes its own lgk: left at the 4096-entry default
+        # it silently TRUNCATES the union of two exact wider sketches
+        # back into estimation mode (caught by the r11 sf0.1 deep sweep)
+        F.theta_sketch_estimate(
+            F.theta_union("sk_a", "sk_b", lgk)
+        ).alias("est_union"),
         F.theta_sketch_estimate(F.theta_intersection("sk_a", "sk_b")).alias(
             "est_intersection"
         ),

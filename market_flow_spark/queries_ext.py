@@ -4009,9 +4009,15 @@ def q_theta_rollup_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     — every group count genuinely differs), while the identical plan
     degrades to ±1.6% estimates at 100 TB. Reference has no approx
     aggregates (SURVEY §2.4); this is the production tier above the
-    oracle-exact KMV."""
+    oracle-exact KMV. Registered at lgk=15 (32 768 nominal entries) so
+    exact mode covers every LOCALLY-SWEPT scale too — the round-11
+    sf0.1 deep sweep's grain cardinality (~15 k distinct custkeys) sits
+    past the lgk=12 default's 4 096-entry exact window, which is the
+    documented ±1.6 % estimation regime, not a defect; the estimation
+    band itself is certified by tests/test_datasketches.py."""
     return datasketches.theta_distinct_rollup(
-        load_tables(spark, sf_dir)["orders"], "o_orderpriority", "o_custkey"
+        load_tables(spark, sf_dir)["orders"], "o_orderpriority", "o_custkey",
+        lgk=15,
     )
 
 
@@ -4030,12 +4036,15 @@ def q_theta_overlap_years(spark: SparkSession, sf_dir: str) -> DataFrame:
     churn readout), from ONE sketch per side — a 1x1 crossJoin at any
     scale. The difference estimator is the capability KMV's Jaccard
     combinator cannot express; exact mode keeps every estimate
-    oracle-checked here."""
+    oracle-checked here. Registered at lgk=15 so exact mode covers the
+    sf0.1 deep sweep's per-year sets (~11.7 k each, union ~23 k) too —
+    see theta_rollup_custkeys' docstring for the round-11 note."""
     orders = load_tables(spark, sf_dir)["orders"]
     return datasketches.theta_overlap(
         orders.filter(F.year("o_orderdate") == 1995),
         orders.filter(F.year("o_orderdate") == 2001),
         "o_custkey",
+        lgk=15,
     )
 
 

@@ -130,3 +130,19 @@ def test_theta_rollup_plan_is_single_scan(spark, sf_dir):
     assert "theta_sketch_agg" in plan or "ThetaSketchAgg" in plan.replace(" ", "")
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_theta_union_respects_caller_lgk(spark):
+    """r11 sf0.1 deep-sweep find: F.theta_union has its OWN lgk and,
+    left at the 4096-entry default, silently truncates the union of two
+    exact wider sketches back into estimation mode. Two disjoint-ish
+    6k-distinct sides (union 9k > 4096) at lgk=15 must read EXACT on
+    every estimate, union included."""
+    a = spark.range(0, 6000).selectExpr("id AS v")
+    b = spark.range(3000, 9000).selectExpr("id AS v")
+    row = ds.theta_overlap(a, b, "v", lgk=15).first()
+    assert row["est_a"] == 6000.0
+    assert row["est_b"] == 6000.0
+    assert row["est_union"] == 9000.0
+    assert row["est_intersection"] == 3000.0
+    assert row["est_difference"] == 3000.0
