@@ -4007,9 +4007,11 @@ def q_theta_rollup_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     entries makes the whole thing hash-checkable against DuckDB's exact
     GROUPING SETS oracle at sf0.01 (per-group ~1.3k, total 1.5k distinct
     — every group count genuinely differs), while the identical plan
-    degrades to ±1.6% estimates at 100 TB. Reference has no approx
-    aggregates (SURVEY §2.4); this is the production tier above the
-    oracle-exact KMV. Registered at lgk=15 (32 768 nominal entries) so
+    degrades to ~±0.55% estimates at 100 TB (the lgk=15 band,
+    RSE ≈ 1/√32768; the lgk=12 default's band is ±1.6%). Reference has
+    no approx aggregates (SURVEY §2.4); this is the production tier
+    above the oracle-exact KMV. Registered at lgk=15 (32 768 nominal
+    entries) so
     exact mode covers every LOCALLY-SWEPT scale too — the round-11
     sf0.1 deep sweep's grain cardinality (~15 k distinct custkeys) sits
     past the lgk=12 default's 4 096-entry exact window, which is the
