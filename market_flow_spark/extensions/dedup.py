@@ -1578,6 +1578,7 @@ def exact_substring_dedup(
     min_len: int = 30,
     text_col: str = "text",
     _hash_hex: int = 15,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, clean_text, n_cut_chars): the APPLY half of the Lee et
     al. 2022 exact-substring pipeline — every duplicated span reported by
@@ -1599,8 +1600,16 @@ def exact_substring_dedup(
     per-row Python, no window sort). The span tier's scale contract
     applies unchanged: route through ``choose_exact_substring_route``
     first — above ``EXACT_SUBSTRING_MAX_WINDOW_ROWS`` the winnowing
-    containment tier is the documented neighbor."""
-    spans = exact_substring_spans(docs, min_len, text_col, _hash_hex)
+    containment tier is the documented neighbor.
+
+    ``spans``: pass the already-materialized output of
+    ``exact_substring_spans`` (same ``min_len``/``text_col``) to skip
+    recomputing the corpus-sized span pipeline — at 100 TB a pipeline
+    materializes spans once (report + audit) and cuts from the same
+    table; coordinates must be on the same normalization, which they
+    are by construction when both come from this module."""
+    if spans is None:
+        spans = exact_substring_spans(docs, min_len, text_col, _hash_hex)
     n = "__es_norm"
     base = _spread(docs).select("doc_id", _norm_text(text_col).alias(n))
     per_doc = spans.groupBy("doc_id").agg(

@@ -163,6 +163,28 @@ def test_dedup_apply_cuts_exactly_the_spans(spark):
     )
 
 
+def test_dedup_apply_accepts_precomputed_spans(spark):
+    """The 100 TB call pattern: spans materialized once, cut from the
+    same table — passing them in must produce byte-identical output to
+    the recompute path."""
+    from market_flow_spark.extensions.dedup import exact_substring_dedup
+
+    dup = "abcdefghijklmnopqrstuvwxyz0123"
+    docs = spark.createDataFrame(
+        [(0, "head0 " + dup + " tail0"), (1, "head1 " + dup + " tail1x")],
+        "doc_id long, text string",
+    )
+    sp = exact_substring_spans(docs, min_len=L)
+    a = sorted(map(tuple, exact_substring_dedup(docs, min_len=L).collect()))
+    b = sorted(
+        map(
+            tuple,
+            exact_substring_dedup(docs, min_len=L, spans=sp).collect(),
+        )
+    )
+    assert a == b and len(a) == 2
+
+
 def test_dedup_apply_can_cut_a_whole_doc(spark):
     """s+s: the two 30-char occurrences of s merge into one [0, 60) span
     (adjacent islands), so the cleaned text is empty — every occurrence
