@@ -15,31 +15,35 @@ the flagship — and 35 ROTATING slots scheduled strictly by
 "never-driver-certified first", then "oldest certification first".
 
 Round-11 rotation (this file's current window), scheduled by the
-standing rule — never-driver-certified first (one: this round's new
-registration; every name registered before round 11 has carried a green
+standing rule — never-driver-certified first (two: this round's new
+registrations; every name registered before round 11 has carried a green
 driver row as of CORRECTNESS_r10), then oldest certification first:
-  slot 1 (never certified): exact_substring_dedup — the round-11
-    operator (the APPLY half of the Lee et al. exact-substring pipeline:
-    every duplicated span cut from its document's normalized text,
-    returning the cleaned corpus + per-doc cut sizes).
-  slots 2-16 (the 15 remaining r7-certified names — the documented
+  slots 1-2 (never certified, round-11 operators):
+    exact_substring_dedup (the APPLY half of the Lee et al.
+    exact-substring pipeline: every duplicated span cut from its
+    document's normalized text, returning the cleaned corpus + per-doc
+    cut sizes) and semantic_dedup_keep_banded (SemDeDup keep-list over
+    the banded near-dup pair graph — the measured-higher-recall
+    candidate generator).
+  slots 3-17 (the 15 remaining r7-certified names — the documented
     round-11 refresh front, alphabetical): langid_trigram,
     nb_classify_lang, pit_part_price_sales, price_anomalies,
     price_histogram, price_percentiles, profile_drift_orders,
     profile_orders, rolling_median_price, theta_overlap_years,
     token_budget_select, unpivot_flag_metrics, url_canonical_dedup,
     weighted_sample_docs, window_panel.
-  slots 17-35 (19 of the 35 r8-certified names, alphabetical — no
+  slots 18-35 (18 of the 35 r8-certified names, alphabetical — no
     intra-round priority signal): ann_lsh_topk, asof_last_view,
     contamination_ngram, corpus_prefilter, cube_returnflag_priority,
     dedup_exact, dedup_minhash_incremental, dedup_ngram_jaccard,
     dedup_word_jaccard, embedding_near_dup, events_typed,
     float_key_join, forecast_horizon, ivf_topk, json_props_stats,
-    kmv_distinct_parts, monthly_event_stats, multimodal_bytes,
-    multimodal_frames. (page_and_tail was displaced by the round's
-    never-certified registration, per the standing rule.)
+    kmv_distinct_parts, monthly_event_stats, multimodal_bytes.
+    (multimodal_frames and page_and_tail were displaced by the round's
+    two never-certified registrations, per the standing rule.)
   Round-12 refresh front (verdict r10 ask #6 — documented ahead of the
-  window): the 16 remaining r8-certified names (page_and_tail, pii_redact,
+  window): the 17 remaining r8-certified names (multimodal_frames,
+  page_and_tail, pii_redact,
   range_join_nearby, rollup_revenue, seasonal_forecast, session_windows,
   simhash_pairs, simhash_signatures, sliding_window_stats, span_dedup,
   theta_rollup_custkeys, tumbling_hour_stats, user_sessions_core,
@@ -89,9 +93,10 @@ _PRIORITY: list[str] = [
     "text_profile",
     "linear_forecast",
     # ---- rotating slots (35): never-driver-certified first -------------
-    # never certified (1): the round-11 apply half of the exact-substring
-    # pipeline (cut every duplicated span, return the cleaned corpus)
+    # never certified (2): the round-11 apply half of the exact-substring
+    # pipeline, and the SemDeDup keep-list over the banded pair graph
     "exact_substring_dedup",
+    "semantic_dedup_keep_banded",
     # last green in r7 (the 15 remaining r7 names, alphabetical)
     "langid_trigram",
     "nb_classify_lang",
@@ -108,7 +113,7 @@ _PRIORITY: list[str] = [
     "url_canonical_dedup",
     "weighted_sample_docs",
     "window_panel",
-    # last green in r8 (19 of 35, alphabetical)
+    # last green in r8 (18 of 35, alphabetical)
     "ann_lsh_topk",
     "asof_last_view",
     "contamination_ngram",
@@ -127,7 +132,6 @@ _PRIORITY: list[str] = [
     "kmv_distinct_parts",
     "monthly_event_stats",
     "multimodal_bytes",
-    "multimodal_frames",
 ]
 
 _WINDOW = 50

@@ -577,6 +577,32 @@ def test_banded_scale_default_layout_matches_duckdb_twin(spark):
     _assert_banded_matches_twin(emb, out, 4, 16)
 
 
+def test_semantic_dedup_keep_banded_planted_clusters(spark):
+    """The banded SemDeDup keep-list collapses exactly the planted
+    structure of the varied-band corpus: rows 200+i duplicate row i
+    (all bands), rows 210+i (i < 5) flip one band-3 dim of row i —
+    so clusters are {i, 200+i, 210+i} for i < 5, {i, 200+i} for
+    5 <= i < 10, singletons elsewhere; the keeper is the minimum id."""
+    emb = _varied_band_embeddings(spark)
+    rows = {
+        r["vec_id"]: (r["cluster_id"], r["keep"])
+        for r in similarity.semantic_dedup_keep_banded(
+            emb, threshold=0.25, n_bands=4, band_bits=16
+        ).collect()
+    }
+    assert len(rows) == 215
+    for i in range(5):
+        assert rows[i] == (i, True)
+        assert rows[200 + i] == (i, False)
+        assert rows[210 + i] == (i, False)
+    for i in range(5, 10):
+        assert rows[i] == (i, True)
+        assert rows[200 + i] == (i, False)
+    # everything else keeps itself
+    singles = [v for v in range(10, 200)]
+    assert all(rows[v] == (v, True) for v in singles)
+
+
 def test_banded_32bit_rung_routes_and_matches_twin(spark):
     """ADVICE r10 (high): the (2, 32) rung crashed at runtime under the
     INT key packing (ANSI CAST_OVERFLOW at bit weight 2³¹). Route the
