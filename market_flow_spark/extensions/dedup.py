@@ -1351,6 +1351,19 @@ def winnow_fingerprints(
 # is the documented route.
 EXACT_SUBSTRING_MAX_WINDOW_ROWS = 6e8
 
+# Per-doc ceiling for the fold-based span merge: the packed positions
+# array holds every duplicated window start of one document in ONE row
+# (~4-16 bytes per position through the collect_list buffer), so a doc
+# with 16 M duplicated positions packs a ~64-256 MB row — the last
+# comfortable point under Spark's ~2 GB single-row ceiling. A position
+# index ≥ this bound proves the doc could pack more than the bound, so
+# the fold path raises BEFORE building the row (the check is one codegen
+# comparison on rows that are already flowing); merge_strategy="window"
+# is the no-ceiling fallback (streaming island merge within a sorted
+# partition — the pre-r11 shape, measured ×1.33 slower end-to-end but
+# never wider than one row per window).
+EXACT_SUBSTRING_MAX_DOC_POSITIONS = 16_000_000
+
 
 def estimate_exact_substring_window_rows(
     docs: DataFrame,
@@ -1415,6 +1428,8 @@ def exact_substring_spans(
     min_len: int = 30,
     text_col: str = "text",
     _hash_hex: int = 15,
+    merge_strategy: str = "fold",
+    max_doc_positions: int | None = EXACT_SUBSTRING_MAX_DOC_POSITIONS,
 ) -> DataFrame:
     """(doc_id, span_start, span_end, n_windows): maximal character ranges
     of the NORMALIZED text covered by ``min_len``-char windows whose
@@ -1459,13 +1474,19 @@ def exact_substring_spans(
     join-back), and overlapping windows merge into maximal spans inside
     one per-doc hash aggregate (sort_array + a linear ``aggregate()``
     fold over each doc's duplicated positions — no sort-window
-    machinery). Per-doc bound: the packed positions array is ~4-8× the
-    doc's DUPLICATED-text bytes in one row, so a mostly-duplicated doc
-    must stay well under Spark's ~2 GB row ceiling (≲ 100 MB normalized
-    text) — ordinary for training corpora, which chunk documents far
-    below that; for pathological single-doc blobs the pre-r11
-    running-max window merge (streaming within a sorted partition,
-    commit ``2db7995^``) is the fallback shape. The round-11 rewrite of these
+    machinery). Per-doc bound — EXECUTABLE since round 12: the packed
+    positions array is ~4-8× the doc's DUPLICATED-text bytes in one row,
+    so a mostly-duplicated doc must stay well under Spark's ~2 GB row
+    ceiling — ordinary for training corpora, which chunk documents far
+    below that. A duplicated position at index ≥ ``max_doc_positions``
+    (default ``EXACT_SUBSTRING_MAX_DOC_POSITIONS`` = 16 M ≈ 16 MB of
+    duplicated text) raises BEFORE the oversized row is built (one
+    codegen comparison per already-flowing row, no extra exchange or
+    scan), naming the fallback: ``merge_strategy="window"`` switches the
+    merge to the pre-r11 running-max island merge (streaming within a
+    sorted partition — no per-doc row, so no ceiling; measured ×1.33
+    slower end-to-end, the price of pathological-blob corpora).
+    ``max_doc_positions=None`` disables the guard. The round-11 rewrite of these
     two stages measured ×0.75 end-to-end at sf0.1 (min 1.66 → 1.25 s,
     non-overlapping pass distributions; PLANS.md has the sf1 row),
     reclaiming about half of the round-10 collision-proofing cost with
@@ -1524,12 +1545,74 @@ def exact_substring_spans(
         "pos",
         F.expr(f"substring({n}, pos + 1, {min_len})").alias(c),
     )
+    # Skew note (the trade behind the round-11 ×1.33 measurement): a
+    # window count gets NO map-side partial aggregation, so a single
+    # mass-duplicated min_len-char content (boilerplate, license
+    # headers — the data this tier targets) lands every occurrence on
+    # one task here, where the former groupBy(content) + left_semi
+    # shape bounded that key's task to its partial counts. The window
+    # shape is the measured winner on the bench corpora (natural dup
+    # shares); for heavy-duplication corpora where one content key
+    # dominates, the pre-r11 groupBy+semi-join shape (commit
+    # ``2db7995^``) is the fallback — the same guard style as
+    # max_band_size one tier over.
     wc = Window.partitionBy(c)
     dup_wins = (
         cand_c.withColumn("__occ", F.count(F.lit(1)).over(wc))
         .filter(F.col("__occ") >= 2)
         .select("doc_id", "pos")
     )
+    if merge_strategy == "window":
+        # Streaming island merge (pre-r11 shape): running max of reach
+        # over a sorted per-doc partition, gaps start islands, one
+        # groupBy per island. No per-doc packed row — the no-ceiling
+        # path for pathological single-doc blobs.
+        byp = Window.partitionBy("doc_id").orderBy("pos")
+        reach = F.max(F.col("pos") + min_len).over(
+            byp.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        new_island = F.when(
+            reach.isNull() | (F.col("pos") > reach), F.lit(1)
+        ).otherwise(F.lit(0))
+        island = F.sum(new_island).over(
+            byp.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return (
+            dup_wins.withColumn("__island", island)
+            .groupBy("doc_id", "__island")
+            .agg(
+                F.min("pos").alias("span_start"),
+                (F.max("pos") + F.lit(min_len)).alias("span_end"),
+                F.count(F.lit(1)).alias("n_windows"),
+            )
+            .select("doc_id", "span_start", "span_end", "n_windows")
+        )
+    if merge_strategy != "fold":
+        raise ValueError(
+            f"merge_strategy must be 'fold' or 'window', got {merge_strategy!r}"
+        )
+    if max_doc_positions is not None:
+        # Executable big-doc guard: a position index >= the bound proves
+        # this doc could pack more positions than the fold's single-row
+        # ceiling allows — fail fast with the route, before collect_list
+        # builds the row.
+        dup_wins = dup_wins.select(
+            "doc_id",
+            F.when(
+                F.col("pos") >= int(max_doc_positions),
+                F.expr(
+                    "CAST(raise_error('exact_substring_spans: a document "
+                    "has duplicated positions beyond max_doc_positions="
+                    f"{int(max_doc_positions)}; the fold merge would pack "
+                    "an oversized single row. Re-run with "
+                    "merge_strategy=\\'window\\' (streaming island merge, "
+                    "no per-doc ceiling) or raise max_doc_positions.') "
+                    "AS INT)"
+                ),
+            )
+            .otherwise(F.col("pos"))
+            .alias("pos"),
+        )
     # span merge: one per-doc hash aggregate — sorted positions folded
     # into maximal [start, end) islands by a linear aggregate() lambda
     # (running reach = pos + min_len; a gap starts a new span). Replaces
@@ -1579,6 +1662,8 @@ def exact_substring_dedup(
     text_col: str = "text",
     _hash_hex: int = 15,
     spans: DataFrame | None = None,
+    merge_strategy: str = "fold",
+    max_doc_positions: int | None = EXACT_SUBSTRING_MAX_DOC_POSITIONS,
 ) -> DataFrame:
     """(doc_id, clean_text, n_cut_chars): the APPLY half of the Lee et
     al. 2022 exact-substring pipeline — every duplicated span reported by
@@ -1607,9 +1692,20 @@ def exact_substring_dedup(
     recomputing the corpus-sized span pipeline — at 100 TB a pipeline
     materializes spans once (report + audit) and cuts from the same
     table; coordinates must be on the same normalization, which they
-    are by construction when both come from this module."""
+    are by construction when both come from this module.
+    ``merge_strategy`` / ``max_doc_positions`` forward to the span tier
+    (the fold's executable big-doc guard and its windowed fallback);
+    they are ignored when ``spans`` is precomputed. The cut fold itself
+    is malformed-input-safe: a caller-supplied ``spans`` frame with
+    nested or overlapping spans (this module never emits those, but the
+    parameter invites precomputed/filtered inputs) degrades to correct
+    output — the cursor only moves forward (GREATEST) and kept-segment
+    lengths clamp at 0, so cut text is never silently resurrected."""
     if spans is None:
-        spans = exact_substring_spans(docs, min_len, text_col, _hash_hex)
+        spans = exact_substring_spans(
+            docs, min_len, text_col, _hash_hex, merge_strategy,
+            max_doc_positions,
+        )
     n = "__es_norm"
     base = _spread(docs).select("doc_id", _norm_text(text_col).alias(n))
     per_doc = spans.groupBy("doc_id").agg(
@@ -1624,9 +1720,10 @@ def exact_substring_dedup(
           __sp,
           struct(CAST('' AS string) AS out, CAST(0 AS int) AS cur),
           (acc, s) -> struct(
-            acc.out || substring({n}, acc.cur + 1, s.span_start - acc.cur)
+            acc.out || substring({n}, acc.cur + 1,
+                                 GREATEST(s.span_start - acc.cur, 0))
               AS out,
-            s.span_end AS cur),
+            GREATEST(acc.cur, s.span_end) AS cur),
           acc -> acc.out ||
                  substring({n}, acc.cur + 1, length({n}) - acc.cur)
         )

@@ -1191,12 +1191,21 @@ def choose_banded_layout(
     layouts = [(n_bands, band_bits)] + [
         (b, min(dim // b, 64)) for b in range(n_bands - 1, 0, -1)
     ]
+    # The last resort must still be STRUCTURALLY valid: layouts[-1]
+    # verbatim can be a rung the loop just rejected (entry n_bands=1
+    # with band_bits > 64 or > dim leaves the ladder with no generated
+    # rungs), which would crash band_sign_keys downstream instead of
+    # degrading gracefully. Track the deepest rung that passed the
+    # structural check; if none did, clamp to the always-valid (1,
+    # min(dim, 64)) single band.
+    deepest_valid: tuple[int, int] | None = None
     for bands, bits in layouts:
         if bands * bits > dim or bits > 64:
             continue
+        deepest_valid = (bands, bits)
         if est(bands, bits) <= max_emission:
             return bands, bits
-    return layouts[-1]
+    return deepest_valid if deepest_valid is not None else (1, min(dim, 64))
 
 
 def embedding_neardup_pairs_banded_routed(

@@ -275,3 +275,85 @@ def test_spans_and_cut_match_python_model_on_random_corpora(spark):
             for r in exact_substring_dedup(docs, min_len=L5).collect()
         }
         assert got_clean == exp_clean, f"seed {seed}: cut diverges"
+
+
+def test_malformed_nested_spans_cannot_resurrect_cut_text(spark):
+    """The ``spans`` parameter invites precomputed/filtered inputs that
+    this module would never emit. A span NESTED inside a previous one
+    used to move the cursor backwards, silently re-including already-cut
+    text in the tail append (advisor r11). The fold now clamps: cursor
+    only moves forward, kept-segment lengths floor at 0 — so cutting
+    {[2,8), [3,5)} equals cutting [2,8) alone."""
+    from market_flow_spark.extensions.dedup import exact_substring_dedup
+
+    docs = spark.createDataFrame(
+        [(0, "abcdefghij")], "doc_id long, text string"
+    )
+    bad = spark.createDataFrame(
+        [(0, 2, 8, 1), (0, 3, 5, 1)],
+        "doc_id long, span_start int, span_end int, n_windows long",
+    )
+    [r] = exact_substring_dedup(docs, min_len=L, spans=bad).collect()
+    assert (r["clean_text"], r["n_cut_chars"]) == ("abij", 6)
+
+
+def test_big_doc_guard_raises_before_packing(spark):
+    """Verdict r11 ask #4: the fold's per-doc packed-row bound is now an
+    executable guard, not a docstring warning — a duplicated position at
+    index >= max_doc_positions fails fast with the fallback route named,
+    and merge_strategy='window' (no per-doc row) handles the same corpus."""
+    import pytest
+
+    shared = _blocks(1000, 15)  # 60 shared chars
+    docs = spark.createDataFrame(
+        [
+            (0, _blocks(0, 10) + "g" + shared),  # dup positions start at 41
+            (1, "q" + _blocks(2000, 9) + shared),
+        ],
+        "doc_id long, text string",
+    )
+    guarded = exact_substring_spans(docs, min_len=L, max_doc_positions=5)
+    with pytest.raises(Exception, match="max_doc_positions"):
+        guarded.collect()
+    want = sorted(
+        map(tuple, exact_substring_spans(docs, min_len=L).collect())
+    )
+    via_window = sorted(
+        map(
+            tuple,
+            exact_substring_spans(
+                docs, min_len=L, merge_strategy="window"
+            ).collect(),
+        )
+    )
+    assert via_window == want and len(want) == 2
+
+
+def test_window_merge_strategy_matches_fold_on_random_corpora(spark):
+    """The windowed fallback is only a fallback if it computes the same
+    spans: sweep the randomized model corpora through both merge paths."""
+    import random
+
+    L5 = 5
+    rng = random.Random(99)
+    texts = {
+        d: "".join(
+            rng.choice("ab  B") for _ in range(rng.choice([0, 12, 40, 120]))
+        )
+        for d in range(14)
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    fold = sorted(
+        map(tuple, exact_substring_spans(docs, min_len=L5).collect())
+    )
+    win = sorted(
+        map(
+            tuple,
+            exact_substring_spans(
+                docs, min_len=L5, merge_strategy="window"
+            ).collect(),
+        )
+    )
+    assert fold == win and len(fold) > 0

@@ -777,3 +777,46 @@ def test_banded_layout_estimator_exact_at_full_coverage(spark):
     assert e_next < e_entry
     cap = (e_next + e_entry) / 2
     assert similarity.choose_banded_layout(emb, max_emission=cap) == (3, 21)
+
+def test_banded_64bit_rung_matches_twin_with_negative_dim63(spark):
+    """ADVICE r11: the (1, 64) ladder rung packs a sign into bit 63,
+    where Spark's shiftleft wraps to Long.MIN_VALUE and the DuckDB twin
+    uses a pre-wrapped two's-complement literal — asserted in the twin
+    SQL but never executed at band_bits > 32 until now. The varied-band
+    corpus carries NEGATIVE dim-63 components on even rows and positive
+    on odd (duplicate pairs of both polarities planted), so the bit-63
+    packing is exercised both set and clear on both engines."""
+    emb = _varied_band_embeddings(spark)
+    signs = {
+        r["vec_id"]: r["s"]
+        for r in emb.selectExpr(
+            "vec_id", "embedding[63] > 0 AS s"
+        ).collect()
+    }
+    assert signs[0] is False and signs[1] is True  # both polarities live
+    out = similarity.embedding_neardup_pairs_banded(
+        emb, threshold=0.25, n_bands=1, band_bits=64
+    )
+    assert out.count() >= 10  # the exact duplicates collide in the band
+    _assert_banded_matches_twin(emb, out, 1, 64)
+
+
+def test_choose_banded_layout_last_resort_is_structurally_valid(spark):
+    """ADVICE r11: with an unsatisfiable cap the chooser must degrade to
+    a layout band_sign_keys can execute, not echo a rung the loop itself
+    rejected. Entry (1, 128) on a dim-16 corpus leaves the ladder with
+    zero structurally valid rungs -> clamp to (1, dim); a valid-entry
+    ladder under the same impossible cap returns its deepest VALID rung."""
+    rows = [(i, [0.1] * 16) for i in range(50)]  # one degenerate bucket
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    layout = similarity.choose_banded_layout(
+        emb, n_bands=1, band_bits=128, max_emission=1.0
+    )
+    assert layout == (1, 16)
+    # and the returned layout actually executes
+    similarity.embedding_neardup_pairs_banded(
+        emb, threshold=0.25, n_bands=layout[0], band_bits=layout[1]
+    ).count()
+    assert similarity.choose_banded_layout(
+        emb, n_bands=4, band_bits=4, max_emission=1.0
+    ) == (1, 16)
