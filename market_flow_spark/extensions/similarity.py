@@ -1252,7 +1252,17 @@ def semantic_dedup_keep(
     propagation over the pair edge list (rounds = cluster diameter,
     clique-ish in practice), keep = id == cluster minimum. Returns
     (vec_id, cluster_id, keep) over ALL vectors — unpaired vectors keep
-    themselves."""
+    themselves.
+
+    SUPERSEDED AS THE SCALE SHAPE (round 11): this single-sign-block
+    candidate generator's recall ceiling is dominated — the ×4-sf1
+    head-to-head (bench_escalation.json) measured 216/400 planted pairs
+    vs the banded generator's 289/400 at ×4.6 its speed. Prefer
+    ``semantic_dedup_keep_banded`` (explicit banded layout) or
+    ``semantic_dedup_keep_routed`` (emission-routed: base block while it
+    fits the cap, banded ladder beyond — the same steering the pair tier
+    got in round 11). This entry remains for single-block parity and
+    small corpora where the 8-bit block's emission is trivially safe."""
     from market_flow_spark.extensions.dedup import dedup_keep_list
 
     pairs = embedding_neardup_pairs(
@@ -1291,6 +1301,43 @@ def semantic_dedup_keep_banded(
 
     pairs = embedding_neardup_pairs_banded(
         embeddings, threshold, n_bands, band_bits, id_col, emb_col
+    )
+    ids = embeddings.select(F.col(id_col).alias("doc_id"))
+    keep = dedup_keep_list(
+        ids, pairs, max_iter=max_iter, id1="vec1", id2="vec2"
+    )
+    return keep.select(
+        F.col("doc_id").alias(id_col), "cluster_id", "keep"
+    )
+
+
+def semantic_dedup_keep_routed(
+    embeddings: DataFrame,
+    threshold: float = 0.25,
+    n_bits: int = 8,
+    max_emission: float | None = NEAR_DUP_MAX_EMISSION,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_iter: int = 20,
+    n_full: int | None = None,
+) -> DataFrame:
+    """SemDeDup keep-list behind the emission-routed candidate generator
+    (round 12 — the same treatment ``embedding_neardup_pairs_routed``
+    gave the pair tier in round 11, one tier up): candidate pairs come
+    from the base ``n_bits`` sign block while the sampled emission
+    estimate fits ``max_emission``, from the banded sign-LSH ladder once
+    it doesn't — so no caller lands on the dominated single-block
+    generator (216/400 planted recall vs banded's 289/400 at ×4.6 the
+    speed, bench_escalation.json) just because the corpus outgrew the
+    block. Output contract identical on both routes: (vec_id,
+    cluster_id, keep) over ALL vectors, keeper = cluster minimum.
+    ``n_full`` (catalog stats) skips the chooser's corpus count."""
+    from market_flow_spark.extensions.dedup import dedup_keep_list
+
+    pairs = embedding_neardup_pairs_routed(
+        embeddings, threshold=threshold, n_bits=n_bits,
+        max_emission=max_emission, id_col=id_col, emb_col=emb_col,
+        n_full=n_full,
     )
     ids = embeddings.select(F.col(id_col).alias("doc_id"))
     keep = dedup_keep_list(

