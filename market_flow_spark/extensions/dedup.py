@@ -1898,19 +1898,129 @@ def dedup_clusters(
     return labels.select("doc_id", "cluster_id")
 
 
+def dedup_clusters_twostar(
+    pairs: DataFrame,
+    max_iter: int = 30,
+    id1: str = "doc1",
+    id2: str = "doc2",
+) -> DataFrame:
+    """Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond", Alternating algorithm) — same output contract as
+    ``dedup_clusters`` ((doc_id, cluster_id), cluster_id = minimum
+    reachable id), different round complexity: O(log² n) rounds in the
+    WORST case regardless of graph diameter, vs min-label propagation's
+    Θ(diameter).
+
+    Why both exist (the 100 TB split): near-dup clusters from
+    LSH/banded candidate generation are clique-ish — diameter 1-2, so
+    min-label converges in 2-3 rounds and its per-round work (one
+    groupBy-min over the edge list) is the cheaper shape; that is the
+    default everywhere. But CHAINED duplication graphs — drifting
+    boilerplate where A~B~C~…~Z and no pair spans the chain — have
+    diameter proportional to chain length, and min-label needs one
+    full edge-list shuffle PER HOP (a 10⁶-long chain = 10⁶ rounds:
+    effectively never terminates). Star operations contract such
+    chains geometrically: each round every node links toward the
+    minimum of a neighborhood that itself grows as prior rounds hang
+    subtrees under smaller nodes.
+
+    Per round: large-star (every node points its LARGER neighbors at
+    the minimum of its closed neighborhood — one groupBy-min over both
+    edge orientations + one join) then small-star (every node points
+    its SMALLER neighbors, and itself, at its minimum neighbor — one
+    groupBy-min over the larger-endpoint orientation + one join), edge
+    set deduplicated and lineage-truncated (localCheckpoint) per
+    round, fixed point detected by an empty set-difference against the
+    previous round (two bounded actions per round — iterative
+    algorithm, actions-by-design, same contract as ``dedup_clusters``).
+    At the fixed point the edge set IS the answer: stars rooted at
+    each component's minimum node. Never all-pairs, never a graph
+    collect; every stage is an equi-join or hash aggregate on node id.
+    """
+    e = (
+        pairs.select(
+            F.greatest(F.col(id1), F.col(id2)).alias("u"),
+            F.least(F.col(id1), F.col(id2)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if e.rdd.isEmpty():
+        return e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    converged = False
+    for _ in range(max_iter):
+        # large-star: group every orientation; x's closed-neighborhood
+        # minimum m = least(x, min Γ(x)); larger neighbors y > x re-link
+        # to (y, m)
+        nbrs = e.select(F.col("u").alias("x"), F.col("v").alias("y")).union(
+            e.select(F.col("v").alias("x"), F.col("u").alias("y"))
+        )
+        mins = nbrs.groupBy("x").agg(F.min("y").alias("mn"))
+        m = F.least(F.col("x"), F.col("mn"))
+        large = (
+            nbrs.join(mins, "x")
+            .filter(F.col("y") > F.col("x"))
+            .select(F.col("y").alias("u"), m.alias("v"))
+            .distinct()
+        )
+        # small-star: edges already oriented u > v; u's minimum smaller
+        # neighbor mn re-links every smaller neighbor v (and u itself)
+        smins = large.groupBy("u").agg(F.min("v").alias("mn"))
+        small = (
+            large.join(smins, "u")
+            .select(F.col("v").alias("a"), F.col("mn").alias("b"))
+            .union(smins.select(F.col("u").alias("a"), F.col("mn").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if small.exceptAll(e).rdd.isEmpty() and small.count() == e.count():
+            e = small
+            converged = True
+            break
+        e = small
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters_twostar did not converge within max_iter="
+            f"{max_iter} rounds — far beyond the O(log² n) bound for any "
+            "realistic n; raise max_iter"
+        )
+    roots = e.select(F.col("v").alias("doc_id")).distinct().join(
+        e.select(F.col("u").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+    return e.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+    ).union(roots.select("doc_id", F.col("doc_id").alias("cluster_id")))
+
+
 def dedup_keep_list(
     docs: DataFrame,
     pairs: DataFrame,
     max_iter: int = 20,
     id1: str = "doc1",
     id2: str = "doc2",
+    algo: str = "label_prop",
 ) -> DataFrame:
     """Keep/drop decision per document from near-dup pairs: cluster the
     pair graph, keep the minimum doc_id of each cluster, keep every
     unpaired document. Returns (doc_id, cluster_id, keep) over ALL docs —
     the materializable output a dedup job actually writes. ``id1``/``id2``
-    name the pair frame's id columns (``docs`` must carry ``doc_id``)."""
-    clusters = dedup_clusters(pairs, max_iter, id1=id1, id2=id2)
+    name the pair frame's id columns (``docs`` must carry ``doc_id``).
+    ``algo``: ``'label_prop'`` (default — Θ(diameter) rounds, cheapest
+    per round, right for clique-ish near-dup graphs) or ``'two_star'``
+    (``dedup_clusters_twostar`` — O(log² n) rounds regardless of
+    diameter, the shape for chained duplication graphs)."""
+    if algo == "two_star":
+        clusters = dedup_clusters_twostar(pairs, max_iter, id1=id1, id2=id2)
+    elif algo == "label_prop":
+        clusters = dedup_clusters(pairs, max_iter, id1=id1, id2=id2)
+    else:
+        raise ValueError(
+            f"algo must be 'label_prop' or 'two_star', got {algo!r}"
+        )
     return (
         docs.select("doc_id")
         .join(clusters, "doc_id", "left")

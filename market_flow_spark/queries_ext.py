@@ -2171,6 +2171,23 @@ def q_dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_keep_list(docs, pairs)
 
 
+@register("dedup_clusters_twostar", _clusters_oracle())
+def q_dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same pairs → clusters → keep/drop decision as
+    dedup_clusters_minhash, computed by ALTERNATING LARGE-STAR /
+    SMALL-STAR (Kiveris et al. 2014) instead of min-label propagation:
+    O(log² n) rounds regardless of pair-graph diameter, vs Θ(diameter).
+    Near-dup graphs are clique-ish so both converge fast here — this row
+    certifies that the log-round algorithm computes the identical
+    function on real data (shared recursive-CTE twin); the regime where
+    it is the ONLY viable shape (chained duplication, diameter ≫ round
+    budget: a 64-hop chain that min-label's default budget fails on) is
+    pinned by tests/test_twostar.py."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8)
+    return dedup.dedup_keep_list(docs, pairs, algo="two_star")
+
+
 def _repetition_oracle() -> str:
     fr = _floor_round_sql
     return f"""
