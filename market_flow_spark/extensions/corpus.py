@@ -161,3 +161,55 @@ def cluster_safe_split(
         train_frac=train_frac,
         salt=salt,
     )
+
+
+def ngram_novelty(
+    docs: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_grams, n_novel, novelty): per-document n-gram NOVELTY —
+    the share of the document's distinct n-grams whose FIRST corpus
+    occurrence (minimum doc_id; doc_id is the corpus's deterministic
+    ingest order, the same convention the incremental dedup tier keys
+    on) is this document. A curation signal complementary to the dedup
+    tiers: near-1 novelty = genuinely fresh text; near-0 = the document
+    is assembled from n-grams the corpus has already seen, even when no
+    single source document is similar enough for any pairwise tier to
+    flag (template recombination, quote stitching, spun content).
+    Documents with no n-grams (fewer than ``n`` tokens) report 0 grams
+    and NULL novelty.
+
+    Plan (100 TB shape): the map-only shingle build, one hash aggregate
+    on the n-gram key (min doc_id — map-side partial combine applies),
+    one equi-join back on the same key reusing that partitioning, and a
+    per-doc aggregate. Never all-pairs; the n-gram aggregate is the
+    same one exchange the contamination tier already budgets, and the
+    score is exact — no sketches, no sampling."""
+    from market_flow_spark.functions.aggregates import det_round
+
+    grams = dedup.doc_shingles(docs, n, text_col)
+    owner = grams.groupBy("word").agg(F.min("doc_id").alias("owner"))
+    per_doc = (
+        grams.join(owner, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("doc_id") == F.col("owner")).cast("bigint")
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+            F.when(
+                F.col("n_grams").isNotNull(),
+                det_round(
+                    F.col("n_novel") / F.col("n_grams"), 6
+                ),
+            ).alias("novelty"),
+        )
+    )

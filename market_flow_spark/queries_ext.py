@@ -196,6 +196,40 @@ def q_corpus_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.corpus_prefilter(load_tables(spark, sf_dir)["documents"])
 
 
+def _ngram_novelty_oracle() -> str:
+    """Twin of corpus.ngram_novelty over the shared 3-gram fragment."""
+    score = _floor_round_sql("CAST(p.n_novel AS DOUBLE) / p.n_grams", 6)
+    return f"""
+WITH g AS ({SHINGLES_SQL}),
+own AS (SELECT word, MIN(doc_id) AS owner FROM g GROUP BY word),
+p AS (
+  SELECT g.doc_id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN o.owner = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM g JOIN own o ON g.word = o.word
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+       CASE WHEN p.n_grams IS NOT NULL THEN {score} END AS novelty
+FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+"""
+
+
+@register("ngram_novelty", _ngram_novelty_oracle())
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty (round 12): the share of a doc's
+    distinct 3-grams first seen (min doc_id = ingest order) in that doc —
+    the curation signal for template recombination / spun content that
+    no pairwise dedup tier flags because no single source is similar
+    enough. One n-gram hash aggregate + join-back on the same key +
+    per-doc aggregate; exact, no sampling."""
+    from market_flow_spark.extensions import corpus
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return corpus.ngram_novelty(docs, n=3)
+
+
 # ---------------------------------------------------------------------------
 # Dedup
 # ---------------------------------------------------------------------------

@@ -207,3 +207,30 @@ def test_bloom_no_false_negatives_random_membership(spark):
         )
         kept = sketches.bloom_prune(members, "k", words, n_bits, 3)
         assert kept.count() == 300, f"false negative at n_bits={n_bits}"
+
+
+def test_ngram_novelty_hand_computed(spark):
+    """corpus.ngram_novelty: doc 0 owns all its 3-grams; doc 1 repeats
+    doc 0's text verbatim (novelty 0); doc 2 is half-stitched from doc 0
+    (the recombination signal no pairwise tier flags); doc 3 is too
+    short to shingle (0 grams, NULL novelty)."""
+    from market_flow_spark.extensions.corpus import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),        # grams: a-b-g, b-g-d
+            (1, "alpha beta gamma delta"),        # all seen in doc 0
+            (2, "alpha beta gamma zeta eta"),     # a-b-g seen; b-g-z, g-z-e new
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in ngram_novelty(docs, n=3).collect()
+    }
+    assert got[0] == (2, 2, 1.0)
+    assert got[1] == (2, 0, 0.0)
+    assert got[2][:2] == (3, 2)
+    assert abs(got[2][2] - 0.666667) < 1e-9
+    assert got[3] == (0, 0, None)
