@@ -982,3 +982,178 @@ best AS (
 SELECT d.doc_id, d.lang, b.predicted_lang, b.distance
 FROM documents d JOIN best b ON d.doc_id = b.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality heuristics (line + word level)
+# ---------------------------------------------------------------------------
+
+# Line starts with a bullet glyph / ends in an ellipsis (Rae et al. 2021,
+# "Scaling Language Models" §A.1.1 — the repetition half of those rules is
+# repetition_stats; this operator is the line/word-shape half).
+GOPHER_BULLET_RE = r"^\s*[•‣·*-]"
+GOPHER_ELLIPSIS_RE = r"(\.\.\.|…)\s*$"
+GOPHER_SYMBOL_RE = r"#|\.\.\.|…"
+GOPHER_MIN_TOKENS = 50
+GOPHER_MAX_TOKENS = 100_000
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher quality-rule features and verdict (Rae et al.
+    2021 §A.1.1): word count in [50, 100k], mean word length in [3, 10],
+    symbol-to-word ratio (#, ellipsis) < 0.1, < 90% of lines starting
+    with a bullet, < 30% of lines ending in an ellipsis, > 80% of words
+    containing an alphabetic character, and at least 2 stopwords — the
+    standard web-corpus shape gate that runs BEFORE any model-based
+    scoring. Complements ``repetition_stats`` (the duplicate-n-gram half
+    of the same paper's rules) and ``_stats_cols``'s coarse
+    ``quality_score``.
+
+    Returns (doc_id, n_lines, n_tokens, mean_word_len, bullet_ratio,
+    ellipsis_ratio, alpha_ratio, symbol_ratio, n_stop, passes_gopher).
+    Ratios are NULL (and the verdict false) when their denominator is 0
+    — empty or NULL text never passes.
+
+    100 TB shape: one projection over one corpus scan — every feature is
+    a JVM higher-order-function expression on the row's own text (zero
+    shuffles, zero UDFs, full codegen); the gate can therefore fuse with
+    the parquet scan of any downstream pipeline exactly like
+    ``quality_flags``."""
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != F.lit(""))
+    toks = F.filter(tokens(t), lambda x: x != F.lit(""))
+    n_lines = F.size(lines)
+    n_tokens = F.size(toks)
+    n_bullet = F.size(F.filter(lines, lambda x: x.rlike(GOPHER_BULLET_RE)))
+    n_ellipsis = F.size(
+        F.filter(lines, lambda x: x.rlike(GOPHER_ELLIPSIS_RE))
+    )
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    n_symbol = F.size(
+        F.regexp_extract_all(t, F.lit(f"({GOPHER_SYMBOL_RE})"), F.lit(0))
+    )
+    lower_toks_sql = (
+        f"filter(split(trim(lower({text_col})), '\\\\s+'), x -> x != '')"
+    )
+    n_stop = F.expr(count_in_expr(lower_toks_sql, STOPWORDS))
+    n_nonspace = F.length(F.regexp_replace(F.trim(t), r"\s+", ""))
+
+    def ratio(num: Column, den: Column) -> Column:
+        return F.when(den > 0, det_round(num / den, 4))
+
+    feats = docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_tokens.alias("n_tokens"),
+        ratio(n_nonspace, n_tokens).alias("mean_word_len"),
+        ratio(n_bullet, n_lines).alias("bullet_ratio"),
+        ratio(n_ellipsis, n_lines).alias("ellipsis_ratio"),
+        ratio(n_alpha, n_tokens).alias("alpha_ratio"),
+        ratio(n_symbol, n_tokens).alias("symbol_ratio"),
+        n_stop.alias("n_stop"),
+    )
+    passes = (
+        F.col("n_tokens").between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("bullet_ratio") < 0.9)
+        & (F.col("ellipsis_ratio") < 0.3)
+        & (F.col("alpha_ratio") > 0.8)
+        & (F.col("n_stop") >= 2)
+    )
+    return feats.withColumn(
+        "passes_gopher", F.coalesce(passes, F.lit(False))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit — corpus-level token-frequency power-law diagnostics
+# ---------------------------------------------------------------------------
+
+
+def zipf_fit(
+    docs: DataFrame, text_col: str = "text", top_n: int = 1000
+) -> DataFrame:
+    """One-row corpus diagnostic: OLS fit of ln(frequency) ~ ln(rank)
+    over the ``top_n`` most frequent tokens — natural corpora follow
+    Zipf's law with slope ≈ −1; synthetic/templated/spun corpora flatten
+    the head (slope → 0) and machine-generated boilerplate steepens it.
+    A drifting slope or collapsing ``top_coverage`` between two crawl
+    snapshots is a cheap corpus-mixture alarm that needs no reference
+    model (pairs with ``token_kl_divergence``, which needs one).
+
+    Returns (n_vocab, c_total, n_fit, top_coverage, zipf_slope,
+    zipf_r2): vocabulary size, total token occurrences, points fitted,
+    share of occurrences covered by the fitted head, the fitted slope
+    and its r². Slope/r² are NULL when fewer than 2 distinct ranks (or a
+    constant y) make the fit undefined.
+
+    Determinism across engines: each ln() term is quantized to 1e-9
+    fixed-point BIGINTs (the ``_KL_SCALE`` convention) so the sums are
+    exact integers regardless of accumulation order; the closed-form
+    slope then evaluates an identical double expression on identical
+    integers on both engines.
+
+    100 TB shape: one corpus explode into a map-side-combined vocabulary
+    aggregate (the same exchange the unigram-LM tier budgets), a
+    TakeOrderedAndProject for the top-``top_n`` head (no global sort),
+    and a single-partition window + aggregate over ≤ ``top_n`` rows —
+    the only data that ever reaches one task is the fixed-size head."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    words = (
+        spread_to_cores(docs)
+        .select(F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    vocab = words.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = vocab.agg(
+        F.sum("cnt").alias("c_total"), F.count(F.lit(1)).alias("n_vocab")
+    )
+    top = vocab.orderBy(F.col("cnt").desc(), F.col("term")).limit(top_n)
+    ranked = top.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col("term"))
+        ),
+    )
+    x = F.log(F.col("rnk").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+
+    def q(c: Column) -> Column:
+        return F.floor(c * F.lit(float(_KL_SCALE)) + F.lit(0.5)).cast(
+            "bigint"
+        )
+
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n_fit"),
+        F.sum(q(x)).alias("sx"),
+        F.sum(q(y)).alias("sy"),
+        F.sum(q(x * y)).alias("sxy"),
+        F.sum(q(x * x)).alias("sxx"),
+        F.sum(q(y * y)).alias("syy"),
+        F.sum("cnt").alias("c_top"),
+    )
+    j = sums.crossJoin(F.broadcast(totals))
+    S = F.lit(float(_KL_SCALE))
+    n = F.col("n_fit").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    num = n * sxy * S - sx * sy
+    den_x = n * sxx * S - sx * sx
+    den_y = n * syy * S - sy * sy
+    return j.select(
+        F.col("n_vocab").cast("bigint").alias("n_vocab"),
+        F.col("c_total").cast("bigint").alias("c_total"),
+        F.col("n_fit").cast("bigint").alias("n_fit"),
+        det_round(F.col("c_top") / F.col("c_total"), 6).alias(
+            "top_coverage"
+        ),
+        F.when(den_x > 0, det_round(num / den_x, 6)).alias("zipf_slope"),
+        F.when(
+            (den_x > 0) & (den_y > 0),
+            det_round((num * num) / (den_x * den_y), 6),
+        ).alias("zipf_r2"),
+    )

@@ -15,39 +15,45 @@ the flagship — and 35 ROTATING slots scheduled strictly by
 "never-driver-certified first", then "oldest certification first".
 
 Round-12 rotation (this file's current window), scheduled by the
-standing rule — never-driver-certified first (three: this round's new
+standing rule — never-driver-certified first (five: this round's new
 registrations; every name registered before round 12 has carried a green
 driver row as of CORRECTNESS_r11), then oldest certification first:
-  slots 1-3 (never certified, round-12 operators, alphabetical):
+  slots 1-5 (never certified, round-12 operators, alphabetical):
     dedup_clusters_twostar (connected components by alternating
     large-star/small-star — Kiveris et al. 2014, O(log² n) rounds
-    regardless of pair-graph diameter), ngram_novelty (share of a
-    doc's distinct 3-grams first seen in that doc — the template-
-    recombination curation signal no pairwise tier flags), and
-    semantic_dedup_keep_routed (SemDeDup keep-list behind the
-    emission-routed candidate generator — verdict r11 ask #3's
-    supersession closure: base sign block under the cap, banded
-    ladder beyond).
-  slots 4-20 (the 17 remaining r8-certified names — the documented
+    regardless of pair-graph diameter), gopher_quality (the Rae et
+    al. 2021 line/word-shape rules — bullet/ellipsis line ratios,
+    alpha-word ratio, symbol ratio, stopword floor — one scan-fused
+    projection), ngram_novelty (share of a doc's distinct 3-grams
+    first seen in that doc — the template-recombination curation
+    signal no pairwise tier flags), semantic_dedup_keep_routed
+    (SemDeDup keep-list behind the emission-routed candidate
+    generator — verdict r11 ask #3's supersession closure: base sign
+    block under the cap, banded ladder beyond), and zipf_fit (OLS
+    ln-freq ~ ln-rank over the frequency head, 1e-9 fixed-point sums
+    for cross-engine determinism — the no-reference-model corpus
+    drift alarm).
+  slots 6-22 (the 17 remaining r8-certified names — the documented
     round-12 refresh front, alphabetical): multimodal_frames,
     page_and_tail, pii_redact, range_join_nearby, rollup_revenue,
     seasonal_forecast, session_windows, simhash_pairs,
     simhash_signatures, sliding_window_stats, span_dedup,
     theta_rollup_custkeys, tumbling_hour_stats, user_sessions_core,
     variant_events_stats, winnow_containment, winnow_containment_capped.
-  slots 21-35 (15 of the 35 r9-certified names, alphabetical — no
+  slots 23-35 (13 of the 35 r9-certified names, alphabetical — no
     intra-round priority signal): best_markets, bigram_logprob,
     bm25_topk, cdc_apply_orders, chunk_documents, cohort_retention,
     country_month_avg, dedup_cluster_sizes, dedup_clusters_minhash,
     dedup_word_jaccard_routed, dim_product, embedding_near_dup_routed,
-    event_transitions, exact_substring_spans, ffill_bfill_impute.
-  Round-13 refresh front (documented ahead of the window): the 20
-  remaining r9-certified names (filter_suite,
-  funnel_view_click_purchase, fuzzy_customer_names,
-  grouping_sets_sales, kfold_orders, kmv_overlap_parts,
-  leakage_safe_split, mean_impute, merge_aggregate_returnflag,
-  mixture_sample, normalized_join, pagerank_part_supplier, pii_scan,
-  pivot_returnflag, price_summary_stats, quota_cap, sales_agg_profile,
+    event_transitions.
+  Round-13 refresh front (documented ahead of the window): the 22
+  remaining r9-certified names (exact_substring_spans,
+  ffill_bfill_impute, filter_suite, funnel_view_click_purchase,
+  fuzzy_customer_names, grouping_sets_sales, kfold_orders,
+  kmv_overlap_parts, leakage_safe_split, mean_impute,
+  merge_aggregate_returnflag, mixture_sample, normalized_join,
+  pagerank_part_supplier, pii_scan, pivot_returnflag,
+  price_summary_stats, quota_cap, sales_agg_profile,
   stratified_sample, train_test_split, upsert_plan), then the r10
   cohort (35 names, alphabetical). Any query registered in round 12+
   is never-certified and takes the first rotating slots, per the
@@ -94,12 +100,15 @@ _PRIORITY: list[str] = [
     "text_profile",
     "linear_forecast",
     # ---- rotating slots (35): never-driver-certified first -------------
-    # never certified (3, alphabetical): the round-12 two-star components
-    # algorithm, the n-gram novelty curation signal, and the
-    # emission-routed SemDeDup entry
+    # never certified (5, alphabetical): the round-12 two-star components
+    # algorithm, the Gopher line/word-shape quality rules, the n-gram
+    # novelty curation signal, the emission-routed SemDeDup entry, and
+    # the Zipf power-law corpus diagnostic
     "dedup_clusters_twostar",
+    "gopher_quality",
     "ngram_novelty",
     "semantic_dedup_keep_routed",
+    "zipf_fit",
     # last green in r8 (the 17 remaining r8 names, alphabetical)
     "multimodal_frames",
     "page_and_tail",
@@ -132,8 +141,6 @@ _PRIORITY: list[str] = [
     "dim_product",
     "embedding_near_dup_routed",
     "event_transitions",
-    "exact_substring_spans",
-    "ffill_bfill_impute",
 ]
 
 _WINDOW = 50

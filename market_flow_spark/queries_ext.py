@@ -2267,6 +2267,143 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_stats(load_tables(spark, sf_dir)["documents"])
 
 
+def _gopher_oracle() -> str:
+    """Twin of text.gopher_quality: line/word-shape Gopher rules."""
+    fr = _floor_round_sql
+    stops = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+    list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines,
+    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                x -> x <> '') AS toks,
+    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                x -> x <> '') AS ltoks,
+    length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_nonspace,
+    len(regexp_extract_all(text, '(#|\\.\\.\\.|…)')) AS n_symbol
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+    CAST(len(lines) AS INT) AS n_lines,
+    CAST(len(toks) AS INT) AS n_tokens,
+    CAST(len(list_filter(lines,
+      x -> regexp_matches(x, '^\\s*[•‣·*-]'))) AS INT) AS n_bullet,
+    CAST(len(list_filter(lines,
+      x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) AS INT) AS n_ellipsis,
+    CAST(len(list_filter(toks,
+      x -> regexp_matches(x, '[A-Za-z]'))) AS INT) AS n_alpha,
+    CAST(len(list_filter(ltoks, x -> x IN ({stops}))) AS INT) AS n_stop,
+    n_nonspace, n_symbol
+  FROM b
+),
+f AS (
+  SELECT doc_id, n_lines, n_tokens,
+    CASE WHEN n_tokens > 0 THEN {fr("n_nonspace / n_tokens", 4)} END
+      AS mean_word_len,
+    CASE WHEN n_lines > 0 THEN {fr("n_bullet / n_lines", 4)} END
+      AS bullet_ratio,
+    CASE WHEN n_lines > 0 THEN {fr("n_ellipsis / n_lines", 4)} END
+      AS ellipsis_ratio,
+    CASE WHEN n_tokens > 0 THEN {fr("n_alpha / n_tokens", 4)} END
+      AS alpha_ratio,
+    CASE WHEN n_tokens > 0 THEN {fr("n_symbol / n_tokens", 4)} END
+      AS symbol_ratio,
+    n_stop
+  FROM c
+)
+SELECT doc_id, n_lines, n_tokens, mean_word_len, bullet_ratio,
+  ellipsis_ratio, alpha_ratio, symbol_ratio, n_stop,
+  COALESCE(n_tokens BETWEEN {text.GOPHER_MIN_TOKENS}
+                        AND {text.GOPHER_MAX_TOKENS}
+    AND mean_word_len BETWEEN 3 AND 10
+    AND symbol_ratio < 0.1
+    AND bullet_ratio < 0.9
+    AND ellipsis_ratio < 0.3
+    AND alpha_ratio > 0.8
+    AND n_stop >= 2, false) AS passes_gopher
+FROM f
+"""
+
+
+@register("gopher_quality", _gopher_oracle())
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher line/word-shape quality rules (round 12): bullet-line and
+    ellipsis-line ratios, alphabetic-word ratio, symbol-to-word ratio,
+    mean word length, stopword floor, and the composite pass verdict —
+    one scan-fused projection, zero shuffles (the other half of the
+    Rae et al. rules next to repetition_stats)."""
+    return text.gopher_quality(load_tables(spark, sf_dir)["documents"])
+
+
+def _zipf_oracle(top_n: int = 1000) -> str:
+    """Twin of text.zipf_fit: 1e-9 fixed-point sums (exact BIGINTs on
+    both engines), then an identical closed-form double expression."""
+    fr = _floor_round_sql
+    s = "1000000000.0"
+    return f"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+postings AS (SELECT term FROM words WHERE term <> ''),
+vocab AS (SELECT term, COUNT(*) AS cnt FROM postings GROUP BY term),
+tot AS (SELECT SUM(cnt) AS c_total, COUNT(*) AS n_vocab FROM vocab),
+top AS (SELECT term, cnt FROM vocab ORDER BY cnt DESC, term LIMIT {top_n}),
+ranked AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rnk FROM top
+),
+pts AS (
+  SELECT cnt, ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+  FROM ranked
+),
+sums AS (
+  SELECT COUNT(*) AS n_fit,
+    SUM(CAST(floor(x * {s} + 0.5) AS BIGINT)) AS sx,
+    SUM(CAST(floor(y * {s} + 0.5) AS BIGINT)) AS sy,
+    SUM(CAST(floor((x * y) * {s} + 0.5) AS BIGINT)) AS sxy,
+    SUM(CAST(floor((x * x) * {s} + 0.5) AS BIGINT)) AS sxx,
+    SUM(CAST(floor((y * y) * {s} + 0.5) AS BIGINT)) AS syy,
+    SUM(cnt) AS c_top
+  FROM pts
+),
+doubles AS (
+  SELECT CAST(n_fit AS DOUBLE) AS n,
+         CAST(sx AS DOUBLE) AS dsx, CAST(sy AS DOUBLE) AS dsy,
+         CAST(sxy AS DOUBLE) AS dsxy, CAST(sxx AS DOUBLE) AS dsxx,
+         CAST(syy AS DOUBLE) AS dsyy,
+         n_fit, c_top
+  FROM sums
+),
+fit AS (
+  SELECT n_fit, c_top,
+    (n * dsxy * {s} - dsx * dsy) AS num,
+    (n * dsxx * {s} - dsx * dsx) AS den_x,
+    (n * dsyy * {s} - dsy * dsy) AS den_y
+  FROM doubles
+)
+SELECT CAST(t.n_vocab AS BIGINT) AS n_vocab,
+       CAST(t.c_total AS BIGINT) AS c_total,
+       CAST(f.n_fit AS BIGINT) AS n_fit,
+       {fr("CAST(f.c_top AS DOUBLE) / t.c_total", 6)} AS top_coverage,
+       CASE WHEN f.den_x > 0 THEN {fr("f.num / f.den_x", 6)} END
+         AS zipf_slope,
+       CASE WHEN f.den_x > 0 AND f.den_y > 0
+         THEN {fr("(f.num * f.num) / (f.den_x * f.den_y)", 6)} END
+         AS zipf_r2
+FROM fit f CROSS JOIN tot t
+"""
+
+
+@register("zipf_fit", _zipf_oracle())
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit over the corpus token-frequency head (round
+    12): one vocabulary aggregate, a TakeOrderedAndProject head, and a
+    bounded single-partition fit — the corpus-mixture drift alarm that
+    needs no reference model."""
+    return text.zipf_fit(load_tables(spark, sf_dir)["documents"], top_n=1000)
+
+
 def _pii_oracle() -> str:
     return f"""
 SELECT doc_id,

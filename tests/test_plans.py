@@ -83,6 +83,7 @@ INTENTIONAL_TINY_CROSSJOIN = {
     "bm25_topk",       # one-row (N, avgdl) corpus-stats singleton
     "mixture_sample",  # one-row (N_total, Z) mixture-normalizer singleton
     "unigram_logprob", # one-row vocabulary-total singleton
+    "zipf_fit",        # one-row fit-sums × one-row vocab-total singletons
     "dsir_weights",    # two one-row corpus-total singletons
     "curriculum_stages",  # one-row global-count singleton
     "feature_encode_panel",  # one-row frequency-denominator singleton
