@@ -1353,16 +1353,20 @@ EXACT_SUBSTRING_MAX_WINDOW_ROWS = 6e8
 
 # Per-doc ceiling for the fold-based span merge: the packed positions
 # array holds every duplicated window start of one document in ONE row
-# (~4-16 bytes per position through the collect_list buffer), so a doc
-# with 16 M duplicated positions packs a ~64-256 MB row — the last
-# comfortable point under Spark's ~2 GB single-row ceiling. A position
-# index ≥ this bound proves the doc could pack more than the bound, so
-# the fold path raises BEFORE building the row (the check is one codegen
-# comparison on rows that are already flowing); merge_strategy="window"
-# is the no-ceiling fallback (streaming island merge within a sorted
-# partition — the pre-r11 shape, measured ×1.33 slower end-to-end but
-# never wider than one row per window).
-EXACT_SUBSTRING_MAX_DOC_POSITIONS = 16_000_000
+# (~4-16 bytes per position through the collect_list buffer). The cheap
+# pre-shuffle check is on position OFFSET, which upper-bounds the packed
+# COUNT (count <= max offset + 1): offsets below the bound PROVE the row
+# stays under ~bytes-per-position x bound. 100 M int positions ≈ 0.4-1.6
+# GB worst case — the "~100 MB of normalized text can hit the single-row
+# ceiling" envelope this tier documented before the guard became
+# executable (round 12 first shipped the bound at 16 M, which aborted
+# 16-100 MB docs the unguarded shape had always handled; reviewed and
+# re-aligned the same round). Docs past the bound with only SPARSE
+# duplication trip the proxy conservatively — the raise names
+# merge_strategy="window" (streaming island merge within a sorted
+# partition, the pre-r11 shape: no per-doc row at all, measured ×1.33
+# slower end-to-end) as the route.
+EXACT_SUBSTRING_MAX_DOC_POSITIONS = 100_000_000
 
 
 def estimate_exact_substring_window_rows(
@@ -1475,17 +1479,22 @@ def exact_substring_spans(
     one per-doc hash aggregate (sort_array + a linear ``aggregate()``
     fold over each doc's duplicated positions — no sort-window
     machinery). Per-doc bound — EXECUTABLE since round 12: the packed
-    positions array is ~4-8× the doc's DUPLICATED-text bytes in one row,
-    so a mostly-duplicated doc must stay well under Spark's ~2 GB row
-    ceiling — ordinary for training corpora, which chunk documents far
-    below that. A duplicated position at index ≥ ``max_doc_positions``
-    (default ``EXACT_SUBSTRING_MAX_DOC_POSITIONS`` = 16 M ≈ 16 MB of
-    duplicated text) raises BEFORE the oversized row is built (one
-    codegen comparison per already-flowing row, no extra exchange or
-    scan), naming the fallback: ``merge_strategy="window"`` switches the
-    merge to the pre-r11 running-max island merge (streaming within a
-    sorted partition — no per-doc row, so no ceiling; measured ×1.33
-    slower end-to-end, the price of pathological-blob corpora).
+    positions array is ~4 bytes per duplicated position in one row, so
+    a mostly-duplicated monster doc could breach Spark's ~2 GB row
+    ceiling — ordinary training corpora chunk documents far below that.
+    The guard checks position OFFSET, the cheap pre-shuffle UPPER BOUND
+    on the packed count (count ≤ max offset + 1): a duplicated position
+    at index ≥ ``max_doc_positions`` (default
+    ``EXACT_SUBSTRING_MAX_DOC_POSITIONS`` = 100 M, i.e. the ~100 MB-of-
+    normalized-text envelope the tier has always documented, ≈ 400 MB
+    packed worst case) raises BEFORE the row is built (one codegen
+    comparison per already-flowing row, no extra exchange or scan).
+    The proxy is conservative for longer docs whose duplication is
+    sparse — the raise names the route: ``merge_strategy="window"``
+    switches the merge to the pre-r11 running-max island merge
+    (streaming within a sorted partition — no per-doc row, so no
+    ceiling; measured ×1.33 slower end-to-end, the price of
+    pathological-blob corpora).
     ``max_doc_positions=None`` disables the guard. The round-11 rewrite of these
     two stages measured ×0.75 end-to-end at sf0.1 (min 1.66 → 1.25 s,
     non-overlapping pass distributions; PLANS.md has the sf1 row),
@@ -1592,10 +1601,11 @@ def exact_substring_spans(
             f"merge_strategy must be 'fold' or 'window', got {merge_strategy!r}"
         )
     if max_doc_positions is not None:
-        # Executable big-doc guard: a position index >= the bound proves
-        # this doc could pack more positions than the fold's single-row
-        # ceiling allows — fail fast with the route, before collect_list
-        # builds the row.
+        # Executable big-doc guard on the cheap pre-shuffle proxy: a
+        # position index >= the bound means the packed count is no
+        # longer PROVABLY under the fold's single-row ceiling (offset
+        # upper-bounds count) — fail fast with the route named, before
+        # collect_list builds any row.
         dup_wins = dup_wins.select(
             "doc_id",
             F.when(
@@ -1603,11 +1613,12 @@ def exact_substring_spans(
                 F.expr(
                     "CAST(raise_error('exact_substring_spans: a document "
                     "has duplicated positions beyond max_doc_positions="
-                    f"{int(max_doc_positions)}; the fold merge would pack "
-                    "an oversized single row. Re-run with "
-                    "merge_strategy=\\'window\\' (streaming island merge, "
-                    "no per-doc ceiling) or raise max_doc_positions.') "
-                    "AS INT)"
+                    f"{int(max_doc_positions)}, so its packed fold row is "
+                    "no longer provably under the single-row ceiling "
+                    "(position offset upper-bounds the packed count). "
+                    "Re-run with merge_strategy=\\'window\\' (streaming "
+                    "island merge, no per-doc row) or raise "
+                    "max_doc_positions.') AS INT)"
                 ),
             )
             .otherwise(F.col("pos"))
@@ -1955,7 +1966,7 @@ def dedup_clusters_twostar(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if e.rdd.isEmpty():
+    if e.isEmpty():
         return e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
     converged = False
     for _ in range(max_iter):
@@ -2002,7 +2013,7 @@ def dedup_clusters_twostar(
             .filter(F.col("c") > 1)
             .select(F.col("u").alias("n"))
         )
-        if child_is_parent.union(multi_parent).rdd.isEmpty():
+        if child_is_parent.union(multi_parent).isEmpty():
             converged = True
             break
     if not converged:

@@ -127,7 +127,7 @@ _PRIORITY: list[str] = [
     "variant_events_stats",
     "winnow_containment",
     "winnow_containment_capped",
-    # last green in r9 (15 of 35, alphabetical)
+    # last green in r9 (13 of 35, alphabetical)
     "best_markets",
     "bigram_logprob",
     "bm25_topk",
