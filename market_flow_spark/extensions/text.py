@@ -1157,3 +1157,85 @@ def zipf_fit(
             det_round((num * num) / (den_x * den_y), 6),
         ).alias("zipf_r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document token entropy — lexical-diversity / repetitiveness signal
+# ---------------------------------------------------------------------------
+
+
+def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_types, entropy, entropy_ratio): Shannon
+    entropy of each document's OWN token distribution, H = −Σ p·ln p
+    over the doc's term frequencies, plus the ln(n_types)-normalized
+    ratio in [0, 1] (1 = perfectly diverse, → 0 = one token dominates).
+    The standard lexical-diversity gate between ``repetition_stats``
+    (which only sees exact duplicate lines/words/bigrams) and
+    ``unigram_logprob`` (which scores against the CORPUS distribution,
+    so a doc repeating one common word still scores near the mean):
+    low own-entropy flags keyword stuffing and template spam that both
+    neighbors pass. ``entropy_ratio`` is NULL for docs with fewer than
+    2 distinct tokens (ln 1 = 0); ``entropy`` is NULL for empty/NULL
+    text.
+
+    Cross-engine determinism: each p·ln p contribution is quantized to
+    1e-9 fixed-point BIGINT (the ``_KL_SCALE`` convention), so the
+    per-doc sum is an exact integer on both engines.
+
+    100 TB shape: one corpus explode into a map-side-combined
+    (doc_id, term) count aggregate, then a doc_id window + final
+    aggregate sharing one exchange — the same two-exchange budget as
+    ``unigram_logprob``, with every key bounded (term grain, doc
+    grain). No driver-side state, no UDFs."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    words = (
+        spread_to_cores(docs)
+        .select("doc_id", F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    counts = words.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("doc_id")
+    p = F.col("c") / F.col("n")
+    contrib_fx = F.floor(
+        p * F.log(p) * F.lit(_KL_SCALE) + F.lit(0.5)
+    ).cast("bigint")
+    per_doc = (
+        counts.withColumn("n", F.sum("c").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(contrib_fx).alias("h_fx"),
+        )
+    )
+    entropy = det_round(
+        -(F.col("h_fx").cast("double") / F.lit(float(_KL_SCALE))), 6
+    )
+    ratio = F.when(
+        F.col("n_types") > 1,
+        det_round(
+            -(F.col("h_fx").cast("double") / F.lit(float(_KL_SCALE)))
+            / F.log(F.col("n_types").cast("double")),
+            6,
+        ),
+    )
+    scored = per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        entropy.alias("entropy"),
+        ratio.alias("entropy_ratio"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("n_types"), F.lit(0)).alias("n_types"),
+            "entropy",
+            "entropy_ratio",
+        )
+    )

@@ -15,10 +15,10 @@ the flagship — and 35 ROTATING slots scheduled strictly by
 "never-driver-certified first", then "oldest certification first".
 
 Round-12 rotation (this file's current window), scheduled by the
-standing rule — never-driver-certified first (five: this round's new
+standing rule — never-driver-certified first (six: this round's new
 registrations; every name registered before round 12 has carried a green
 driver row as of CORRECTNESS_r11), then oldest certification first:
-  slots 1-5 (never certified, round-12 operators, alphabetical):
+  slots 1-6 (never certified, round-12 operators, alphabetical):
     dedup_clusters_twostar (connected components by alternating
     large-star/small-star — Kiveris et al. 2014, O(log² n) rounds
     regardless of pair-graph diameter), gopher_quality (the Rae et
@@ -29,25 +29,28 @@ driver row as of CORRECTNESS_r11), then oldest certification first:
     signal no pairwise tier flags), semantic_dedup_keep_routed
     (SemDeDup keep-list behind the emission-routed candidate
     generator — verdict r11 ask #3's supersession closure: base sign
-    block under the cap, banded ladder beyond), and zipf_fit (OLS
+    block under the cap, banded ladder beyond), token_entropy
+    (per-doc Shannon entropy of the doc's own token distribution +
+    ln(n_types)-normalized ratio — the lexical-diversity gate between
+    repetition_stats and unigram_logprob), and zipf_fit (OLS
     ln-freq ~ ln-rank over the frequency head, 1e-9 fixed-point sums
     for cross-engine determinism — the no-reference-model corpus
     drift alarm).
-  slots 6-22 (the 17 remaining r8-certified names — the documented
+  slots 7-23 (the 17 remaining r8-certified names — the documented
     round-12 refresh front, alphabetical): multimodal_frames,
     page_and_tail, pii_redact, range_join_nearby, rollup_revenue,
     seasonal_forecast, session_windows, simhash_pairs,
     simhash_signatures, sliding_window_stats, span_dedup,
     theta_rollup_custkeys, tumbling_hour_stats, user_sessions_core,
     variant_events_stats, winnow_containment, winnow_containment_capped.
-  slots 23-35 (13 of the 35 r9-certified names, alphabetical — no
+  slots 24-35 (12 of the 35 r9-certified names, alphabetical — no
     intra-round priority signal): best_markets, bigram_logprob,
     bm25_topk, cdc_apply_orders, chunk_documents, cohort_retention,
     country_month_avg, dedup_cluster_sizes, dedup_clusters_minhash,
-    dedup_word_jaccard_routed, dim_product, embedding_near_dup_routed,
-    event_transitions.
-  Round-13 refresh front (documented ahead of the window): the 22
-  remaining r9-certified names (exact_substring_spans,
+    dedup_word_jaccard_routed, dim_product, embedding_near_dup_routed.
+  Round-13 refresh front (documented ahead of the window): the 23
+  remaining r9-certified names (event_transitions,
+  exact_substring_spans,
   ffill_bfill_impute, filter_suite, funnel_view_click_purchase,
   fuzzy_customer_names, grouping_sets_sales, kfold_orders,
   kmv_overlap_parts, leakage_safe_split, mean_impute,
@@ -100,14 +103,16 @@ _PRIORITY: list[str] = [
     "text_profile",
     "linear_forecast",
     # ---- rotating slots (35): never-driver-certified first -------------
-    # never certified (5, alphabetical): the round-12 two-star components
+    # never certified (6, alphabetical): the round-12 two-star components
     # algorithm, the Gopher line/word-shape quality rules, the n-gram
-    # novelty curation signal, the emission-routed SemDeDup entry, and
-    # the Zipf power-law corpus diagnostic
+    # novelty curation signal, the emission-routed SemDeDup entry, the
+    # per-doc token-entropy diversity gate, and the Zipf power-law
+    # corpus diagnostic
     "dedup_clusters_twostar",
     "gopher_quality",
     "ngram_novelty",
     "semantic_dedup_keep_routed",
+    "token_entropy",
     "zipf_fit",
     # last green in r8 (the 17 remaining r8 names, alphabetical)
     "multimodal_frames",
@@ -127,7 +132,7 @@ _PRIORITY: list[str] = [
     "variant_events_stats",
     "winnow_containment",
     "winnow_containment_capped",
-    # last green in r9 (13 of 35, alphabetical)
+    # last green in r9 (12 of 35, alphabetical)
     "best_markets",
     "bigram_logprob",
     "bm25_topk",
@@ -140,7 +145,6 @@ _PRIORITY: list[str] = [
     "dedup_word_jaccard_routed",
     "dim_product",
     "embedding_near_dup_routed",
-    "event_transitions",
 ]
 
 _WINDOW = 50

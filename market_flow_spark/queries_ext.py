@@ -2336,6 +2336,51 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.gopher_quality(load_tables(spark, sf_dir)["documents"])
 
 
+def _token_entropy_oracle() -> str:
+    """Twin of text.token_entropy: identical tokenization, identical
+    quantize-then-sum fixed-point arithmetic (the KL twin's pattern)."""
+    fr = _floor_round_sql
+    s = "1000000000"
+    h = f"-(CAST(p.h_fx AS DOUBLE) / {s}.0)"
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+),
+postings AS (SELECT doc_id, term FROM words WHERE term <> ''),
+counts AS (
+  SELECT doc_id, term, COUNT(*) AS c FROM postings GROUP BY doc_id, term
+),
+w AS (
+  SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM counts
+),
+per_doc AS (
+  SELECT doc_id, MAX(n) AS n_tokens, COUNT(*) AS n_types,
+    SUM(CAST(FLOOR((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+                   * {s} + 0.5) AS BIGINT)) AS h_fx
+  FROM w GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(p.n_types, 0) AS BIGINT) AS n_types,
+  {fr(h, 6)} AS entropy,
+  CASE WHEN p.n_types > 1
+       THEN {fr(f"({h}) / ln(CAST(p.n_types AS DOUBLE))", 6)} END
+    AS entropy_ratio
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+@register("token_entropy", _token_entropy_oracle())
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the doc's OWN token distribution +
+    ln(n_types)-normalized ratio (round 12): the lexical-diversity gate
+    between repetition_stats (exact duplicates only) and unigram_logprob
+    (corpus-relative, blind to a doc repeating one common word)."""
+    return text.token_entropy(load_tables(spark, sf_dir)["documents"])
+
+
 def _zipf_oracle(top_n: int = 1000) -> str:
     """Twin of text.zipf_fit: 1e-9 fixed-point sums (exact BIGINTs on
     both engines), then an identical closed-form double expression."""

@@ -163,3 +163,72 @@ def test_zipf_matches_twin_at_truncating_top_n(spark):
         )
     finally:
         con.close()
+
+
+def test_token_entropy_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a a b b"),       # balanced 2 types: H = ln 2, ratio 1
+            (1, "a a a b"),       # skewed: H = -(.75 ln .75 + .25 ln .25)
+            (2, "a a a a"),       # one type: H = 0, ratio NULL
+            (3, "a b c d"),       # uniform 4 types: H = ln 4, ratio 1
+            (4, ""),              # empty: no tokens, NULL entropy
+            (5, None),            # NULL text
+        ],
+        "doc_id long, text string",
+    )
+    from market_flow_spark.extensions.text import token_entropy
+
+    got = {r["doc_id"]: r.asDict() for r in token_entropy(docs).collect()}
+    assert got[0]["n_tokens"] == 4 and got[0]["n_types"] == 2
+    assert got[0]["entropy"] == 0.693147  # ln 2, floor-rounded at 6
+    assert got[0]["entropy_ratio"] == 1.0
+    assert got[1]["entropy"] == 0.562335
+    assert got[2]["entropy"] == 0.0 and got[2]["entropy_ratio"] is None
+    assert got[3]["entropy"] == 1.386294 and got[3]["entropy_ratio"] == 1.0
+    for i in (4, 5):
+        assert got[i]["n_tokens"] == 0 and got[i]["n_types"] == 0
+        assert got[i]["entropy"] is None and got[i]["entropy_ratio"] is None
+
+
+def test_token_entropy_flags_stuffing_that_neighbors_pass(spark):
+    """The discrimination claim: a doc that repeats ONE corpus-common
+    word scores near the corpus mean under unigram_logprob (each token
+    is common) and clean under repetition_stats' dup_word_frac would
+    flag it — but entropy_ratio is the signal that needs no corpus
+    context and no threshold tuning: 0 for the stuffed doc, near 1 for
+    natural text of the same length."""
+    from market_flow_spark.extensions.text import token_entropy
+
+    docs = spark.createDataFrame(
+        [(0, "the " * 40), (1, "the quick brown fox jumps over a lazy dog")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in token_entropy(docs).collect()}
+    assert got[0]["entropy"] == 0.0 and got[0]["n_types"] == 1
+    assert got[1]["entropy_ratio"] == 1.0  # 9 distinct tokens, all once
+
+
+def test_token_entropy_matches_twin_on_planted_docs(spark):
+    from market_flow_spark.extensions.text import token_entropy
+    from market_flow_spark.queries_ext import _token_entropy_oracle
+
+    rows = [
+        (0, "a a b b c"),
+        (1, "x x x x y z z"),
+        (2, ""),
+        (3, None),
+        (4, "only"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pdf = pd.DataFrame(
+        {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}
+    )
+    con = duckdb.connect()
+    try:
+        con.register("documents", pdf)
+        assert_matches_oracle(
+            token_entropy(docs), con, _token_entropy_oracle()
+        )
+    finally:
+        con.close()
