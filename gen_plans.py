@@ -92,6 +92,31 @@ SHOWCASE: dict[str, str] = {
         "in the projection — kept segments concatenate in one pass, no "
         "extra corpus-sized shuffle beyond the doc_id join."
     ),
+    "gopher_quality": (
+        "Gopher line/word-shape gate (r12): ONE projection over ONE "
+        "parquet scan — every feature (bullet/ellipsis line ratios, "
+        "alpha-word ratio, symbol ratio, stopword floor) is a JVM "
+        "higher-order-function expression on the row's own text; no "
+        "exchange, no aggregate, no UDF anywhere in the plan, so the "
+        "gate fuses with any downstream pipeline's scan."
+    ),
+    "zipf_fit": (
+        "Zipf head fit (r12): the vocabulary aggregate is the one "
+        "map-side-combined exchange; the top-N head is a "
+        "TakeOrderedAndProject (no global sort), and the window + fit "
+        "aggregate run over ≤ top_n rows on one task by construction — "
+        "the only single-partition data is the fixed-size head. The "
+        "one-row totals crossJoin is a declared tiny-broadcast BNLJ "
+        "(the unigram_logprob shape)."
+    ),
+    "token_entropy": (
+        "Per-doc token entropy (r12): explode feeds a map-side-combined "
+        "(doc_id, term) hash aggregate; the doc_id window and the final "
+        "per-doc aggregate share the second exchange; the restore-all-"
+        "docs join is doc_id-keyed. Two hash exchanges total — the "
+        "unigram_logprob budget — and the fixed-point p·ln p sums keep "
+        "the whole reduction in bigint columns."
+    ),
     "quota_cap": (
         "Skew-safe two-level cap: per-(group, subsplit) local top-k bounds "
         "every task before the per-group window — a group holding half the "

@@ -232,3 +232,33 @@ def test_token_entropy_matches_twin_on_planted_docs(spark):
         )
     finally:
         con.close()
+
+
+def test_zipf_reuses_the_vocab_exchange(spark, sf_dir):
+    """The head pipeline and the totals row both derive from ONE
+    vocabulary aggregate: the REAL executed plan (post-AQE metrics, not
+    the pre-AQE string — which misleadingly prints both branches) must
+    show a ReusedExchange, and nothing may spill."""
+    from market_flow_spark.metrics import collect_and_measure
+    from market_flow_spark.queries_all import QUERIES
+
+    df = QUERIES["zipf_fit"](spark, sf_dir)
+    n, m = collect_and_measure(df)
+    assert n == 1
+    assert m["reused_exchanges"] >= 1, m
+    assert m["spill_bytes"] == 0
+
+
+def test_token_entropy_stays_in_budget(spark, sf_dir):
+    """Two semantic exchanges (the (doc_id, term) count and the doc_id
+    window/aggregate) plus the conditional RoundRobin spread — and zero
+    spill; the doc_id window and final aggregate pipeline on one
+    exchange rather than adding a fourth."""
+    from market_flow_spark.metrics import collect_and_measure
+    from market_flow_spark.queries_all import QUERIES
+
+    df = QUERIES["token_entropy"](spark, sf_dir)
+    n, m = collect_and_measure(df)
+    assert n > 0
+    assert m["exchanges"] <= 3, m
+    assert m["spill_bytes"] == 0
