@@ -41,6 +41,7 @@ def clean_corpus(
     emb_id_col: str = "vec_id",
     emb_col: str = "embedding",
     emb_n_bits: int = 8,
+    gopher: bool = False,
 ) -> DataFrame:
     """(doc_id, keep, drop_reason) for every input document — the
     materializable decision table of the cleaning pipeline (the cleaned
@@ -51,20 +52,35 @@ def clean_corpus(
     quality → exact → MinHash → semantic. The embedding stage runs over
     surviving docs only (left_semi-narrowed before the blocked pair join),
     and its drop reason is ``semantic_dup``. Docs without an embedding row
-    pass the stage untouched."""
+    pass the stage untouched.
+
+    ``gopher=True`` (round 12) adds the Rae et al. line/word-shape rules
+    to the early waterfall (drop reason ``gopher_shape``, after pii) as a
+    fused row-local expression on the SAME gate scan — no join, no second
+    corpus pass, and the default-off flag keeps the registered
+    ``corpus_clean`` twin byte-identical. Note the Gopher 50-token floor:
+    with the gate on, every short document fails the shape rules — that
+    is the paper's rule, not a bug."""
     # ONE pass computes gate flags AND the exact fingerprint; the exact
     # keeper is a min-over-survivors window on the SAME frame (no surv1
     # self-branch — a branched plan would re-run the expensive gate
     # expressions once per consumer at execution time)
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    early = (
+        F.when(F.col("quality_score") < min_quality, F.lit("low_quality"))
+        .when(F.col("repetitive"), F.lit("repetitive"))
+        .when(F.col("has_pii"), F.lit("pii"))
+    )
+    if gopher:
+        # the Gopher line/word-shape verdict as a fused row-local
+        # expression on the SAME scan projection (gopher_pass_expr —
+        # no join, no second scan); drop reason stays additive
+        from market_flow_spark.extensions.text import gopher_pass_expr
+
+        early = early.when(~gopher_pass_expr(text_col), F.lit("gopher_shape"))
     base = (
         quality_flags(docs, text_col)
-        .withColumn(
-            "early_reason",
-            F.when(F.col("quality_score") < min_quality, F.lit("low_quality"))
-            .when(F.col("repetitive"), F.lit("repetitive"))
-            .when(F.col("has_pii"), F.lit("pii")),
-        )
+        .withColumn("early_reason", early)
         .withColumn("fingerprint", F.md5(norm))
     )
     w = Window.partitionBy("fingerprint")

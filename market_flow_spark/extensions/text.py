@@ -998,27 +998,10 @@ GOPHER_MIN_TOKENS = 50
 GOPHER_MAX_TOKENS = 100_000
 
 
-def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document Gopher quality-rule features and verdict (Rae et al.
-    2021 §A.1.1): word count in [50, 100k], mean word length in [3, 10],
-    symbol-to-word ratio (#, ellipsis) < 0.1, < 90% of lines starting
-    with a bullet, < 30% of lines ending in an ellipsis, > 80% of words
-    containing an alphabetic character, and at least 2 stopwords — the
-    standard web-corpus shape gate that runs BEFORE any model-based
-    scoring. Complements ``repetition_stats`` (the duplicate-n-gram half
-    of the same paper's rules) and ``_stats_cols``'s coarse
-    ``quality_score``.
-
-    Returns (doc_id, n_lines, n_tokens, mean_word_len, bullet_ratio,
-    ellipsis_ratio, alpha_ratio, symbol_ratio, n_stop, passes_gopher).
-    Ratios are NULL (and the verdict false) when their denominator is 0
-    — empty or NULL text never passes.
-
-    100 TB shape: one projection over one corpus scan — every feature is
-    a JVM higher-order-function expression on the row's own text (zero
-    shuffles, zero UDFs, full codegen); the gate can therefore fuse with
-    the parquet scan of any downstream pipeline exactly like
-    ``quality_flags``."""
+def _gopher_feature_cols(text_col: str) -> dict[str, "Column"]:
+    """The nine Gopher feature columns as fused row-local expressions —
+    shared by :func:`gopher_quality` and :func:`gopher_pass_expr` so the
+    standalone operator and the clean_corpus gate stay bit-identical."""
     t = F.col(text_col)
     lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != F.lit(""))
     toks = F.filter(tokens(t), lambda x: x != F.lit(""))
@@ -1041,28 +1024,66 @@ def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     def ratio(num: Column, den: Column) -> Column:
         return F.when(den > 0, det_round(num / den, 4))
 
-    feats = docs.select(
-        "doc_id",
-        n_lines.alias("n_lines"),
-        n_tokens.alias("n_tokens"),
-        ratio(n_nonspace, n_tokens).alias("mean_word_len"),
-        ratio(n_bullet, n_lines).alias("bullet_ratio"),
-        ratio(n_ellipsis, n_lines).alias("ellipsis_ratio"),
-        ratio(n_alpha, n_tokens).alias("alpha_ratio"),
-        ratio(n_symbol, n_tokens).alias("symbol_ratio"),
-        n_stop.alias("n_stop"),
-    )
+    return {
+        "n_lines": n_lines,
+        "n_tokens": n_tokens,
+        "mean_word_len": ratio(n_nonspace, n_tokens),
+        "bullet_ratio": ratio(n_bullet, n_lines),
+        "ellipsis_ratio": ratio(n_ellipsis, n_lines),
+        "alpha_ratio": ratio(n_alpha, n_tokens),
+        "symbol_ratio": ratio(n_symbol, n_tokens),
+        "n_stop": n_stop,
+    }
+
+
+def _gopher_pass_from(f: dict[str, "Column"]) -> Column:
     passes = (
-        F.col("n_tokens").between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
-        & F.col("mean_word_len").between(3, 10)
-        & (F.col("symbol_ratio") < 0.1)
-        & (F.col("bullet_ratio") < 0.9)
-        & (F.col("ellipsis_ratio") < 0.3)
-        & (F.col("alpha_ratio") > 0.8)
-        & (F.col("n_stop") >= 2)
+        f["n_tokens"].between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+        & f["mean_word_len"].between(3, 10)
+        & (f["symbol_ratio"] < 0.1)
+        & (f["bullet_ratio"] < 0.9)
+        & (f["ellipsis_ratio"] < 0.3)
+        & (f["alpha_ratio"] > 0.8)
+        & (f["n_stop"] >= 2)
     )
-    return feats.withColumn(
-        "passes_gopher", F.coalesce(passes, F.lit(False))
+    return F.coalesce(passes, F.lit(False))
+
+
+def gopher_pass_expr(text_col: str = "text") -> Column:
+    """The composite Gopher verdict as ONE fused row-local Column — for
+    embedding the gate directly into another scan's projection (the
+    clean_corpus early-gate waterfall) without a join or a second scan.
+    Bit-identical to gopher_quality's ``passes_gopher`` (same feature
+    builders, same rounded ratios)."""
+    return _gopher_pass_from(_gopher_feature_cols(text_col))
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher quality-rule features and verdict (Rae et al.
+    2021 §A.1.1): word count in [50, 100k], mean word length in [3, 10],
+    symbol-to-word ratio (#, ellipsis) < 0.1, < 90% of lines starting
+    with a bullet, < 30% of lines ending in an ellipsis, > 80% of words
+    containing an alphabetic character, and at least 2 stopwords — the
+    standard web-corpus shape gate that runs BEFORE any model-based
+    scoring. Complements ``repetition_stats`` (the duplicate-n-gram half
+    of the same paper's rules) and ``_stats_cols``'s coarse
+    ``quality_score``.
+
+    Returns (doc_id, n_lines, n_tokens, mean_word_len, bullet_ratio,
+    ellipsis_ratio, alpha_ratio, symbol_ratio, n_stop, passes_gopher).
+    Ratios are NULL (and the verdict false) when their denominator is 0
+    — empty or NULL text never passes.
+
+    100 TB shape: one projection over one corpus scan — every feature is
+    a JVM higher-order-function expression on the row's own text (zero
+    shuffles, zero UDFs, full codegen); the gate can therefore fuse with
+    the parquet scan of any downstream pipeline exactly like
+    ``quality_flags``."""
+    f = _gopher_feature_cols(text_col)
+    return docs.select(
+        "doc_id",
+        *[c.alias(k) for k, c in f.items()],
+        _gopher_pass_from(f).alias("passes_gopher"),
     )
 
 

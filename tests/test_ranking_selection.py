@@ -311,6 +311,52 @@ def test_clean_corpus_without_embeddings_unchanged(spark):
     assert out[0]["keep"] and out[1]["drop_reason"] == "exact_dup"
 
 
+def test_clean_corpus_gopher_gate_opt_in(spark):
+    """gopher=True adds the line/word-shape rules to the early waterfall
+    (reason gopher_shape, fused into the same gate scan); default-off
+    leaves behavior — and the registered corpus_clean twin — untouched.
+    The bullet list uses DISTINCT bullet glyphs so the default ladder's
+    repetition gate does not claim it first."""
+    from market_flow_spark.extensions.corpus import clean_corpus
+
+    # 50+ mostly-distinct words (dup_word_frac stays under the default
+    # ladder's 0.3 repetition bar — stopword-rich natural English can
+    # trip it) with >=2 stopwords, alpha-only, mean length in [3, 10]
+    natural = (
+        "the morning sun rises over quiet valleys where farmers tend "
+        "ancient orchards beside winding rivers and children walk dusty "
+        "roads toward small schools carrying worn books about distant "
+        "oceans brave sailors forgotten kingdoms golden harvests while "
+        "elders gather near stone wells trading stories of spring rains "
+        "summer droughts autumn markets winter festivals each season "
+        "bringing different labors different songs different hopes"
+    )
+    bullets = "• alpha\n- beta\n* gamma\n‣ delta\n· epsilon"
+    docs = _docs(spark, [natural, bullets, ""])
+
+    default = {
+        r["doc_id"]: r
+        for r in clean_corpus(docs, min_quality=0.0).collect()
+    }
+    assert default[0]["keep"] and default[1]["keep"]  # gate off: both pass
+
+    gated = {
+        r["doc_id"]: r
+        for r in clean_corpus(docs, min_quality=0.0, gopher=True).collect()
+    }
+    assert gated[0]["keep"] and gated[0]["drop_reason"] is None
+    assert gated[1]["drop_reason"] == "gopher_shape" and not gated[1]["keep"]
+    # earlier reasons still win the waterfall: empty text is low_quality
+    # under the default min_quality, gopher_shape only when quality is
+    # waived (min_quality=0.0 here, so the empty doc falls to gopher)
+    assert gated[2]["drop_reason"] == "gopher_shape"
+    strict = {
+        r["doc_id"]: r
+        for r in clean_corpus(docs, min_quality=1.0, gopher=True).collect()
+    }
+    assert strict[2]["drop_reason"] == "low_quality"
+
+
 def test_write_shuffle_sharded_streams_in_shuffle_order(spark, tmp_path):
     import glob as _glob
 
