@@ -105,7 +105,7 @@ def doc_shingle_arrays(
     # TRIMMED string never yields interior empties ('\s+' collapses runs),
     # so one per-doc comparison covers it — no per-token lambda.
     norm = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
-    toked = _spread(docs).select(
+    toked = _spread(docs, "doc_id").select(
         "doc_id",
         F.when(norm == "", F.array().cast("array<string>"))
         .otherwise(F.split(norm, r"\s+"))
@@ -1316,7 +1316,7 @@ def winnow_fingerprints(
     """
     n = "__wn_norm"
     h = "__wn_h"
-    base = _spread(docs).select(
+    base = _spread(docs, "doc_id").select(
         "doc_id", _norm_text(text_col).alias(n)
     )
     # one uint32 rolling hash per k-gram start position
@@ -1520,7 +1520,7 @@ def exact_substring_spans(
     from pyspark.sql import Window
 
     n, h = "__es_norm", "__es_h"
-    base = _spread(docs).select("doc_id", _norm_text(text_col).alias(n))
+    base = _spread(docs, "doc_id").select("doc_id", _norm_text(text_col).alias(n))
     gram_hashes = F.expr(
         f"CASE WHEN length({n}) >= {min_len} THEN "
         f"transform(sequence(0, length({n}) - {min_len}), "
@@ -1718,7 +1718,7 @@ def exact_substring_dedup(
             max_doc_positions,
         )
     n = "__es_norm"
-    base = _spread(docs).select("doc_id", _norm_text(text_col).alias(n))
+    base = _spread(docs, "doc_id").select("doc_id", _norm_text(text_col).alias(n))
     per_doc = spans.groupBy("doc_id").agg(
         F.sort_array(
             F.collect_list(F.struct("span_start", "span_end"))
@@ -2209,7 +2209,7 @@ def doc_span_chunks(
     if cw < 1:
         raise ValueError(f"chunk_words must be >= 1, got {chunk_words}")
     norm = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
-    toked = _spread(docs).select(
+    toked = _spread(docs, "doc_id").select(
         "doc_id",
         F.when(norm == "", F.array().cast("array<string>"))
         .otherwise(F.split(norm, r"\s+"))

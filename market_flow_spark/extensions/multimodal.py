@@ -42,7 +42,7 @@ def to_binary_assets(docs: DataFrame, text_col: str = "text") -> DataFrame:
     from market_flow_spark.sources.layout import spread_to_cores
 
     content = F.encode(F.col(text_col), "UTF-8")
-    return spread_to_cores(docs).select(
+    return spread_to_cores(docs, "doc_id").select(
         "doc_id",
         content.alias("content"),
         F.lit("text/plain").alias("media_type"),

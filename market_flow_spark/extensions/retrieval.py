@@ -59,7 +59,7 @@ def corpus_postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     clean = F.filter(toks, lambda t: t != F.lit(""))
     return (
-        spread_to_cores(docs)
+        spread_to_cores(docs, "doc_id")
         .select("doc_id", F.size(clean).alias("dl"), F.explode(clean).alias("term"))
     )
 
@@ -233,7 +233,7 @@ def hashed_tfidf_weights(
         F.lit(dim),
     )
     counts = (
-        spread_to_cores(docs)
+        spread_to_cores(docs, "doc_id")
         .select("doc_id", F.explode(clean).alias("term"))
         .select("doc_id", bucket.alias("bucket"))
         .groupBy("doc_id", "bucket")

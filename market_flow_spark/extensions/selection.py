@@ -60,7 +60,7 @@ def hashed_feature_counts(
     # the explicit empty-token filter (not just an empty-string guard)
     # makes the token array identical to the oracle's list_filter even for
     # pathological leading/trailing non-space whitespace
-    toked = _spread(docs).select(
+    toked = _spread(docs, "doc_id").select(
         "doc_id",
         F.filter(F.split(norm, r"\s+"), lambda x: x != "").alias("toks"),
     )

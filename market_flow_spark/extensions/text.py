@@ -78,7 +78,7 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     token length, stopword ratio, an approximate BPE token estimate
     (chars/4, the common fast heuristic), and a 0..1 quality score."""
     cols = _stats_cols(text_col)
-    return spread_to_cores(docs).select(
+    return spread_to_cores(docs, "doc_id").select(
         "doc_id", *(c.alias(name) for name, c in cols.items())
     )
 
@@ -114,7 +114,7 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     sel = [F.col("doc_id")]
     sel += [scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS]
     sel.append(pred.alias("predicted_lang"))
-    return spread_to_cores(docs).select(*sel)
+    return spread_to_cores(docs, "doc_id").select(*sel)
 
 
 def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -127,7 +127,7 @@ def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     sel += [c.alias(name) for name, c in stats.items()]
     sel += [scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS]
     sel.append(pred.alias("predicted_lang"))
-    return spread_to_cores(docs).select(*sel)
+    return spread_to_cores(docs, "doc_id").select(*sel)
 
 
 def corpus_prefilter(
@@ -147,7 +147,7 @@ def corpus_prefilter(
     stats = _stats_cols(text_col)
     _, pred = _lang_pred(text_col)
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    enriched = spread_to_cores(docs).select(
+    enriched = spread_to_cores(docs, "doc_id").select(
         "doc_id",
         stats["n_tokens"].alias("n_tokens"),
         stats["quality_score"].alias("quality_score"),
@@ -166,7 +166,7 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized, lowercased text
     plus a coarse length band — the cheap pre-filter for exact/near dedup."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    return spread_to_cores(docs).select(
+    return spread_to_cores(docs, "doc_id").select(
         "doc_id",
         F.md5(norm).alias("fingerprint"),
         (F.floor(F.length(norm) / 64) * 64).alias("length_band"),
@@ -188,7 +188,7 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     byte-pair encoder never crosses). Pure regexp column expressions: one
     codegen'd scan, no UDF, no shuffle."""
     t = F.col(text_col)
-    return spread_to_cores(docs).select(
+    return spread_to_cores(docs, "doc_id").select(
         "doc_id",
         F.size(tokens(t)).alias("n_ws_tokens"),
         F.size(F.regexp_extract_all(t, F.lit(BPE_PRETOKEN_RE), F.lit(0))).alias(
@@ -236,7 +236,7 @@ def _rep_base(docs: DataFrame, text_col: str) -> DataFrame:
         "i -> concat_ws(' ', __toks[i], __toks[i+1])) "
         "ELSE cast(array() as array<string>) END"
     )
-    return spread_to_cores(docs).select(
+    return spread_to_cores(docs, "doc_id").select(
         "doc_id", t.alias(text_col), lines.alias("__lines"), toks.alias("__toks")
     ).withColumn("__bg", bigrams)
 
@@ -288,7 +288,7 @@ def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
     def n(pattern: str) -> Column:
         return F.size(F.regexp_extract_all(t, F.lit(pattern), F.lit(0)))
 
-    return spread_to_cores(docs).select(
+    return spread_to_cores(docs, "doc_id").select(
         "doc_id",
         n(EMAIL_RE).alias("n_emails"),
         n(IPV4_RE).alias("n_ipv4"),
@@ -368,7 +368,7 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     tokens."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     words = (
-        spread_to_cores(docs)
+        spread_to_cores(docs, "doc_id")
         .select("doc_id", F.explode(toks).alias("term"))
         .filter(F.col("term") != "")
     )
@@ -462,7 +462,7 @@ def token_kl_divergence(
     """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     words = (
-        spread_to_cores(docs)
+        spread_to_cores(docs)  # generic frame: no doc_id contract here
         .select(F.col(group).alias("grp"), F.explode(toks).alias("tok"))
         .filter(F.col("tok") != "")
     )
@@ -598,7 +598,7 @@ def pmi_collocations(
     are bit-stable under any partitioning (ties broken by the pair
     itself)."""
     norm = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
-    toked = spread_to_cores(docs).select(
+    toked = spread_to_cores(docs, "doc_id").select(
         F.filter(F.split(norm, r"\s+"), lambda x: x != "").alias("toks")
     )
     uni = (
@@ -709,7 +709,7 @@ def bigram_logprob(
     (vocab-bounded sides, AQE broadcasts when they fit); one fold back to
     doc grain. No self-joins, no driver state."""
     norm = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
-    toked = spread_to_cores(docs).select(
+    toked = spread_to_cores(docs, "doc_id").select(
         "doc_id",
         F.filter(F.split(norm, r"\s+"), lambda x: x != "").alias("toks"),
     )
@@ -846,7 +846,7 @@ def char_trigram_langid(
         "ELSE cast(array() as array<string>) END"
     )
     base = (
-        spread_to_cores(docs)
+        spread_to_cores(docs, "doc_id")
         .select("doc_id", F.col(lang_col).alias("lang"), padded.alias("__padded"))
         # the explicit doc_id/lang not-null guards match the constraint the
         # final inner join INFERS into the doc-profile branch — with them
@@ -1122,7 +1122,7 @@ def zipf_fit(
     the only data that ever reaches one task is the fixed-size head."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     words = (
-        spread_to_cores(docs)
+        spread_to_cores(docs, "doc_id")
         .select(F.explode(toks).alias("term"))
         .filter(F.col("term") != "")
     )
@@ -1210,7 +1210,7 @@ def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
     grain). No driver-side state, no UDFs."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     words = (
-        spread_to_cores(docs)
+        spread_to_cores(docs, "doc_id")
         .select("doc_id", F.explode(toks).alias("term"))
         .filter(F.col("term") != "")
     )

@@ -40,7 +40,7 @@ def word_symbol_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     corpus-sized pass of BPE training."""
     norm = F.trim(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
     words = (
-        spread_to_cores(docs)
+        spread_to_cores(docs, "doc_id")
         .select(F.explode(F.split(norm, r"\s+")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")

@@ -135,11 +135,17 @@ def test_all_plans_stay_jvm_side_and_join_sane(spark, sf_dir):
 
 def test_corpus_prefilter_single_shuffle(spark, sf_dir):
     """quality + lang + fingerprint compute in one projection; the dedup
-    window is the only HASH exchange, and the quality filter sits below
-    it. (A conditional RoundRobin spread may precede the scan-heavy map on
-    under-partitioned local inputs — that one is not a semantic shuffle.)"""
+    window is the only SEMANTIC hash exchange, and the quality filter sits
+    below it. (A conditional doc_id-keyed spread may precede the scan-heavy
+    map on under-partitioned local inputs — round-12 keyed it by doc_id so
+    it skips the round-robin pre-sort; that one is not a semantic
+    shuffle.)"""
     plan = _executed_plan(QUERIES["corpus_prefilter"](spark, sf_dir))
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("hashpartitioning(fingerprint") == 1
+    semantic = plan.count("Exchange hashpartitioning") - plan.count(
+        "hashpartitioning(doc_id"
+    )
+    assert semantic == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
