@@ -102,6 +102,81 @@ def frequency_encode(df: DataFrame, col: str, ndigits: int = 6) -> DataFrame:
     return df.join(F.broadcast(enc), col)
 
 
+def encode_panel(
+    df: DataFrame,
+    group: str,
+    value: str,
+    target: str,
+    ndigits: int = 4,
+    freq_ndigits: int = 6,
+) -> DataFrame:
+    """All four encoders in ONE stats aggregate + ONE broadcast join-back:
+    z-score and min-max of ``value``, leave-one-out target encoding of
+    ``target``, and frequency encoding of ``group`` — value-identical to
+    chaining the four operators (pinned by test), but the chained form
+    re-executes every earlier broadcast join inside each later stats
+    aggregate (stats pass k scans the fact PLUS k-1 joins), so the panel
+    paid 4 stats scans of increasingly join-wrapped plans. Here: one
+    map-side-combined group-sized aggregate carries every sufficient
+    statistic, the row-count total rides in as a 1-row cross broadcast,
+    and the fact is scanned exactly twice (stats + encode) with no
+    shuffle. Round-12 measured ×0.4 on the registered panel query."""
+    stats = df.groupBy(group).agg(
+        *_sum_stats(value),
+        F.min(value).alias("__lo"),
+        F.max(value).alias("__hi"),
+        F.count(target).alias("__nt"),
+        F.sum(F.col(target).cast(_DEC)).cast("double").alias("__st"),
+        F.count(F.lit(1)).alias(f"{group}_count"),
+    )
+    total = stats.agg(
+        F.sum(f"{group}_count").cast("double").alias("__total")
+    )
+    n, s1, s2 = F.col("__n"), F.col("__s1"), F.col("__s2")
+    mean = s1 / n
+    var = F.greatest((s2 - n * mean * mean) / (n - 1), F.lit(0.0))
+    enc = stats.crossJoin(F.broadcast(total)).select(
+        group,
+        F.when(n >= 2, mean).alias("__mean"),
+        F.when(n >= 2, F.sqrt(var)).alias("__std"),
+        "__lo",
+        "__hi",
+        "__nt",
+        "__st",
+        f"{group}_count",
+        det_round(
+            F.col(f"{group}_count") / F.col("__total"), freq_ndigits
+        ).alias(f"{group}_freq"),
+    )
+    x = F.col(value)
+    span = F.col("__hi") - F.col("__lo")
+    return (
+        df.join(F.broadcast(enc), group)
+        .withColumn(
+            f"{value}_z",
+            F.when(
+                F.col("__std") > 0,
+                det_round((x - F.col("__mean")) / F.col("__std"), ndigits),
+            ),
+        )
+        .withColumn(
+            f"{value}_mm",
+            F.when(span > 0, det_round((x - F.col("__lo")) / span, ndigits)),
+        )
+        .withColumn(
+            f"{group}_te",
+            F.when(
+                F.col("__nt") >= 2,
+                det_round(
+                    (F.col("__st") - F.col(target)) / (F.col("__nt") - 1),
+                    ndigits,
+                ),
+            ),
+        )
+        .drop("__mean", "__std", "__lo", "__hi", "__nt", "__st")
+    )
+
+
 def loo_target_encode(
     df: DataFrame, group: str, target: str, ndigits: int = 4
 ) -> DataFrame:

@@ -23,7 +23,36 @@ from market_flow_spark.functions.cleaning import normalize_key
 from market_flow_spark.functions.units import parse_unit_name, price_per_kg
 from market_flow_spark.operators import analytics as an
 from market_flow_spark.operators import dims, imputation, incremental, star
+from market_flow_spark.sources.layout import spread_to_cores
 from market_flow_spark.tables import load_tables
+
+
+def spread_sales(t: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """The round-12 serial-scan fix for heavy lineitem/orders consumers:
+    conditionally hash-spread the two fact tables on their JOIN key before
+    CPU-heavy aggregation chains, so (a) the single-row-group test parquet
+    (one scan task) stops serializing the partial aggregates above it and
+    (b) the lineitem⋈orders sort-merge exchange and every
+    groupBy(l_orderkey) reuse the spread's partitioning outright.
+    spread_to_cores only fires when the scan yields fewer partitions than
+    cores — on a real 100 TB corpus this is a no-op (file splits provide
+    the parallelism), so no shuffle is ever added at scale. Applied per
+    query (NOT in load_table): map-only/cheap-agg paths measured ×1.1-5.5
+    slower under a blanket spread — the exchange must buy back more than
+    it costs, which only heavy partial-agg/join chains do.
+
+    Only lineitem is spread. Orders is the BROADCAST side of its join in
+    every registered consumer (plan-verified: flagship/rollup/
+    grouping-sets/anomalies all show the orders scan feeding a
+    BroadcastExchange), so a spread there is pure waste — an Exchange
+    directly under a BroadcastExchange, shuffling rows that are about to
+    be collected anyway (measured: rollup_revenue ×1.8 slower with it).
+    Heavy DIRECT consumers of orders (profile_orders) spread it
+    explicitly at their own site."""
+    return {
+        **t,
+        "lineitem": spread_to_cores(t["lineitem"], "l_orderkey"),
+    }
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -83,7 +112,7 @@ LEFT JOIN ev_m e ON CAST(month(o.o_orderdate) AS INT) = e.month
 
 @register("flagship_wide", FLAGSHIP_ORACLE)
 def q_flagship_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return star.flagship_wide(load_tables(spark, sf_dir))
+    return star.flagship_wide(spread_sales(load_tables(spark, sf_dir)))
 
 
 @register(
@@ -389,6 +418,7 @@ _SALES_JOIN_SQL = """
 
 
 def _sales_join(t: dict[str, DataFrame]) -> DataFrame:
+    t = spread_sales(t)
     li, od, cu, na = t["lineitem"], t["orders"], t["customer"], t["nation"]
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
@@ -487,7 +517,7 @@ LIMIT 10
 def q_top10_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2: best-products top-k (forecast_utils.py:123-139) — cheapest-first
     ranking with a name tiebreaker so the limit boundary is deterministic."""
-    t = load_tables(spark, sf_dir)
+    t = spread_sales(load_tables(spark, sf_dir))
     s = (
         t["lineitem"]
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
@@ -526,7 +556,7 @@ WINDOW w AS (PARTITION BY brand ORDER BY year, month
 def q_rolling_ma30(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: per-group 30-row trailing mean over a monthly price series
     (single_product_forecasting.py:41-43)."""
-    t = load_tables(spark, sf_dir)
+    t = spread_sales(load_tables(spark, sf_dir))
     m = (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
@@ -749,7 +779,7 @@ FROM k
 def q_ffill_bfill_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12: time-series ffill→bfill per series — the reference's
     pivot+ffill+bfill+melt pandas job as two ignorenulls windows."""
-    t = load_tables(spark, sf_dir)
+    t = spread_sales(load_tables(spark, sf_dir))
     m = (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))

@@ -24,7 +24,8 @@ from market_flow_spark.extensions import (
 from market_flow_spark.operators import analytics as an
 from market_flow_spark.operators import star, temporal
 from market_flow_spark.operators.forecast import linear_forecast
-from market_flow_spark.queries import register
+from market_flow_spark.queries import register, spread_sales
+from market_flow_spark.sources.layout import spread_to_cores
 from market_flow_spark.streaming import windows as W
 from market_flow_spark.tables import load_tables
 
@@ -947,7 +948,7 @@ def q_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     the form that scales)."""
     from market_flow_spark.functions.aggregates import det_avg
 
-    t = load_tables(spark, sf_dir)
+    t = spread_sales(load_tables(spark, sf_dir))
     base = (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
@@ -1770,7 +1771,7 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
        customer → nation → region (star-schema functional dependency)."""
     from market_flow_spark.functions.aggregates import det_round
 
-    t = load_tables(spark, sf_dir)
+    t = spread_sales(load_tables(spark, sf_dir))
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     per_order = t["lineitem"].groupBy("l_orderkey").agg(
         F.sum(rev.cast("decimal(27,6)")).alias("rev_sum"),
@@ -2522,7 +2523,9 @@ def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics on both engines); the operator's approx=True flag swaps in
     approx_percentile for fact-scale measures."""
     return an.group_percentiles(
-        load_tables(spark, sf_dir)["lineitem"], "l_returnflag", "l_extendedprice"
+        spread_sales(load_tables(spark, sf_dir))["lineitem"],
+        "l_returnflag",
+        "l_extendedprice",
     )
 
 
@@ -2663,7 +2666,7 @@ def q_merge_aggregate_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums keep the fold exact and engine-identical."""
     from market_flow_spark.operators.incremental import merge_aggregate
 
-    li = load_tables(spark, sf_dir)["lineitem"]
+    li = spread_sales(load_tables(spark, sf_dir))["lineitem"]
     cast = lambda df: df.select(  # noqa: E731
         "l_returnflag", "l_orderkey",
         F.col("l_quantity").cast("decimal(27,6)").alias("sum_qty"),
@@ -3082,7 +3085,7 @@ def q_price_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulators keep the stats bit-identical across engines."""
     from market_flow_spark.functions.aggregates import det_avg
 
-    t = load_tables(spark, sf_dir)
+    t = spread_sales(load_tables(spark, sf_dir))
     m = (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
@@ -3356,7 +3359,7 @@ def q_grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     because each order belongs to exactly one nation and one priority."""
     from market_flow_spark.functions.aggregates import det_round
 
-    t = load_tables(spark, sf_dir)
+    t = spread_sales(load_tables(spark, sf_dir))
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     per_order = t["lineitem"].groupBy("l_orderkey").agg(
         F.sum(rev.cast("decimal(27,6)")).alias("rev_sum")
@@ -3395,7 +3398,10 @@ def q_kmv_distinct_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     kmv_distinct_parts: per-(group, hash-subsplit) local k-smallest first,
     then the exact per-group window over the bounded survivors."""
     return sketches.kmv_distinct_by(
-        load_tables(spark, sf_dir)["lineitem"], "l_returnflag", "l_partkey", k=64
+        spread_sales(load_tables(spark, sf_dir))["lineitem"],
+        "l_returnflag",
+        "l_partkey",
+        k=64,
     )
 
 
@@ -3560,7 +3566,9 @@ def q_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-exact mean before/after. Two-pass: group-sized bounds
     aggregate, explicitly broadcast back over the fact scan."""
     return an.winsorize_summary(
-        load_tables(spark, sf_dir)["lineitem"], "l_returnflag", "l_extendedprice"
+        spread_sales(load_tables(spark, sf_dir))["lineitem"],
+        "l_returnflag",
+        "l_extendedprice",
     )
 
 
@@ -3640,18 +3648,18 @@ FROM lineitem l JOIN s USING (l_returnflag) CROSS JOIN tot
 
 @register("feature_encode_panel", _FEATURE_PANEL_SQL)
 def q_feature_encode_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The feature-engineering encoders chained over one fact scan:
-    per-group z-score and min-max scaling of the price, leave-one-out
-    target encoding of quantity by return flag, and frequency encoding of
-    the flag itself. Four group-sized stats aggregates broadcast back —
-    the fact is never shuffled."""
+    """The feature-engineering encoders over one fact scan: per-group
+    z-score and min-max scaling of the price, leave-one-out target
+    encoding of quantity by return flag, and frequency encoding of the
+    flag itself. Round-12: the four encoders run as ONE fused stats
+    aggregate + one broadcast join-back (``encode_panel``) instead of the
+    chained per-operator form, whose stats pass k re-executed the k-1
+    earlier broadcast joins — value-identical (operator test pins fused ==
+    chained), 4 stats scans → 1."""
     from market_flow_spark.operators import features as feat
 
-    li = load_tables(spark, sf_dir)["lineitem"]
-    df = feat.zscore_normalize(li, "l_returnflag", "l_extendedprice")
-    df = feat.minmax_normalize(df, "l_returnflag", "l_extendedprice")
-    df = feat.loo_target_encode(df, "l_returnflag", "l_quantity")
-    df = feat.frequency_encode(df, "l_returnflag")
+    li = spread_sales(load_tables(spark, sf_dir))["lineitem"]
+    df = feat.encode_panel(li, "l_returnflag", "l_extendedprice", "l_quantity")
     return df.select(
         "l_orderkey",
         "l_linenumber",
@@ -3682,7 +3690,7 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     one aggregate and pairs are emitted map-side via an indexed
     higher-order transform (see ``cooccurrence_pairs``)."""
     return an.cooccurrence_pairs(
-        load_tables(spark, sf_dir)["lineitem"],
+        spread_sales(load_tables(spark, sf_dir))["lineitem"],
         basket="l_orderkey",
         item="l_partkey",
         min_support=2,
@@ -3854,7 +3862,7 @@ def q_corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     window: the grouped-aggregate machinery is in-window via
     sales_agg_profile; full oracle in pytest."""
     return an.corr_regression_panel(
-        load_tables(spark, sf_dir)["lineitem"],
+        spread_sales(load_tables(spark, sf_dir))["lineitem"],
         group="l_returnflag",
         x="l_quantity",
         y="l_extendedprice",
@@ -4017,7 +4025,7 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx (HLL++) mode is the 100 TB default and is tolerance-tested in
     pytest instead (engine-specific registers, no oracle)."""
     return an.profile_columns(
-        load_tables(spark, sf_dir)["orders"],
+        spread_to_cores(load_tables(spark, sf_dir)["orders"], "o_orderkey"),
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"],
         exact=True,
     )
@@ -4042,7 +4050,9 @@ def q_fuzzy_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     demo pairs. Past-window: the blocked self-join machinery is
     in-window via dedup_exact / simhash_pairs; full oracle in pytest."""
     return dedup.fuzzy_pairs_lev1(
-        load_tables(spark, sf_dir)["customer"].filter(
+        spread_to_cores(
+            load_tables(spark, sf_dir)["customer"], "c_custkey"
+        ).filter(
             F.col("c_custkey") % 4 == 0
         ),
         "c_custkey",

@@ -225,6 +225,45 @@ class TestFeatureEncoders:
         by_cat = {r.cat: (r.cat_count, r.cat_freq) for r in rows}
         assert by_cat["x"] == (3, 0.75) and by_cat["y"] == (1, 0.25)
 
+    def test_encode_panel_equals_chained_operators(self, spark):
+        """The round-12 fused panel (one stats aggregate + one broadcast
+        join-back) must be value-identical to chaining the four encoders,
+        including the edge groups: singleton (n<2 → NULL z/te),
+        zero-variance (NULL z), constant (NULL mm), and null measures."""
+        from market_flow_spark.operators.features import (
+            encode_panel,
+            frequency_encode,
+            loo_target_encode,
+            minmax_normalize,
+            zscore_normalize,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("g", 1.0, 10.0),
+                ("g", 2.0, 20.0),
+                ("g", 3.0, None),
+                ("solo", 7.0, 5.0),
+                ("k", 5.0, 1.0),
+                ("k", 5.0, 2.0),
+                ("n", None, 3.0),
+                ("n", 4.0, 4.0),
+            ],
+            "grp string, x double, y double",
+        )
+        chained = zscore_normalize(df, "grp", "x")
+        chained = minmax_normalize(chained, "grp", "x")
+        chained = loo_target_encode(chained, "grp", "y")
+        chained = frequency_encode(chained, "grp")
+        fused = encode_panel(df, "grp", "x", "y")
+        cols = sorted(chained.columns)
+        assert cols == sorted(fused.columns)
+        from collections import Counter
+
+        a = Counter(map(tuple, chained.select(*cols).collect()))
+        b = Counter(map(tuple, fused.select(*cols).collect()))
+        assert a == b
+
 
 class TestCooccurrence:
     def test_pairs_and_support(self, spark):
