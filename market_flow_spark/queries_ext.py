@@ -4387,7 +4387,9 @@ def q_variant_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_json_props_stats' per-field string re-parse: one parse per row,
     and parquet variant shredding restores pruning for paths."""
     return semistructured.variant_round_trip_stats(
-        load_tables(spark, sf_dir)["events"]
+        # r12: conditional keyed spread — the JSON compose+parse+extract is
+        # the whole cost and ran serially on the single-row-group scan
+        spread_to_cores(load_tables(spark, sf_dir)["events"], "event_id")
     )
 
 
