@@ -866,7 +866,10 @@ _MONTHLY_SERIES_SQL = """
 def _monthly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     from market_flow_spark.functions.aggregates import det_avg
 
-    t = load_tables(spark, sf_dir)
+    # r12: the monthly-series join+agg is a heavy lineitem consumer that
+    # missed the fact-side spread wave — the single-row-group scan left
+    # the SMJ and the partial aggregation serial on one core
+    t = spread_sales(load_tables(spark, sf_dir))
     return (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
