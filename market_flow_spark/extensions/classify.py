@@ -78,8 +78,17 @@ def nb_train(
         F.col(label_col).alias("label"), F.explode(_toks(text_col)).alias("w0")
     ).select("label", _feat(F.col("w0"), hash_buckets).alias("w"))
     counts = occ.groupBy("label", "w").agg(F.count(F.lit(1)).alias("c"))
+    # r12: the model branches (class totals, vocab, vocab size, the grid
+    # join) each re-ran the corpus tokenize+explode — pruned duplicated
+    # subtrees never canonicalize identically, so nothing reused them.
+    # Materialize the (label × vocab)-bounded count table once (DSIR
+    # pattern); the vocabulary is its distinct ``w`` set (identical to
+    # the occurrence-level distinct by construction), so every model
+    # branch reads the compact checkpoint.
+    if not train.isStreaming:
+        counts = counts.localCheckpoint(eager=True)
     totals = counts.groupBy("label").agg(F.sum("c").alias("total"))
-    vocab = occ.select("w").distinct()
+    vocab = counts.select("w").distinct()
     vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
     doc_counts = train.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).alias("n_docs")

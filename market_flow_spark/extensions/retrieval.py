@@ -239,6 +239,16 @@ def hashed_tfidf_weights(
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("bw"))
     )
+    # r12: counts feeds three branches here (weight join, n_docs, bucket
+    # dfs) and tfidf_doc_topk re-traverses the whole weights subtree
+    # three more times (norms, query set, dot-product side) — the pruned
+    # duplicates never canonicalize identically, so the corpus
+    # tokenize+md5 pass re-ran up to 9× per action (executed plan: 24
+    # scans). Materialize the docs×dim-bounded count table once (the
+    # DSIR raw-counts pattern); every branch then reads the compact
+    # checkpoint.
+    if not docs.isStreaming:
+        counts = counts.localCheckpoint(eager=True)
     # corpus size as a broadcast one-row singleton (the bm25 N/avgdl
     # pattern) — keeps the whole build lazy, no construction-time action
     nd = counts.agg(F.countDistinct("doc_id").alias("n_docs"))

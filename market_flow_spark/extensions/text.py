@@ -373,10 +373,22 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .filter(F.col("term") != "")
     )
     vocab = words.groupBy("term").agg(F.count(F.lit(1)).alias("c_term"))
-    totals = vocab.agg(F.sum("c_term").alias("c_total"))
+    # r12: the executed plan ran the corpus tokenize+explode THREE times —
+    # once for the occurrence side, once for the vocab join side, once
+    # for the totals branch (column pruning differentiates the duplicated
+    # subtrees, so neither Catalyst nor AQE stage-reuse deduplicates
+    # them; probed on the EXECUTED plan: 4 scans, 0 ReusedExchange).
+    # The vocab-sized model table is materialized once (the DSIR
+    # raw-counts pattern, selection.py) and the corpus total rides along
+    # as a whole-frame window sum over it instead of a separate
+    # aggregate branch — warm cost is ONE corpus explode plus the join.
+    if not docs.isStreaming:
+        vocab = vocab.localCheckpoint(eager=True)
+    vocab = vocab.withColumn(
+        "c_total", F.sum("c_term").over(Window.partitionBy())
+    )
     scored = (
         words.join(vocab, "term")
-        .crossJoin(F.broadcast(totals))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -467,6 +479,13 @@ def token_kl_divergence(
         .filter(F.col("tok") != "")
     )
     cnt_gt = words.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("c_gt"))
+    # r12: cnt_gt feeds FOUR consumers (token counts, group totals, the
+    # corpus total, and the scoring join); their pruned branches do not
+    # canonicalize identically, so the corpus explode re-ran per branch.
+    # Materialize the (group, token)-bounded table once (DSIR pattern) —
+    # every consumer then reads the compact checkpoint.
+    if not docs.isStreaming:
+        cnt_gt = cnt_gt.localCheckpoint(eager=True)
     cnt_t = cnt_gt.groupBy("tok").agg(F.sum("c_gt").alias("c_t"))
     tot_g = cnt_gt.groupBy("grp").agg(F.sum("c_gt").alias("t_g"))
     tot = cnt_gt.agg(F.sum("c_gt").alias("t_all"))
@@ -612,19 +631,25 @@ def pmi_collocations(
         "i -> struct(toks[i] AS w1, toks[i+1] AS w2)) "
         "ELSE cast(array() as array<struct<w1:string,w2:string>>) END"
     )
-    bi = (
+    bi_all = (
         toked.select(F.explode(bi_pairs).alias("p"))
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_pair"))
-        .filter(F.col("c_pair") >= int(min_count))
     )
+    # r12: the tokenize pass re-ran per consumer branch (uni ×3 via the
+    # two join sides + its total, bi once, t_bi once — pruned duplicated
+    # subtrees never canonicalize identically, so nothing reuses them).
+    # Materialize the two vocabulary-bounded count tables once (DSIR
+    # pattern); t_bi becomes Σ c_pair over the unfiltered bigram table —
+    # the same integer by construction (every adjacent position emits
+    # exactly one pair occurrence) — instead of a third corpus pass.
+    if not docs.isStreaming:
+        uni = uni.localCheckpoint(eager=True)
+        bi_all = bi_all.localCheckpoint(eager=True)
+    bi = bi_all.filter(F.col("c_pair") >= int(min_count))
     t_uni = uni.agg(F.sum("c").alias("t_uni"))
-    t_bi = (
-        toked.select(
-            F.greatest(F.size("toks") - 1, F.lit(0)).alias("nb")
-        ).agg(F.sum("nb").alias("t_bi"))
-    )
+    t_bi = bi_all.agg(F.sum("c_pair").alias("t_bi"))
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
     pmi = F.log(
@@ -727,10 +752,20 @@ def bigram_logprob(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c_w"))
     )
-    total = uni.agg(F.sum("c_w").alias("c_total"))
+    # r12: the scoring join consumes FIVE model branches (bigram counts,
+    # context counts, unigram counts, the corpus total, plus the
+    # occurrence side itself), and each duplicated pruned subtree re-ran
+    # the corpus tokenize+explode (static plan: 12 scans, 0
+    # ReusedExchange). Materialize the two vocabulary-bounded count
+    # tables once (DSIR pattern); ctx and the total derive from the
+    # compact checkpoint — warm cost is ONE positional explode + joins.
     bi = occurrences.groupBy("prev", "w").agg(
         F.count(F.lit(1)).alias("c_bi")
     )
+    if not docs.isStreaming:
+        uni = uni.localCheckpoint(eager=True)
+        bi = bi.localCheckpoint(eager=True)
+    total = uni.agg(F.sum("c_w").alias("c_total"))
     ctx = uni.select(F.col("w").alias("prev"), F.col("c_w").alias("c_prev"))
     # context count c(v ·) = c(v) - [v ends a document]; using the raw
     # unigram count keeps the model a proper mixture up to that boundary

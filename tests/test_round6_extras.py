@@ -233,17 +233,21 @@ def test_budget_select_plans_two_phase(spark):
 
 def test_kl_plan_reuses_the_corpus_aggregate(spark, tables):
     """The corpus is exploded and aggregated to (group, token) grain ONCE:
-    token totals, group totals, and the corpus total all derive from that
-    one exchange, so the executed plan must contain ReusedExchange nodes
-    (≥2 of the 4 consumers ride the shared stage) and spill nothing.
-    Measured off the real executed plan, not the pre-AQE string. (The
-    registered-query sweep in test_plans already bans row-Python UDFs and
-    cartesians for corpus_kl_by_lang.)"""
+    since round 12 the compact (group, token) count table is materialized
+    at construction (localCheckpoint, the DSIR pattern), so the scoring
+    plan's four consumers (token totals, group totals, corpus total, the
+    scoring join) all read the checkpoint — the executed plan must contain
+    NO parquet re-scan of the corpus (pre-r12 the shape relied on AQE
+    stage reuse, which only covered 2 of the 4 consumers; the other two
+    re-ran the explode) and spill nothing. (The registered-query sweep in
+    test_plans already bans row-Python UDFs and cartesians for
+    corpus_kl_by_lang.)"""
     from market_flow_spark.metrics import collect_and_measure
 
     df = token_kl_divergence(tables["documents"], group="lang")
     n, m = collect_and_measure(df)
     assert n >= 2
-    assert m["reused_exchanges"] >= 2, m
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in ep, ep[:500]
     assert m["spill_bytes"] == 0
     assert m["broadcast_exchanges"] >= 2  # group totals + corpus total
