@@ -1296,24 +1296,18 @@ def simhash_pairs_against(
     )
 
 
-def winnow_fingerprints(
+def _winnow_fp_arrays(
     docs: DataFrame, k: int = 8, window: int = 4, text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, fp) rolling-hash document fingerprints via winnowing
-    (Schleimer/Wilkerson/Aiken, MOSS): hash every character k-gram of the
-    normalized text, then keep the minimum hash of each sliding window of
-    ``window`` consecutive k-gram hashes. Guarantee: any shared substring
-    of length >= k + window - 1 between two documents yields at least one
-    SHARED fingerprint — which is what makes fingerprint equality a
-    containment detector, not just a whole-document one.
-
-    Built entirely row-wise with higher-order functions (transform /
-    sequence / slice / array_min): a map-only pass over the corpus, no
-    shuffle until the caller joins on fp. Hashes are md5-prefix uint32s —
-    bit-reproducible in DuckDB for the oracle. Fingerprint density is
-    ~2/(window+1) per character, so the index a containment join probes is
-    a bounded fraction of corpus bytes.
-    """
+    """(doc_id, fps array<bigint>) per-document DISTINCT winnowed
+    fingerprints — the pre-explode form of :func:`winnow_fingerprints`.
+    WARNING: reference the ``fps`` column ONCE downstream. A second
+    reference (e.g. ``size(fps)`` next to ``explode(fps)``) lets
+    CollapseProject inline the whole winnowing expression — norm regexp
+    included — into each reference, degrading to interpreted
+    per-position regexp evaluation (measured: one task 500+ s at
+    sf0.1). Per-doc counts belong in a window over the exploded rows,
+    which rides the doc_id spread partitioning for free."""
     n = "__wn_norm"
     h = "__wn_h"
     base = _spread(docs, "doc_id").select(
@@ -1336,7 +1330,30 @@ def winnow_fingerprints(
         f"WHEN size({h}) > 0 THEN array(array_min({h})) "
         f"ELSE CAST(array() AS array<bigint>) END"
     )
-    return hashed.select("doc_id", F.explode(fps.alias("fps")).alias("fp"))
+    return hashed.select("doc_id", fps.alias("fps"))
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 8, window: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, fp) rolling-hash document fingerprints via winnowing
+    (Schleimer/Wilkerson/Aiken, MOSS): hash every character k-gram of the
+    normalized text, then keep the minimum hash of each sliding window of
+    ``window`` consecutive k-gram hashes. Guarantee: any shared substring
+    of length >= k + window - 1 between two documents yields at least one
+    SHARED fingerprint — which is what makes fingerprint equality a
+    containment detector, not just a whole-document one.
+
+    Built entirely row-wise with higher-order functions (transform /
+    sequence / slice / array_min): a map-only pass over the corpus, no
+    shuffle until the caller joins on fp. Hashes are md5-prefix uint32s —
+    bit-reproducible in DuckDB for the oracle. Fingerprint density is
+    ~2/(window+1) per character, so the index a containment join probes is
+    a bounded fraction of corpus bytes.
+    """
+    return _winnow_fp_arrays(docs, k, window, text_col).select(
+        "doc_id", F.explode("fps").alias("fp")
+    )
 
 
 # Documented routing threshold for the exact-substring span tier, in
@@ -1782,6 +1799,19 @@ def winnow_containment(
     *distinctive* content. Default None = exact semantics (the registered
     oracle-checked query); measured at sf0.1 x4-inflated: 6.9 s exact →
     near-linear capped."""
+    from pyspark.sql import Window
+
+    # The probe side's per-doc fingerprint count is a zero-exchange window
+    # over the doc_id-partitioned explode (the probe spread's hash
+    # partitioning survives the explode — and the broadcast anti-join in
+    # the capped path — so the count adds NO shuffle). r12: the old shape
+    # re-ran the md5 winnowing pass a second time just to aggregate that
+    # count and then joined it back. (A row-wise size() on the pre-explode
+    # array was measured and REJECTED: referencing the fps array twice —
+    # size + explode — lets CollapseProject inline the whole winnowing
+    # expression, norm-regexp included, into both references, and the plan
+    # degrades to interpreted per-position regexp evaluation: one task sat
+    # 500+ s in RegExpReplace.nullSafeEval on the sf0.1 corpus.)
     te = winnow_fingerprints(probe, k, window, text_col).select(
         F.col("doc_id").alias("test_doc_id"), "fp"
     )
@@ -1790,7 +1820,10 @@ def winnow_containment(
     )
     if max_fp_df is not None:
         # boilerplate is defined by the TRAINING corpus (the big side):
-        # one df aggregate over tr, then anti-joins against the (small)
+        # one df aggregate over tr (map-side partial combine collapses hot
+        # fingerprints BEFORE its shuffle — deliberately not a window or a
+        # forced fp exchange, which would land every occurrence of a
+        # boilerplate fp on one task), then anti-joins against the (small)
         # heavy-fp set. A te-only fp has train-df 0 and is rightly kept —
         # it still counts in the denominator, it just can't match.
         heavy = (
@@ -1801,17 +1834,19 @@ def winnow_containment(
         )
         te = te.join(heavy, "fp", "left_anti")
         tr = tr.join(heavy, "fp", "left_anti")
-    te_sizes = te.groupBy("test_doc_id").agg(
-        F.count(F.lit(1)).alias("n_test_fps")
+    # denominator = (surviving) fps per probe doc; window key is the probe
+    # doc, never the (potentially boilerplate-hot) fp
+    te = te.withColumn(
+        "n_test_fps",
+        F.count(F.lit(1)).over(Window.partitionBy("test_doc_id")),
     )
     shared = (
         te.join(tr, "fp")
-        .groupBy("test_doc_id", "train_doc_id")
+        .groupBy("test_doc_id", "train_doc_id", "n_test_fps")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     return (
-        shared.join(te_sizes, "test_doc_id")
-        .withColumn(
+        shared.withColumn(
             "containment",
             det_round(F.col("n_shared") / F.col("n_test_fps"), 6),
         )

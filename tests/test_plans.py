@@ -301,6 +301,34 @@ def test_corpus_clean_single_scan(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_winnow_denominator_window_adds_no_exchange(spark, sf_dir):
+    """winnow_containment's per-probe-doc fingerprint count is a window
+    over the exploded fps, partitioned by the probe doc — it must RIDE the
+    doc_id spread's hash partitioning (r12: the old shape re-ran the md5
+    winnowing pass for a count aggregate and joined it back). Every
+    exchange in the plan is either a doc_id spread (REPARTITION_BY_NUM) or
+    keyed by fp (the capped variant's heavy-fp aggregate); none may be
+    keyed by the window's test_doc_id."""
+    for kwargs in ({}, {"max_fp_df": 64}):
+        from market_flow_spark.extensions import dedup
+        from market_flow_spark.tables import load_tables
+
+        docs = load_tables(spark, sf_dir)["documents"]
+        df = dedup.winnow_containment(
+            docs.filter(F.col("doc_id") % 10 != 0),
+            docs.filter(F.col("doc_id") % 10 == 0),
+            threshold=0.5,
+            **kwargs,
+        )
+        plan = _formatted(df)
+        assert "Window" in plan  # the denominator count
+        for line in plan.splitlines():
+            if "Arguments: hashpartitioning(test_doc_id" in line:
+                raise AssertionError(
+                    "denominator window added its own exchange:\n" + line
+                )
+
+
 def test_bm25_two_corpus_scans(spark, sf_dir):
     """BM25's plan reads the corpus exactly twice — the postings explode
     and a map-only (N, avgdl) stats pass. The naive shape (df/dl/stats
