@@ -55,13 +55,21 @@ def corpus_postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     The document length ``dl`` is computed ROW-WISE (array size before the
     explode) and rides every posting — this is what lets the scorer avoid
-    a separate corpus pass + join just to recover document lengths."""
+    a separate corpus pass + join just to recover document lengths.
+
+    ``dl`` is computed in its OWN projection below the explode: with
+    ``size(clean)`` in the same select as ``explode(clean)``, the analyzer
+    places every non-generator expression in a Project ABOVE the Generate,
+    so the full split+filter of the document re-ran once per TOKEN
+    (O(doc_len x n_tokens) per doc — r12 executed-plan find). Splitting the
+    select makes dl a child column the Generate merely retains: the
+    tokenize runs twice per DOC (dl + generator), never per token."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     clean = F.filter(toks, lambda t: t != F.lit(""))
-    return (
-        spread_to_cores(docs, "doc_id")
-        .select("doc_id", F.size(clean).alias("dl"), F.explode(clean).alias("term"))
+    base = spread_to_cores(docs, "doc_id").select(
+        "doc_id", F.size(clean).alias("dl"), F.col(text_col)
     )
+    return base.select("doc_id", "dl", F.explode(clean).alias("term"))
 
 
 def query_terms_df(

@@ -344,6 +344,15 @@ def test_bm25_two_corpus_scans(spark, sf_dir):
     # exchanges stay bounded (tf agg, df window, score agg, rank window +
     # AQE-coalesced final)
     assert plan.count("Exchange hashpartitioning") <= 5
+    # dl (document length) must be computed BELOW the postings Generate —
+    # one tokenize per doc. With size(clean) in the same select as
+    # explode(clean), the analyzer evaluates it in the Project above the
+    # Generate, re-splitting the whole document once per TOKEN (r12
+    # executed-plan find: x0.70 after the fix).
+    above_generate = plan.split("Generate explode", 1)[0]
+    assert "size(filter(split" not in above_generate, (
+        "dl recomputed per exploded token:\n" + above_generate[-500:]
+    )
 
 
 def test_sequence_packing_single_exchange(spark, sf_dir):
