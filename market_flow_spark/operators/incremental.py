@@ -259,32 +259,51 @@ def pit_join(
     effective (fact predates the key's history, or the history was
     truncated past the fact).
 
-    Built on ``temporal.asof_join`` (union + keyed window) rather than
-    an inequality join: SCD2 periods per key are non-overlapping, so
-    "the version effective at t" IS "the latest valid_from <= t", and
-    one hash shuffle on the natural key replaces the SortMergeJoin +
-    range-filter fan-out a BETWEEN join plans. The closing bound is then
-    enforced by null-ing the payload where ``asof >= valid_to`` — a pure
-    projection, no extra shuffle.
+    Physical shape (r12): a LEFT equi-join on ``keys`` with the period
+    bounds as a residual condition. SCD2 periods per key are
+    non-overlapping, so at most one dim version matches any fact — the
+    left join therefore preserves the exactly-once fact semantics with
+    no window and **no shuffle of the fact side at all when the dim
+    broadcasts** (the usual case: a versioned dimension is orders of
+    magnitude smaller than the facts that reference it). The previous
+    shape (union + keyed window via ``temporal.asof_join``) shuffled and
+    sorted EVERY fact row by the natural key just to locate the
+    effective version; at 100 TB that is a facts-sized exchange bought
+    back by nothing. When the dim is too large to broadcast the planner
+    falls back to a sort-merge join on ``keys`` with the bounds as a
+    per-key residual — the same facts-sized exchange the window shape
+    paid, so the join shape is never worse and usually shuffle-free.
+
+    Preconditions (the SCD2 contract, now load-bearing):
+    - versions per key must be non-overlapping — an overlapping pair
+      would match one fact twice (the old window shape silently kept
+      the later ``valid_from``); ``scd2_merge`` output satisfies this
+      by construction,
+    - ``valid_from_col`` must be non-null (use the epoch floor for
+      genesis rows, as ``scd2_merge`` does); a NULL ``valid_to`` means
+      effective-forever, as before.
 
     ``asof_col`` and ``valid_from_col``/``valid_to_col`` must share a
     comparable type (both ints / dates / timestamps).
     """
-    from market_flow_spark.operators.temporal import asof_join
-
-    vt = valid_to_col + suffix
-    out = asof_join(
-        facts,
-        dim,
-        on=keys,
-        left_ts=asof_col,
-        right_ts=valid_from_col,
-        values=[*values, valid_to_col],
-        suffix=suffix,
+    kcols = [f"__pit_k{i}" for i in range(len(keys))]
+    d = dim.select(
+        *[F.col(k).alias(kc) for k, kc in zip(keys, kcols)],
+        *[F.col(v).alias(v + suffix) for v in values],
+        F.col(valid_from_col).alias("__pit_from"),
+        F.col(valid_to_col).alias("__pit_to"),
     )
-    effective = F.col(vt).isNull() | (F.col(asof_col) < F.col(vt))
-    for v in values:
-        out = out.withColumn(
-            v + suffix, F.when(effective, F.col(v + suffix))
+    cond = F.lit(True)
+    for k, kc in zip(keys, kcols):
+        cond = cond & (F.col(k) == F.col(kc))
+    cond = (
+        cond
+        & (F.col("__pit_from") <= F.col(asof_col))
+        & (
+            F.col("__pit_to").isNull()
+            | (F.col(asof_col) < F.col("__pit_to"))
         )
-    return out.drop(vt)
+    )
+    return facts.join(d, cond, "left").drop(
+        *kcols, "__pit_from", "__pit_to"
+    )

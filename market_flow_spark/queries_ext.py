@@ -4929,19 +4929,26 @@ def q_pit_part_price_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     each line observes the price version effective at its as-of batch
     (l_orderkey parity as a deterministic pseudo-time — half the facts
     see the world before the price batch, half after). incremental.
-    pit_join resolves 'effective at t' as the latest valid_from <= t via
-    the union+window as-of machinery — ONE hash shuffle on the natural
-    key, where the oracle's BETWEEN join plans a range fan-out. Revenue
-    rolls up by (as-of batch, brand), so the two observation epochs
-    differ exactly by the bumped parts."""
+    pit_join resolves 'effective at t' as a LEFT broadcast equi-join on
+    the natural key with the period bounds as a residual (r12) — the
+    facts are never shuffled to find their version, where the oracle's
+    BETWEEN join plans a range fan-out and the pre-r12 union+window
+    shape paid a facts-sized exchange + sort. Revenue rolls up by
+    (as-of batch, brand), so the two observation epochs differ exactly
+    by the bumped parts."""
     from market_flow_spark.functions.aggregates import det_round
     from market_flow_spark.operators import incremental as inc
 
-    li = load_tables(spark, sf_dir)["lineitem"].select(
+    li = spread_sales(load_tables(spark, sf_dir))["lineitem"].select(
         F.col("l_partkey").alias("p_partkey"),
         (F.col("l_orderkey") % 2).cast("int").alias("asof_batch"),
     )
-    dim = _scd2_part_dim(spark, sf_dir)
+    # explicit broadcast: the versioned part dim is bounded (|part| x <=2
+    # versions) but its size ESTIMATE is inflated by the scd2 window +
+    # union + anti-join chain, so the planner statically picks a
+    # facts-shuffling SortMergeJoin without the hint (guide §3.1: hint
+    # when you know a side is small and the estimate is wrong).
+    dim = F.broadcast(_scd2_part_dim(spark, sf_dir))
     joined = inc.pit_join(
         li, dim, ["p_partkey"], "asof_batch", ["p_retailprice", "p_brand"]
     )

@@ -390,13 +390,19 @@ def test_interval_lookup_bucket_join_stays_hash(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_pit_join_is_one_keyed_window_no_range_join(spark, sf_dir):
-    """Point-in-time SCD2 lookup resolves through the union+window
-    machinery: a Window over the natural key, and NO nested-loop range
-    join anywhere (the oracle's BETWEEN join is exactly what this plan
-    must avoid)."""
+def test_pit_join_is_broadcast_equijoin_no_range_join(spark, sf_dir):
+    """Point-in-time SCD2 lookup resolves through a LEFT broadcast
+    equi-join on the natural key with the period bounds as a residual
+    (r12) — the facts are never shuffled or window-sorted to find their
+    effective version, and NO nested-loop range join appears anywhere
+    (the oracle's BETWEEN join is exactly what this plan must avoid).
+    The pre-r12 union+window shape paid a facts-sized exchange + sort;
+    its absence is asserted via the Window check."""
     plan = _executed_plan(QUERIES["pit_part_price_sales"](spark, sf_dir))
-    assert "Window" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftOuter" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan
 
