@@ -1451,6 +1451,7 @@ def exact_substring_spans(
     _hash_hex: int = 15,
     merge_strategy: str = "fold",
     max_doc_positions: int | None = EXACT_SUBSTRING_MAX_DOC_POSITIONS,
+    _dup_shape: str = "window",
 ) -> DataFrame:
     """(doc_id, span_start, span_end, n_windows): maximal character ranges
     of the NORMALIZED text covered by ``min_len``-char windows whose
@@ -1571,13 +1572,33 @@ def exact_substring_spans(
     wins = (
         base.select("doc_id", F.posexplode(gram_hashes).alias("pos", h))
     )
-    dup = (
-        wins.groupBy(h)
-        .agg(F.count(F.lit(1)).alias("occ"))
-        .filter(F.col("occ") >= 2)
-        .select(h)
-    )
-    cand = wins.join(dup, h, "left_semi").select("doc_id", "pos")
+    # occ >= 2 detection as a window count over ONE exchange on the hash
+    # key (round-13): the former groupBy(h) + left_semi join-back shape
+    # re-ran the corpus-bytes-sized window-hash explode once per branch
+    # (dup aggregate + candidate probe — plan showed 2 Generate nodes);
+    # the window count keeps a single explode and a single shuffle of
+    # (doc_id, pos, h). Same trade as the content-verify stage below: a
+    # window gets no map-side partial aggregation, so a mass-duplicated
+    # hash lands its occurrences on one task — but the OLD shape's
+    # semi-join probe partitioned by h too once `dup` outgrew broadcast,
+    # so at scale the skew profile is unchanged while one full corpus
+    # hash pass and one aggregate disappear. Interleaved A/B at sf0.1:
+    # see OPTIMIZATION_r13.md (spans and dedup both ride this).
+    if _dup_shape == "agg_semijoin":  # pre-r13 shape, kept for A/B runs
+        dup = (
+            wins.groupBy(h)
+            .agg(F.count(F.lit(1)).alias("occ"))
+            .filter(F.col("occ") >= 2)
+            .select(h)
+        )
+        cand = wins.join(dup, h, "left_semi").select("doc_id", "pos")
+    else:
+        wh = Window.partitionBy(h)
+        cand = (
+            wins.withColumn("__hocc", F.count(F.lit(1)).over(wh))
+            .filter(F.col("__hocc") >= 2)
+            .select("doc_id", "pos")
+        )
     # content verify: hash matches are candidates, not verdicts — re-count
     # the survivors on the actual window content so a hash collision can
     # never fabricate a duplicate span. (A pack-positions-per-doc rewrite
@@ -1933,6 +1954,12 @@ def dedup_clusters(
             .agg(F.min("cluster_id").alias("nbr_min"))
             .withColumnRenamed("a", "doc_id")
         )
+        # the changed? flag rides INSIDE the checkpointed row (label
+        # strictly decreases whenever it changes, so changed ⇔ the
+        # neighborhood min undercut the old label) — the convergence
+        # count is then a scan of the just-materialized tiny table
+        # instead of the former new⋈old join job (round-13: one fewer
+        # shuffle job per round across every cluster-family query)
         new_labels = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
@@ -1941,16 +1968,15 @@ def dedup_clusters(
                     F.col("cluster_id"),
                     F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
                 ).alias("cluster_id"),
+                (
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                    < F.col("cluster_id")
+                ).alias("__changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__changed")).count()
+        labels = new_labels.select("doc_id", "cluster_id")
         if changed == 0:
             converged = True
             break

@@ -37,41 +37,64 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """(node, rank_fixed, rank) after ``n_iter`` synchronous PageRank
     rounds over the directed edge list. Multigraph semantics: parallel
     edges contribute multiply — ``.distinct()`` the edge list first for
     simple-graph ranks.
 
-    Scale shape: the edge list and node list are checkpointed once; each
-    round is one equi-join of the (node-count-sized) rank table onto the
-    edge list plus one map-side-combined sum on dst — the same per-round
-    cost profile as one round of min-label propagation. Rank state is
-    2 columns × node count; at 1000 executors the join partitions by the
-    edge key, and a hot in-degree node costs only its aggregate row."""
+    Scale shape: the edge list and the static (node, deg) table are
+    checkpointed once; each round is one equi-join of the
+    (node-count-sized) rank table onto the edge list plus one
+    map-side-combined sum on dst — the same per-round cost profile as one
+    round of min-label propagation. Rank state is 2 columns × node count;
+    at 1000 executors the join partitions by the edge key, and a hot
+    in-degree node costs only its aggregate row.
+
+    Checkpoint cadence (round-13): the round recurrence references the
+    previous rank table ONCE (the new rank row joins the static ``nd``
+    table against the contribution aggregate, not against the previous
+    ranks), so the unmaterialized plan grows LINEARLY per round — the
+    per-round eager ``localCheckpoint`` of the former shape (which
+    referenced ``ranks`` twice per round and would otherwise double the
+    plan each round) is not needed for plan health. Default
+    ``checkpoint_every=None`` materializes ONLY the final table: all
+    ``n_iter`` rounds execute as one job whose in-plan partitioning
+    chains — EnsureRequirements sees each round's join output already
+    hash-clustered on the node key, so only the contribution aggregate
+    exchanges per round and the e/nd exchanges are ReusedExchange across
+    rounds. (Materializing every round costs 3-4 exchanges per round
+    because a localCheckpoint under AQE comes back as a bare
+    ``Scan ExistingRDD`` with no partitioning info — measured, round
+    13.) Set an integer cadence to bound lineage depth for fault
+    recovery on very long chains at cluster scale. Arithmetic is
+    unchanged — the same integer recurrence in any grouping — so
+    results are identical at any cadence."""
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .localCheckpoint(eager=True)
     )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # out-degree rides WITH the rank row so each round joins edges once
-    ranks = (
+    # static (node, out-degree) table: checkpointed once, re-joined every
+    # round; out-degree ALSO rides with the rank row so each round joins
+    # the edge list exactly once
+    nd = (
         nodes.join(outdeg, nodes["node"] == outdeg["src"], "left")
         .select(
             "node",
             F.coalesce(F.col("deg"), F.lit(0)).alias("deg"),
-            F.lit(PR_SCALE).cast("bigint").alias("rf"),
         )
         .localCheckpoint(eager=True)
     )
+    ranks = nd.select(
+        "node", "deg", F.lit(PR_SCALE).cast("bigint").alias("rf")
+    )
     base = int((1.0 - damping) * PR_SCALE)
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contribs = (
             e.join(ranks, e["src"] == ranks["node"])
             .select("dst", F.expr("rf div deg").alias("c"))
@@ -79,7 +102,7 @@ def pagerank(
             .agg(F.sum("c").alias("s"))
         )
         ranks = (
-            ranks.join(contribs, ranks["node"] == contribs["dst"], "left")
+            nd.join(contribs, nd["node"] == contribs["dst"], "left")
             .select(
                 "node",
                 "deg",
@@ -92,8 +115,12 @@ def pagerank(
                 .cast("bigint")
                 .alias("rf"),
             )
-            .localCheckpoint(eager=True)
         )
+        if i == n_iter - 1 or (
+            checkpoint_every is not None
+            and (i + 1) % max(checkpoint_every, 1) == 0
+        ):
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         "node",
         F.col("rf").alias("rank_fixed"),
