@@ -342,37 +342,46 @@ def gap_fill_series(
     interval), left-join the observed points, forward-fill the value
     columns into the gaps, and flag synthesized rows with ``is_gap``.
 
-    The spine is generated FROM the group-bounds aggregate — one
-    group-cardinality-sized agg, then a map-side explode; no driver-side
-    date arithmetic, no cross join against a global calendar (a global
-    spine would manufacture leading/trailing periods a group never had).
-    The fill window shuffles only the spine-joined series, which is
-    (groups x periods)-sized — the regularized output itself — not the
-    source fact. Forward-fill is `last(ignorenulls)` over a
-    rows-unbounded-preceding frame; leading gaps (before a group's first
-    observation) cannot exist because each spine starts at the group's
-    own min period."""
-    bounds = df.groupBy(group).agg(
-        F.min(period_col).alias("__lo"), F.max(period_col).alias("__hi")
-    )
-    spine = bounds.select(
+    Single-pass shape (round-13): each observed row EMITS itself plus
+    the gap periods up to (its successor − step) via lead() + one
+    map-side explode — a generated gap period carries the values of the
+    row it exploded from, which IS the forward fill. The former shape
+    (group-bounds aggregate → spine explode → left join back → fill
+    window) consumed the input TWICE; column pruning specialized the
+    bounds branch differently, so the two subtrees never shared an
+    exchange and the source aggregation chain ran twice end-to-end
+    (measured at sf0.1: the registered query's sales join executed once
+    per branch). One lead() window on the observed series replaces the
+    bounds agg + spine join + fill window; no cross join against a
+    global calendar either way (each group's spine still spans exactly
+    its own min..max period).
+
+    Precondition (unchanged from the spine shape, now stated): observed
+    periods lie on the ``step`` grid — the old shape silently DROPPED
+    off-grid observations (the spine join never matched them); this one
+    keeps them and clamps their gap run to empty. Observed rows keep
+    their own values verbatim (the registered series are aggregates, so
+    observed values are never NULL — both shapes agree on every
+    grid-aligned series with non-null observations)."""
+    w = Window.partitionBy(group).orderBy(period_col)
+    src = df.withColumn("__nxt", F.lead(period_col).over(w))
+    emitted = src.select(
         group,
+        F.col(period_col).alias("__obs"),
+        *value_cols,
         F.explode(
-            F.expr(f"sequence(__lo, __hi, interval {step})")
+            F.expr(
+                f"sequence({period_col}, greatest({period_col},"
+                f" coalesce(__nxt - interval {step}, {period_col})),"
+                f" interval {step})"
+            )
         ).alias(period_col),
     )
-    joined = spine.join(df, [group, period_col], "left")
-    w = (
-        Window.partitionBy(group)
-        .orderBy(period_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    is_gap = F.col(value_cols[0]).isNull()
-    filled = [
-        F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols
-    ]
-    return joined.select(
-        group, period_col, *filled, is_gap.alias("is_gap")
+    return emitted.select(
+        group,
+        period_col,
+        *value_cols,
+        (F.col(period_col) != F.col("__obs")).alias("is_gap"),
     )
 
 
